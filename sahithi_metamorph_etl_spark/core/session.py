@@ -1,0 +1,68 @@
+"""Spark session factory.
+
+Replaces the reference's hard-wired session builder
+(`ETL_Airflow/dags/tasks/utils.py:10-31`, which pins GCS/JDBC jars and a
+fixed standalone master) with a parameterized factory:
+
+- master/cores from ``SPARK_GRAFT_CPUS`` (driver contract) or arguments
+- shuffle partitions sized to cores for local mode (the reference leaves
+  the 200 default, wrong at both ends of the scale)
+- AQE + skew-join handling on (runtime re-planning at 100 TB)
+- Arrow enabled (fast pandas/Python interchange for the pandas-UDF path)
+- session timezone pinned to UTC so results are reproducible and
+  comparable against external oracles (DuckDB timestamps are UTC-naive)
+
+At cluster scale the same factory is used with a real master URL; nothing
+in the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "sahithi-metamorph-etl-spark"
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count: right for local
+    correctness/bench runs. On a 1000-executor cluster pass an explicit
+    value (~2-3x total cores) or rely on AQE coalescing from a higher
+    initial number.
+    """
+    cores = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

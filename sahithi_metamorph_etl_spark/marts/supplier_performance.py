@@ -1,0 +1,146 @@
+"""Supplier performance mart.
+
+Re-expression of `ETL_Airflow/dags/tasks/m_supplier_performance_task.py:10-239`
+(reference entry point 2, SURVEY.md §3): filter cancelled sales → join
+products → join suppliers (trimmed keys) → derive REVENUE → product-level
+agg → supplier-level re-agg → window top-1 product → left-join both back
+onto the supplier dimension → null defaults → final projection.
+
+Deliberate deviations (documented per SURVEY.md §7 "what's hard"):
+- run_date is a parameter (reference: in-plan current_date()).
+- the top-product window orders by round(revenue, 2) DESC with
+  PRODUCT_ID ASC as tie-breaker — the reference orders by raw revenue
+  only (`m_supplier_performance_task.py:144-146`), which is
+  nondeterministic under ties and under float summation order.
+
+Scale notes (100 TB): sales is the fact side; products and suppliers are
+dimensions and are explicitly broadcast — the fact table is shuffled
+exactly once, for the (SUPPLIER_ID, PRODUCT_ID) aggregation; the
+supplier-level re-agg and the ranking window both reuse that already
+small product-level aggregate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_sum
+from ..operators.windows import top_k_per_group
+
+
+def build_supplier_performance(
+    sales: DataFrame,
+    products: DataFrame,
+    suppliers: DataFrame,
+    run_date: dt.date,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    maybe_b = F.broadcast if broadcast_dims else (lambda df: df)
+
+    sq_sales = sales.select("ORDER_STATUS", "PRODUCT_ID", "QUANTITY", "DISCOUNT", "SALE_ID")
+    sq_products = products.select("PRODUCT_ID", "SUPPLIER_ID", "PRODUCT_NAME", "SELLING_PRICE")
+    sq_suppliers = suppliers.select("SUPPLIER_ID", "SUPPLIER_NAME")
+
+    fil = sq_sales.filter(F.col("ORDER_STATUS") != "Cancelled")
+
+    sales_products = (
+        fil.alias("sales")
+        .join(maybe_b(sq_products.alias("products")), on="PRODUCT_ID", how="inner")
+        .select(
+            F.col("sales.QUANTITY"),
+            F.col("sales.DISCOUNT"),
+            F.col("sales.SALE_ID"),
+            F.col("products.PRODUCT_ID"),
+            F.col("products.SUPPLIER_ID"),
+            F.col("products.PRODUCT_NAME"),
+            F.col("products.SELLING_PRICE"),
+        )
+    )
+
+    with_suppliers = (
+        sales_products.alias("sp")
+        .join(
+            maybe_b(sq_suppliers.alias("sup")),
+            F.trim(F.col("sup.SUPPLIER_ID")) == F.trim(F.col("sp.SUPPLIER_ID")),
+            "inner",
+        )
+        .select(
+            F.col("sp.PRODUCT_ID"),
+            F.col("sp.PRODUCT_NAME"),
+            F.col("sp.QUANTITY"),
+            F.col("sp.SELLING_PRICE"),
+            F.col("sp.DISCOUNT"),
+            F.col("sp.SALE_ID"),
+            F.col("sup.SUPPLIER_ID"),
+            F.col("sup.SUPPLIER_NAME"),
+        )
+        .withColumn(
+            "REVENUE",
+            (F.col("SELLING_PRICE") - (F.col("SELLING_PRICE") * F.col("DISCOUNT") / 100)) * F.col("QUANTITY"),
+        )
+    )
+
+    product_level = with_suppliers.groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME").agg(
+        F.count("SALE_ID").alias("agg_product_sales_count"),
+        dec_sum(F.col("REVENUE")).alias("agg_product_revenue"),
+        F.sum("QUANTITY").alias("agg_stock_sold"),
+    )
+
+    supplier_level = product_level.groupBy("SUPPLIER_ID").agg(
+        F.round(F.sum("agg_product_revenue"), 2).cast("double").alias("agg_total_revenue"),
+        F.sum("agg_product_sales_count").alias("agg_total_products_sold"),
+        F.sum("agg_stock_sold").alias("agg_total_stock_sold"),
+    )
+
+    top_selling = top_k_per_group(
+        product_level,
+        partition_by=["SUPPLIER_ID"],
+        order_by=[F.round(F.col("agg_product_revenue"), 2).desc(), F.col("PRODUCT_ID").asc()],
+        k=1,
+    ).select(F.col("SUPPLIER_ID"), F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
+
+    enriched = (
+        sq_suppliers.alias("sup")
+        .join(
+            supplier_level.alias("agg"),
+            F.trim(F.col("sup.SUPPLIER_ID")) == F.trim(F.col("agg.SUPPLIER_ID")),
+            "left",
+        )
+        .select(
+            F.col("sup.SUPPLIER_ID"),
+            F.col("sup.SUPPLIER_NAME"),
+            F.col("agg.agg_total_revenue"),
+            F.col("agg.agg_total_products_sold"),
+            F.col("agg.agg_total_stock_sold"),
+        )
+        .alias("agg")
+        .join(
+            top_selling.alias("top"),
+            F.trim(F.col("top.SUPPLIER_ID")) == F.trim(F.col("agg.SUPPLIER_ID")),
+            "left",
+        )
+        .select(
+            F.col("agg.SUPPLIER_ID"),
+            F.col("agg.SUPPLIER_NAME"),
+            F.coalesce(F.col("agg.agg_total_revenue"), F.lit(0)).alias("agg_total_revenue"),
+            F.coalesce(F.col("agg.agg_total_products_sold"), F.lit(0)).alias("agg_total_products_sold"),
+            F.coalesce(F.col("agg.agg_total_stock_sold"), F.lit(0)).alias("agg_total_stock_sold"),
+            F.when(F.col("top.TOP_SELLING_PRODUCT") == "", None)
+            .otherwise(F.col("top.TOP_SELLING_PRODUCT"))
+            .alias("TOP_SELLING_PRODUCT"),
+        )
+        .withColumn("DAY_DT", F.lit(run_date.isoformat()).cast("date"))
+    )
+
+    return enriched.select(
+        F.col("DAY_DT"),
+        F.col("SUPPLIER_ID"),
+        F.col("SUPPLIER_NAME"),
+        F.col("agg_total_revenue").cast("double").alias("TOTAL_REVENUE"),
+        F.col("agg_total_products_sold").cast("bigint").alias("TOTAL_PRODUCTS_SOLD"),
+        F.col("agg_total_stock_sold").cast("bigint").alias("TOTAL_STOCK_SOLD"),
+        F.col("TOP_SELLING_PRODUCT"),
+    )

@@ -1,0 +1,418 @@
+"""Relational operator queries over the raw TPC-H-ish testdata.
+
+One catalog entry per operator family from SURVEY.md §2 (projections,
+filters, joins incl. semi/anti, hash aggregates, two-level re-agg,
+windows, top-k, set ops, pivot, rollup, date/conditional scalar
+functions). Money aggregates are rounded (2dp) on BOTH sides so float
+summation order can't flip a hash bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.money import davg, dec_sum, dround, dsum, o_davg, o_dec_sum, o_dsum, o_round
+from ..operators.aggregates import duplicate_keys
+from ..operators.joins import anti_join, semi_join
+from ..operators.windows import top_k_per_group
+from ..sources.readers import read_testdata
+from .catalog import register
+
+# --- A1: multi-key hash aggregate (TPC-H Q1 shape; reference A1/A3) -------
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_round('sum(l_quantity)', 2)}                                          AS sum_qty,
+       {o_dsum('l_extendedprice', 2)}                                     AS sum_base_price,
+       {o_dsum('l_extendedprice * (1 - l_discount)', 2)}                  AS sum_disc_price,
+       {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)}    AS sum_charge,
+       {o_round('avg(l_quantity)', 2)}                                          AS avg_qty,
+       {o_davg('l_extendedprice', 2)}                                     AS avg_price,
+       {o_davg('l_discount', 4)}                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE,
+          doc="Multi-key hash aggregate with 8 aggregates (reference A1/A3 shape)")
+def pricing_summary(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A2: two-level aggregation cascade ------------------------------------
+
+_SUPPLIER_PART_ORACLE = f"""
+WITH fine AS (
+    SELECT l_suppkey, l_partkey,
+           {o_dec_sum('l_extendedprice * (1 - l_discount)')} AS part_revenue,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey,
+       CAST(round(sum(part_revenue), 2) AS double)   AS total_revenue,
+       CAST(sum(n_lines) AS bigint)  AS total_lines,
+       count(*)                      AS n_parts
+FROM fine GROUP BY 1
+"""
+
+
+@register("supplier_part_agg", oracle=_SUPPLIER_PART_ORACLE,
+          doc="Two-level re-aggregation cascade (reference A1->A2)")
+def supplier_part_agg(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_suppkey", "l_partkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return fine.groupBy("l_suppkey").agg(
+        F.round(F.sum("part_revenue"), 2).cast("double").alias("total_revenue"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# --- W1/O3: top-1 per group window ----------------------------------------
+
+_TOP_PART_ORACLE = f"""
+WITH fine AS (
+    SELECT l_suppkey, l_partkey,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+    FROM lineitem GROUP BY 1, 2
+), ranked AS (
+    SELECT l_suppkey, l_partkey, revenue,
+           row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS rnk
+    FROM fine
+)
+SELECT l_suppkey, l_partkey, revenue FROM ranked WHERE rnk = 1
+"""
+
+
+@register("top_part_per_supplier", oracle=_TOP_PART_ORACLE,
+          doc="Top-1-per-group ranking window with deterministic tie-break (reference W1)")
+def top_part_per_supplier(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+    )
+    return top_k_per_group(
+        fine, ["l_suppkey"], [F.col("revenue").desc(), F.col("l_partkey").asc()], k=1
+    ).select("l_suppkey", "l_partkey", "revenue")
+
+
+# --- P5/P10: filter + CASE projection -------------------------------------
+
+_ORDER_FILTER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+       CAST(year(o_orderdate) AS int) AS o_year,
+       CASE WHEN o_totalprice > 300000 THEN 'BIG' ELSE 'SMALL' END AS size_class
+FROM orders
+WHERE o_orderstatus <> 'P'
+"""
+
+
+@register("orders_filter_case", oracle=_ORDER_FILTER_ORACLE,
+          doc="Inequality filter + CASE projection + date part (reference P5/P10)")
+def orders_filter_case(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") != "P").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.when(F.col("o_totalprice") > 300000, "BIG").otherwise("SMALL").alias("size_class"),
+    )
+
+
+# --- J5/P9: left join preserving unmatched dimension + null defaults ------
+
+_UNSOLD_ORACLE = f"""
+WITH s AS (
+    SELECT l_partkey,
+           sum(l_quantity) AS qty,
+           {o_dsum('l_extendedprice * (1 - l_discount)', 2)} AS rev,
+           count(*) AS n_sales
+    FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, p_name,
+       coalesce(s.qty, 0)                    AS total_qty,
+       coalesce(s.rev, 0)                    AS total_rev,
+       CAST(coalesce(s.n_sales, 0) AS bigint) AS n_sales
+FROM part LEFT JOIN s ON p_partkey = s.l_partkey
+"""
+
+
+@register("parts_sales_left_join", oracle=_UNSOLD_ORACLE,
+          doc="Dimension-preserving left join with null->0 defaults (reference J5+P9)")
+def parts_sales_left_join(spark, sf_dir):
+    part = read_testdata(spark, sf_dir, "part")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qty"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+    return part.join(s, part.p_partkey == s.l_partkey, "left").select(
+        "p_partkey",
+        "p_name",
+        F.coalesce(F.col("qty"), F.lit(0)).alias("total_qty"),
+        F.coalesce(F.col("rev"), F.lit(0)).alias("total_rev"),
+        F.coalesce(F.col("n_sales"), F.lit(0)).cast("bigint").alias("n_sales"),
+    )
+
+
+# --- J11: anti / semi joins ------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    oracle="SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="left_anti join (reference Q4/J11 idiomatic form)",
+)
+def customers_without_orders(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "customers_with_orders",
+    oracle="SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="left_semi join (EXISTS)",
+)
+def customers_with_orders(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(c, o, "c_custkey").select("c_custkey", "c_mktsegment")
+
+
+# --- A5/Q1: duplicate detection -------------------------------------------
+
+
+@register(
+    "duplicate_order_lines",
+    oracle="SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1 HAVING count(*) > 1",
+    doc="Duplicate-key detection aggregate (reference A5, the uniqueness gate Q1)",
+)
+def duplicate_order_lines(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"])
+
+
+# --- O1/O2: global sort + limit (top-k) -----------------------------------
+
+
+@register(
+    "top10_orders",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    doc="Global top-k: order by + limit with deterministic tie-break (reference O1/O2)",
+)
+def top10_orders(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- P10: conditional expression ladder -----------------------------------
+
+_PRICE_CLASS_ORACLE = f"""
+SELECT p_partkey, p_name,
+       CASE WHEN p_retailprice >= 1700 THEN 'PREMIUM'
+            WHEN p_retailprice >= 1200 THEN 'STANDARD'
+            ELSE 'BUDGET' END AS price_class,
+       {o_round('p_retailprice * 0.3', 2)} AS margin
+FROM part
+"""
+
+
+@register("part_price_class", oracle=_PRICE_CLASS_ORACLE,
+          doc="CASE ladder + arithmetic projection (reference P10 + math family)")
+def part_price_class(spark, sf_dir):
+    p = read_testdata(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.when(F.col("p_retailprice") >= 1700, "PREMIUM")
+        .when(F.col("p_retailprice") >= 1200, "STANDARD")
+        .otherwise("BUDGET")
+        .alias("price_class"),
+        dround(F.col("p_retailprice") * 0.3, 2).alias("margin"),
+    )
+
+
+# --- date/time scalar family ----------------------------------------------
+
+_BY_MONTH_ORACLE = f"""
+SELECT monthname(o_orderdate) AS order_month,
+       CAST(year(o_orderdate) AS int) AS order_year,
+       count(*) AS n_orders,
+       {o_dsum('o_totalprice', 2)} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("orders_by_month", oracle=_BY_MONTH_ORACLE,
+          doc="Month-name/year date functions + aggregate (reference date family, SALE_MONTH)")
+def orders_by_month(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "MMMM").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+_UNION_ORACLE = f"""
+WITH u AS (
+    SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT l_returnflag, l_extendedprice FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+)
+SELECT l_returnflag, count(*) AS n_rows, {o_dsum('l_extendedprice', 2)} AS total
+FROM u GROUP BY 1
+"""
+
+
+@register("lineitem_union_slices", oracle=_UNION_ORACLE,
+          doc="unionByName of two filtered slices + aggregate (SURVEY §2.7 set ops)")
+def lineitem_union_slices(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_shipdate")
+    early = li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    late = li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        early.unionByName(late)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_extendedprice"), 2).alias("total"))
+    )
+
+
+# --- analytic window: running sum (frame spec) ----------------------------
+
+_RUNNING_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS double) AS running_total
+FROM orders
+"""
+
+
+@register("customer_running_total", oracle=_RUNNING_ORACLE,
+          doc="Explicit-frame running sum (extension beyond reference's window surface)")
+def customer_running_total(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w), 2).cast("double").alias("running_total"),
+    )
+
+
+# --- lag/lead analytic -----------------------------------------------------
+
+_GAP_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS date)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            CAST(o_orderdate AS date)) AS int) AS days_since_prev
+FROM orders
+"""
+
+
+@register("customer_order_gaps", oracle=_GAP_ORACLE,
+          doc="lag() analytic + date arithmetic (extension; reference has no lag/lead)")
+def customer_order_gaps(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev).cast("int").alias("days_since_prev"),
+    )
+
+
+# --- pivot -----------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY 1
+"""
+
+
+@register("orders_status_pivot", oracle=_PIVOT_ORACLE,
+          doc="Pivot (wide aggregate) — SURVEY §2.7 engine-free extension")
+def orders_status_pivot(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+# --- rollup ----------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name, count(*) AS n_suppliers, {o_dsum('s_acctbal', 2)} AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("supplier_region_rollup", oracle=_ROLLUP_ORACLE,
+          doc="ROLLUP grouping-set aggregate over a 3-way dimension join")
+def supplier_region_rollup(spark, sf_dir):
+    s = read_testdata(spark, sf_dir, "supplier")
+    n = read_testdata(spark, sf_dir, "nation")
+    r = read_testdata(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum(F.col("s_acctbal"), 2).alias("total_acctbal"),
+    )

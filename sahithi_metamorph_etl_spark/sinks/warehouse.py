@@ -1,0 +1,60 @@
+"""Layered warehouse writer (reference's raw/legacy two-layer model).
+
+Reference: `utils.py:145-163` writes every dataset to Postgres over JDBC
+— ``raw.<entity>_pre`` with overwrite, ``legacy.<entity>`` append with a
+``DAY_DT = current_date()`` column (`ingestion_task.py:49,59-60`).
+
+Spark-first redesign:
+- storage is parquet partitioned by ``DAY_DT`` (→ static/dynamic
+  partition pruning for the ``DAY_DT == run_date`` read-backs, reference
+  P6, and cheap per-day backfill/replace);
+- ``run_date`` is an explicit parameter, never ``current_date()`` inside
+  the plan (determinism hazard flagged in SURVEY.md §4);
+- JDBC remains available as a serving extract, not the system of record.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LayeredWarehouse:
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, layer: str, name: str) -> str:
+        return os.path.join(self.root, layer, name)
+
+    def write_raw(self, df: DataFrame, name: str) -> str:
+        """Current-day snapshot, full overwrite (raw.<name>_pre analog)."""
+        path = self._path("raw", f"{name}_pre")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_legacy(self, df: DataFrame, name: str, run_date: dt.date) -> str:
+        """Append-only history partitioned by DAY_DT; re-running a day
+        replaces just that day's partition (dynamic partition overwrite),
+        which the reference's plain JDBC append cannot do."""
+        path = self._path("legacy", name)
+        out = df.withColumn("DAY_DT", F.lit(run_date.isoformat()).cast("date")) if "DAY_DT" not in df.columns else df
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("DAY_DT")
+            .parquet(path)
+        )
+        return path
+
+    def read_raw(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self._path("raw", f"{name}_pre"))
+
+    def read_legacy(self, spark: SparkSession, name: str, run_date: dt.date | None = None) -> DataFrame:
+        df = spark.read.parquet(self._path("legacy", name))
+        if run_date is not None:
+            # partition-pruned: DAY_DT is the physical partition column
+            df = df.filter(F.col("DAY_DT") == F.lit(run_date.isoformat()).cast("date"))
+        return df

@@ -1,0 +1,92 @@
+"""Typed batch source connectors.
+
+Reference surface covered (SURVEY.md §2.1):
+- S1 CSV scan (`ingestion_task.py:204-212`): the reference infers schema;
+  here the schema is an explicit contract and corrupt rows are captured
+  permissively instead of poisoning inference.
+- S4/S5 JDBC scan (`utils.py:166-187`, `Raptor.py:20-38`): the reference
+  reads on ONE partition — its main scale bottleneck (BASELINE.md). The
+  partitioned reader below splits on a numeric column so a 1000-executor
+  cluster fans the read out.
+- S6 parquet scan (`Raptor.py:89-100`).
+
+All readers return plain DataFrames; plans stay lazy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..core.contracts import TESTDATA
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+    capture_corrupt: bool = True,
+) -> DataFrame:
+    """CSV with an explicit contract. PERMISSIVE + corrupt-record capture:
+    drifted rows land in ``_corrupt_record`` instead of silently skewing
+    inferred types (the reference's failure mode, SURVEY.md §1)."""
+    if capture_corrupt and CORRUPT_COL not in schema.fieldNames():
+        schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # Parquet carries its own schema; contracts are enforced downstream by
+    # validators.validate_schema where a pipeline requires it.
+    return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    if table not in TESTDATA:
+        raise KeyError(f"unknown testdata table: {table}")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 16,
+) -> DataFrame:
+    """JDBC scan with partitioned reads.
+
+    Fixes the reference's single-partition `spark.read.jdbc`
+    (`utils.py:185`): without partitionColumn every executor but one idles
+    and the whole table streams through a single connection.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
