@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): runs the engine's headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are executed with the noop sink so every output column is
+computed (a bare count() would let Catalyst prune the projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sahithi_metamorph_etl_spark.core.session import get_spark  # noqa: E402
+from sahithi_metamorph_etl_spark.queries.catalog import all_queries  # noqa: E402
+
+# breadth over the operator surface: relational core, windows, marts,
+# reconciliation, dedup (exact + sub-quadratic), similarity, events
+HEADLINE = [
+    "pricing_summary",
+    "supplier_part_agg",
+    "top_part_per_supplier",
+    "parts_sales_left_join",
+    "customer_running_total",
+    "mart_supplier_performance",
+    "mart_product_performance",
+    "mart_customer_sales_report",
+    "recon_column_mismatches",
+    "doc_token_stats",
+    "doc_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "emb_cosine_topk",
+    "events_hourly_tumbling",
+    "events_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Training-data dedup at 100 TB cannot compare all pairs; the scalable
+paths here are:
+
+- exact: one hash-aggregate on a content fingerprint (1 shuffle);
+- Jaccard: shingle-inverted-index self-join — exact pairwise scores but
+  join fan-out bounded by shingle frequency (cap hot shingles upstream);
+- MinHash-LSH: fixed-size signatures (64 perms), banded bucketing
+  (16 bands x 4 rows), candidate pairs only within equal band
+  signatures, then exact-Jaccard verification of candidates only. This
+  is the standard sub-quadratic near-dup pipeline (Broder MinHash /
+  LSH banding as in Mining of Massive Datasets ch.3), expressed purely
+  in DataFrame ops — no UDFs.
+- SimHash: 64-bit sign-of-weighted-sum signature (Charikar), hamming
+  buckets for candidates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import content_fingerprint
+
+# Mersenne prime 2^31-1 as universal-hash modulus: a*h stays < 2^62, so
+# the multiply cannot overflow long under Spark 4's ANSI arithmetic
+# (a 61-bit modulus needs 128-bit multiplies the JVM long cannot do)
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (modulo normalization) documents:
+    (fingerprint, keeper_doc_id = min id, n_docs)."""
+    fp = content_fingerprint(df, text_col, id_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index self-join: |pairs| is sum over shingles of freq^2 —
+    fine when shingle frequencies are bounded; at open-web scale remove
+    stop-shingles first or use minhash_lsh_pairs.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for i in range(num_perm)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Sub-quadratic near-dup detection: MinHash signatures + LSH bands.
+
+    With 64 perms / 16 bands x 4 rows, the candidate probability for
+    jaccard s is 1-(1-s^4)^16 (~0.99 at s=0.8, ~0.07 at s=0.3). If
+    ``verify``, candidates are re-scored with exact Jaccard and filtered
+    — output schema matches :func:`jaccard_pairs`.
+    """
+    rows_per_band = num_perm // bands
+    sh = word_shingles(df, text_col, id_col, n)
+    # base shingle hash (JVM xxhash64), folded into [0, p)
+    hashed = sh.select(F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("h"))
+
+    spark = df.sparkSession
+    perms = spark.createDataFrame(_perm_params(num_perm), "perm int, a long, b long")
+    # (doc, perm) -> min universal hash; shuffle keyed by doc — the
+    # num_perm fan-out happens map-side in the join, partial-min combines
+    # before the shuffle
+    minh = (
+        hashed.join(F.broadcast(perms))
+        .select(
+            F.col(id_col),
+            F.col("perm"),
+            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MERSENNE31)).alias("mh"),
+        )
+        .groupBy(id_col, "perm")
+        .agg(F.min("mh").alias("mh"))
+    )
+    band_sigs = (
+        minh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))), lambda s: s["mh"]
+                ),
+            ).alias("sig")
+        )
+    )
+    a = band_sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = band_sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    candidates = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return candidates.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash signature per document (Charikar): per-token
+    xxhash64, each bit votes +-1, signature bit = sign of the vote sum.
+    Returns (id, simhash as bigint). Near-dup candidates = small hamming
+    distance; pair generation via 16-bit chunk buckets (any pair within
+    hamming distance 3 shares at least one of 4 chunks)."""
+    # shift amounts are per-row expressions, which the Python shiftleft/
+    # shiftright API rejects (literal ints only) — use SQL expressions
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).select(F.col(id_col), F.xxhash64("token").alias("h"))
+    bits = F.expr(
+        "transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    votes = (
+        tok.select(F.col(id_col), F.posexplode(bits).alias("bit", "vote"))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    # assemble: sum of 2^bit where vote > 0 (bit 63 wraps the sign — fine, it's a signature)
+    return votes.groupBy(id_col).agg(
+        F.expr(
+            "sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END)"
+        ).alias("simhash")
+    )

@@ -1,0 +1,81 @@
+"""Text analysis operators for LLM training-data pipelines.
+
+No reference equivalent (the reference is a sales warehouse); these are
+the BASELINE.json "north star" extensions, built entirely from JVM-side
+built-ins (`split`/`filter`/`regexp_replace`/higher-order functions) —
+no Python UDFs in the hot path, so they run at fact-table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import dround
+
+# tiny per-language function-word lexicons for the n-gram-free heuristic
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+}
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics.
+
+    All ratios use the deterministic cross-engine rounding (functions.money)
+    so results are oracle-comparable.
+    """
+    text = F.col(text_col)
+    w = _words(text)
+    n_tokens = F.size(w).cast("bigint")
+    n_chars = F.length(text).cast("bigint")
+    sum_token_len = F.length(F.regexp_replace(text, r"\s", "")).cast("bigint")
+    stop = F.size(F.filter(w, lambda t: t.isin(*LANG_LEXICONS["en"]))).cast("bigint")
+    punct = (F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        dround(sum_token_len / n_tokens, 4).alias("avg_token_len"),
+        dround(stop / n_tokens, 6).alias("stopword_ratio"),
+        dround(punct / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID with a deterministic tie-break
+    (en >= de >= es). A lexicon heuristic, not a model — the point is
+    the shape: scores stay JVM-side, scale-free."""
+    w = _words(F.col(text_col))
+
+    def count_in(lexicon: tuple[str, ...]) -> Column:
+        # single-arg lambda: a second parameter would be bound to the
+        # array index by F.filter, not the captured lexicon
+        return F.size(F.filter(w, lambda t: t.isin(*lexicon))).cast("bigint")
+
+    scores = {lang: count_in(lex) for lang, lex in LANG_LEXICONS.items()}
+    guess = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en")
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    return df.select(
+        F.col(id_col),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalization-invariant content fingerprint: md5 over the
+    lowercased alphanumeric skeleton. The exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -47,10 +47,10 @@ def sessionize(
     """
     order = [F.col(ts_col)] + ([F.col(tie_breaker)] if tie_breaker else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000  # microsecond precision, no truncation
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
-        prev_ts.isNull() | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_s),
+        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

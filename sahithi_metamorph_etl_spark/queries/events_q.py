@@ -1,1 +1,91 @@
-"""Filled in later this round."""
+"""Event-stream queries (batch form) over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.9); these are the
+capability extension: tumbling-window aggregation, gap-based
+sessionization, and JSON property extraction. Each has a batch
+implementation here (oracle-checked) and a Structured Streaming twin in
+``streaming.events`` (tested in tests/test_streaming.py) — the batch
+and streaming versions share semantics by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.money import dsum, o_dsum
+from ..operators.windows import sessionize
+from ..sources.readers import read_testdata
+from .catalog import register
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {o_dsum('value', 2)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_tumbling", oracle=_TUMBLING_ORACLE,
+          doc="Tumbling 1h window aggregate (batch twin of the streaming query)")
+def events_hourly_tumbling(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+_SESSION_ORACLE = """
+WITH lagd AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+flags AS (
+    SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+    FROM lagd
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flags
+)
+SELECT user_id, CAST(session_id AS bigint) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY 1, 2
+"""
+
+
+@register("events_sessionization", oracle=_SESSION_ORACLE,
+          doc="Gap-based (30 min) sessionization via lag + running sum (batch twin of session_window)")
+def events_sessionization(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, tie_breaker="event_id")
+    return s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS total_k,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_json_extract", oracle=_JSON_ORACLE,
+          doc="JSON property extraction (get_json_object) + aggregate")
+def events_json_extract(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("total_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,1 +1,179 @@
-"""Filled in later this round."""
+"""LLM training-data pipeline queries over documents/embeddings
+(BASELINE.json north-star extensions): text analysis, fingerprinting,
+exact + near-duplicate detection, similarity search, multimodal
+plumbing. SQL-expressible ops carry a DuckDB oracle; the sub-quadratic
+approximations (MinHash-LSH, SimHash, hyperplane-LSH) are rows-only
+here and are recall-tested against their exact twins in
+tests/test_llm.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.money import o_round
+from ..llm.dedup import exact_dedup_groups, jaccard_pairs, minhash_lsh_pairs, simhash64
+from ..llm.multimodal import decode_media_stats, to_media_column
+from ..llm.similarity import cosine_topk_bruteforce, hyperplane_lsh_topk
+from ..llm.textstats import content_fingerprint, language_guess, token_stats
+from ..sources.readers import read_testdata
+from .catalog import register
+
+# --- text analysis ----------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS bigint) AS sum_tok,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t IN ('the','of','and','is','to'))) AS bigint) AS stop,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS bigint) AS punct
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       {o_round('sum_tok * 1.0 / n_tokens', 4)} AS avg_token_len,
+       {o_round('stop * 1.0 / n_tokens', 6)} AS stopword_ratio,
+       {o_round('punct * 1.0 / n_chars', 6)} AS punct_ratio
+FROM base
+"""
+
+
+@register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE,
+          doc="Per-document token/char/stopword/punctuation quality stats")
+def doc_token_stats(spark, sf_dir):
+    return token_stats(read_testdata(spark, sf_dir, "documents"))
+
+
+_LANG_ORACLE = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('the','of','and','is','to'))) AS bigint) AS score_en,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('der','die','das','und','ist'))) AS bigint) AS score_de,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('el','la','de','y','es'))) AS bigint) AS score_es
+    FROM documents
+)
+SELECT doc_id, score_en, score_de, score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_es THEN 'de'
+            ELSE 'es' END AS lang_guess
+FROM s
+"""
+
+
+@register("doc_language_guess", oracle=_LANG_ORACLE,
+          doc="Stopword-vote language ID heuristic (deterministic tie-break)")
+def doc_language_guess(spark, sf_dir):
+    return language_guess(read_testdata(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint FROM documents",
+    doc="Normalization-invariant md5 content fingerprint",
+)
+def doc_fingerprint(spark, sf_dir):
+    return content_fingerprint(read_testdata(spark, sf_dir, "documents"))
+
+
+# --- deduplication ----------------------------------------------------------
+
+
+@register(
+    "doc_exact_dedup",
+    oracle="""
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+    doc="Exact dedup groups via hash-aggregate on the content fingerprint",
+)
+def doc_exact_dedup(spark, sf_dir):
+    return exact_dedup_groups(read_testdata(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+shl AS (SELECT doc_id, list_transform(range(greatest(len(w)-2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) sl FROM words),
+sh AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common * 1.0 / (x.n + y.n - n_common) AS jaccard
+FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.8
+"""
+
+
+@register("doc_jaccard_pairs", oracle=_JACCARD_ORACLE,
+          doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8)")
+def doc_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("doc_minhash_lsh_pairs", oracle=None,
+          doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic scale path")
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("doc_simhash", oracle=None,
+          doc="64-bit SimHash signatures (Charikar) per document")
+def doc_simhash(spark, sf_dir):
+    return simhash64(read_testdata(spark, sf_dir, "documents"))
+
+
+# --- similarity search ------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 100),
+scored AS (
+    SELECT q.vec_id, a.vec_id AS neighbor_id,
+           {o_round('list_dot_product(q.e, a.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(a.e, a.e)))', 8)} AS cos_sim
+    FROM q JOIN v a ON a.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT vec_id, CAST(rnk AS int) AS rank, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("emb_cosine_topk", oracle=_KNN_ORACLE,
+          doc="Exact brute-force cosine top-5 neighbors for query vectors (vec_id < 100)")
+def emb_cosine_topk(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+
+
+@register("emb_lsh_ann_topk", oracle=None,
+          doc="Hyperplane-LSH approximate top-5 (bucketed scoring) — ANN scale path")
+def emb_lsh_ann_topk(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(emb, k=5, n_planes=8, query_filter=F.col("vec_id") < 100)
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 16 AS bigint) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 16 AS bigint) AS height
+FROM documents
+"""
+
+
+@register("multimodal_decode_stats", oracle=_MEDIA_ORACLE,
+          doc="Binary media column -> Arrow-batched mapInPandas decode stage (stub codec)")
+def multimodal_decode_stats(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
+    return decode_media_stats(media)

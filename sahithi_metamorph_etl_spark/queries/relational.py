@@ -185,13 +185,19 @@ def parts_sales_left_join(spark, sf_dir):
 
 @register(
     "customers_without_orders",
+    # predicate inside the anti side keeps the result non-empty at every
+    # sf (all customers have *some* order in the synthetic data)
     oracle="SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)",
     doc="left_anti join (reference Q4/J11 idiomatic form)",
 )
 def customers_without_orders(spark, sf_dir):
     c = read_testdata(spark, sf_dir, "customer")
-    o = read_testdata(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
 
 

@@ -1,0 +1,111 @@
+"""Dataset reconciliation — the reference's vendored "Raptor" engine
+(`Raptor/Raptor.py:491-684`, SURVEY.md §2.11 Q2-Q5) as a first-class
+library module.
+
+Raptor's approach: cast every column to string, ``concat_ws`` a row
+fingerprint, join on the PK, diff fingerprints, then split/zip/explode
+the fingerprint strings back apart to find mismatching columns
+(`Raptor.py:548-606`) — which breaks if any value contains the
+separator, loses null-vs-empty distinctions, and materializes two wide
+string columns per row.
+
+This engine diffs structurally instead:
+
+- per-column null-safe comparison (``eqNullSafe``) — no separators, no
+  lossy stringification;
+- an array-of-structs + ``filter`` + ``explode`` unpivot (the idiomatic
+  form of Raptor's Q3, same higher-order functions, but typed);
+- extra rows via native ``left_anti`` in both directions (Raptor used
+  outer joins + null filters, `Raptor.py:620-645`);
+- everything stays a lazy DataFrame — callers choose when to act
+  (Raptor ran ≥10 eager counts per request).
+
+Scale: one shuffle per side for the PK join (or zero with bucketed
+inputs); the cells explode is proportional to mismatches, not to data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import dround
+
+
+@dataclass
+class DiffResult:
+    """All members are lazy DataFrames; nothing is computed until acted on."""
+
+    summary: DataFrame            # 1 row: totals, common, extra, mismatched_rows
+    column_mismatches: DataFrame  # per compared column: n_mismatch, pct of common
+    mismatched_cells: DataFrame   # keys + column_name + source/target values
+    source_only: DataFrame        # rows with keys absent from target
+    target_only: DataFrame        # rows with keys absent from source
+
+
+def _one(df: DataFrame, col: str) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias(col))
+
+
+def diff(
+    source: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DiffResult:
+    if compare_cols is None:
+        compare_cols = [c for c in source.columns if c not in keys and c in target.columns]
+
+    s = source.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in compare_cols])
+    t = target.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in compare_cols])
+    common = s.join(t, keys, "inner")
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__s_{c}").cast("string").alias("source_value"),
+                F.col(f"__t_{c}").cast("string").alias("target_value"),
+                (~F.col(f"__s_{c}").eqNullSafe(F.col(f"__t_{c}"))).alias("is_mismatch"),
+            )
+            for c in compare_cols
+        ]
+    )
+    cells = (
+        common.select(*keys, F.explode(F.filter(pairs, lambda x: x.is_mismatch)).alias("m"))
+        .select(*keys, "m.column_name", "m.source_value", "m.target_value")
+    )
+
+    counts = cells.groupBy("column_name").agg(F.count(F.lit(1)).alias("n_mismatch"))
+    all_cols = (
+        common.sparkSession.createDataFrame([(c,) for c in compare_cols], "column_name string")
+        .join(counts, "column_name", "left")
+        .select("column_name", F.coalesce("n_mismatch", F.lit(0)).cast("bigint").alias("n_mismatch"))
+    )
+    column_mismatches = all_cols.crossJoin(_one(common, "__common")).select(
+        "column_name",
+        "n_mismatch",
+        dround(F.col("n_mismatch") * 100.0 / F.col("__common"), 4).alias("pct_of_common"),
+    )
+
+    source_only = source.join(target.select(*keys), keys, "left_anti")
+    target_only = target.join(source.select(*keys), keys, "left_anti")
+
+    summary = (
+        _one(source, "source_total")
+        .crossJoin(_one(target, "target_total"))
+        .crossJoin(_one(common, "common"))
+        .crossJoin(_one(source_only, "source_only"))
+        .crossJoin(_one(target_only, "target_only"))
+        .crossJoin(_one(cells.select(*keys).distinct(), "mismatched_rows"))
+    )
+
+    return DiffResult(
+        summary=summary,
+        column_mismatches=column_mismatches,
+        mismatched_cells=cells,
+        source_only=source_only,
+        target_only=target_only,
+    )

@@ -57,9 +57,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md)."""
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read via the legacy nanos-as-long escape hatch
+    and converted to a microsecond timestamp (integer division — the
+    same truncation DuckDB applies when narrowing ns to us).
+    """
     if table not in TESTDATA:
         raise KeyError(f"unknown testdata table: {table}")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -1,0 +1,85 @@
+"""Structured Streaming layer over the events stream.
+
+The reference is batch-only (SURVEY.md §2.9 — Airflow cron plus
+date-partitioned paths emulate micro-batching); this module is the
+engine's streaming extension. Each streaming query is the semantic twin
+of a batch catalog query (queries/events_q.py), checked against it in
+tests/test_streaming.py — batch/stream parity is the correctness
+contract, the same way the batch catalog is checked against DuckDB.
+
+Watermarking: 1 hour by default — events later than that get dropped
+from the aggregation, which is the late-data policy a daily-ingest
+warehouse inherits implicitly from its scheduler; here it is explicit
+and tunable. At production scale the source becomes Kafka with the same
+transformations; file-source streaming is used for tests and backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# streaming-source schema for events.parquet: ts arrives as nanos long
+# (see sources.readers.read_testdata) and is normalized to timestamp
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of the events table (one file = one batch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries.events_q.events_hourly_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-sessionization via native session_window — the
+    stateful twin of operators.windows.sessionize (lag+cumsum batch
+    form). Same session definition: events chain while consecutive gaps
+    are <= the gap threshold."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drive a (bounded file-source) streaming query to completion into
+    an in-memory table; returns the result as a batch DataFrame.
+    Complete output mode: fine for tests, not for unbounded state."""
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)

@@ -1,0 +1,189 @@
+"""Unit tests for the operator library: drift handling, validators,
+joins, tiering, reconciliation, the layered warehouse, and the
+approximate-dedup operators against their exact twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sahithi_metamorph_etl_spark.core.contracts import ENTITY_PRODUCTS
+from sahithi_metamorph_etl_spark.llm.dedup import jaccard_pairs, minhash_lsh_pairs
+from sahithi_metamorph_etl_spark.llm.similarity import cosine_topk_bruteforce, hyperplane_lsh_topk
+from sahithi_metamorph_etl_spark.operators.projection import (
+    conform_to_contract,
+    normalize_columns,
+    rename_positional,
+)
+from sahithi_metamorph_etl_spark.operators.joins import join_on_clean_keys
+from sahithi_metamorph_etl_spark.operators.quantiles import tier_by_cutoffs
+from sahithi_metamorph_etl_spark.reconcile import diff
+from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+from sahithi_metamorph_etl_spark.validators import (
+    DuplicateKeyError,
+    EmptyInputError,
+    SchemaMismatchError,
+    validate_non_empty,
+    validate_schema,
+    validate_unique,
+)
+
+
+# --- projection / drift -----------------------------------------------------
+
+
+def test_normalize_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["  product id ", "Cost Price"])
+    assert normalize_columns(df).columns == ["PRODUCT_ID", "COST_PRICE"]
+
+
+def test_rename_positional_drops_phantom_trailing_column(spark):
+    # the reference incident: trailing-comma CSV header => phantom column
+    df = spark.createDataFrame([("C1", "Ann", "x", None)], "_c0 string, _c1 string, _c2 string, _c3 string")
+    out = rename_positional(df, ["CUSTOMER_ID", "NAME", "CITY"])
+    assert out.columns == ["CUSTOMER_ID", "NAME", "CITY"]
+    assert out.first()["CUSTOMER_ID"] == "C1"
+
+
+def test_rename_positional_rejects_missing_columns(spark):
+    df = spark.createDataFrame([("a",)], ["_c0"])
+    with pytest.raises(ValueError):
+        rename_positional(df, ["A", "B"])
+
+
+def test_conform_to_contract_name_match_and_null_fill(spark):
+    # 7-column drifted products file (single `price`) vs 8-column contract
+    drifted = spark.createDataFrame(
+        [("P1", "Widget", "Toys", 9.99, 100, 10, "S1")],
+        ["product id", "PRODUCT_NAME", "category", "price", "STOCK_QUANTITY", "REORDER_LEVEL", "SUPPLIER_ID"],
+    )
+    out = conform_to_contract(drifted, ENTITY_PRODUCTS, positional_fallback=False, missing_as_null=True)
+    row = out.first()
+    assert out.columns == ENTITY_PRODUCTS.fieldNames()
+    assert row["PRODUCT_ID"] == "P1" and row["SELLING_PRICE"] is None and row["STOCK_QUANTITY"] == 100
+    assert out.schema["STOCK_QUANTITY"].dataType == T.LongType()
+
+
+def test_conform_to_contract_positional_fallback(spark):
+    df = spark.createDataFrame([("P1", "n", "c", 1.0, 2.0, 3, 4, "S1")],
+                               [f"_c{i}" for i in range(8)])
+    out = conform_to_contract(df, ENTITY_PRODUCTS)
+    assert out.first()["SELLING_PRICE"] == 1.0
+
+
+# --- validators -------------------------------------------------------------
+
+
+def test_validate_unique_passes_and_raises(spark):
+    ok = spark.createDataFrame([(1,), (2,)], ["k"])
+    validate_unique(ok, ["k"])
+    dup = spark.createDataFrame([(1,), (1,)], ["k"])
+    with pytest.raises(DuplicateKeyError):
+        validate_unique(dup, ["k"])
+
+
+def test_validate_non_empty(spark):
+    with pytest.raises(EmptyInputError):
+        validate_non_empty(spark.createDataFrame([], "a int"))
+
+
+def test_validate_schema_type_mismatch(spark):
+    df = spark.createDataFrame([(1,)], "PRODUCT_ID int")
+    with pytest.raises(SchemaMismatchError):
+        validate_schema(df, T.StructType([T.StructField("PRODUCT_ID", T.StringType())]))
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def test_join_trim_keys(spark):
+    left = spark.createDataFrame([(" S1 ", 10)], ["k", "v"])
+    right = spark.createDataFrame([("S1", "sup")], ["k", "name"])
+    out = join_on_clean_keys(left, right, "k", trim_keys=True, broadcast_right=True)
+    assert out.count() == 1
+    assert join_on_clean_keys(left, right, "k").count() == 0  # untrimmed misses
+
+
+# --- tiering ----------------------------------------------------------------
+
+
+def test_tier_boundaries(spark):
+    df = spark.createDataFrame([(49.0,), (50.0,), (80.0,), (80.01,)], ["amt"])
+    out = df.select("amt", tier_by_cutoffs(F.col("amt"), 50.0, 80.0).alias("tier")).collect()
+    assert [r["tier"] for r in out] == ["BRONZE", "SILVER", "SILVER", "GOLD"]
+
+
+# --- reconciliation ---------------------------------------------------------
+
+
+def test_diff_detects_cells_and_extras(spark):
+    src = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"])
+    tgt = spark.createDataFrame([(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], ["k", "s", "v"])
+    d = diff(src, tgt, keys=["k"])
+    summary = d.summary.first().asDict()
+    assert summary == {
+        "source_total": 3, "target_total": 3, "common": 2,
+        "source_only": 1, "target_only": 1, "mismatched_rows": 1,
+    }
+    cells = {(r["k"], r["column_name"]): (r["source_value"], r["target_value"])
+             for r in d.mismatched_cells.collect()}
+    assert cells == {(2, "s"): ("b", "B")}
+    col = {r["column_name"]: r["n_mismatch"] for r in d.column_mismatches.collect()}
+    assert col == {"s": 1, "v": 0}
+
+
+def test_diff_null_safety(spark):
+    schema = "k int, x string"
+    src = spark.createDataFrame([(1, None), (2, "x")], schema)
+    tgt = spark.createDataFrame([(1, None), (2, None)], schema)
+    d = diff(src, tgt, keys=["k"])
+    cells = d.mismatched_cells.collect()
+    assert len(cells) == 1 and cells[0]["k"] == 2  # null==null is a match
+
+
+# --- layered warehouse ------------------------------------------------------
+
+
+def test_warehouse_layers_and_day_replace(spark, tmp_path):
+    wh = LayeredWarehouse(str(tmp_path))
+    day = dt.date(2026, 1, 1)
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    wh.write_raw(df, "t")
+    wh.write_legacy(df, "t", day)
+    wh.write_legacy(df, "t", day)  # re-run same day: replaces, not duplicates
+    assert wh.read_legacy(spark, "t", day).count() == 1
+    day2 = dt.date(2026, 1, 2)
+    wh.write_legacy(spark.createDataFrame([(2, "b")], ["id", "v"]), "t", day2)
+    assert wh.read_legacy(spark, "t").count() == 2
+    assert wh.read_legacy(spark, "t", day2).first()["id"] == 2
+    assert wh.read_raw(spark, "t").count() == 1
+
+
+# --- approximate dedup vs exact twins ---------------------------------------
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    approx = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert approx == exact  # verified candidates: no false positives; planted dups all recalled
+
+
+def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk_bruteforce(emb, k=1, query_filter=F.col("vec_id") < 50)
+    approx = hyperplane_lsh_topk(emb, k=1, n_planes=4, query_filter=F.col("vec_id") < 50)
+    e = {r["vec_id"]: (r["neighbor_id"], r["cos_sim"]) for r in exact.collect()}
+    a = {r["vec_id"]: (r["neighbor_id"], r["cos_sim"]) for r in approx.collect()}
+    assert a, "LSH produced no neighbors"
+    # ANN may miss (bucket boundary) but can never beat brute force
+    for vid, (nid, cos) in a.items():
+        assert cos <= e[vid][1] + 1e-9
+    # with 4 random planes over near-random embeddings the true top-1
+    # only sometimes shares a bucket — require agreement > 0, not recall
+    agree = sum(1 for vid in a if a[vid][0] == e[vid][0])
+    assert agree >= 1

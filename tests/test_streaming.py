@@ -1,0 +1,75 @@
+"""Batch/stream parity: the streaming queries must produce the same
+results as their batch twins on a bounded input — that is the streaming
+layer's correctness contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import os
+
+import pytest
+
+from sahithi_metamorph_etl_spark.queries.catalog import get_query
+from sahithi_metamorph_etl_spark.streaming.events import (
+    events_stream,
+    hourly_tumbling_stream,
+    run_stream_to_memory,
+    sessionized_stream,
+)
+
+
+@pytest.fixture()
+def events_dir(sf_dir, tmp_path):
+    # the file-stream source watches a DIRECTORY; expose the single
+    # events.parquet through a symlinked dir
+    d = tmp_path / "events_in"
+    d.mkdir()
+    os.symlink(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    stream_res = run_stream_to_memory(
+        hourly_tumbling_stream(events_stream(spark, events_dir)),
+        "tumbling_out",
+    ).toPandas()
+    batch = get_query("events_hourly_tumbling").fn(spark, sf_dir).toPandas()
+
+    key = ["window_start", "event_type"]
+    s = stream_res.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n_events"].values == b["n_events"].values).all()
+    # value sums: streaming uses plain double round; compare to 1e-6
+    assert (abs(s["total_value"].values - b["total_value"].values) < 1e-6).all()
+
+
+def test_session_stream_matches_batch_session_count(spark, sf_dir, events_dir):
+    stream_res = run_stream_to_memory(
+        sessionized_stream(events_stream(spark, events_dir)),
+        "sessions_out",
+    )
+    batch = get_query("events_sessionization").fn(spark, sf_dir)
+    # same session definition → same number of sessions per user and
+    # same total event count
+    s_per_user = stream_res.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev")
+    )
+    b_per_user = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev")
+    )
+    diff = s_per_user.exceptAll(b_per_user)
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
+def test_watermark_accepts_bounded_history(spark, sf_dir, events_dir):
+    # all rows arrive in one file: nothing is later than the watermark,
+    # so no rows may be dropped
+    out = run_stream_to_memory(
+        hourly_tumbling_stream(events_stream(spark, events_dir)),
+        "wm_out",
+    )
+    n_stream = out.agg(F.sum("n_events")).first()[0]
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_stream == n_batch
