@@ -44,8 +44,16 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The token array is materialized as its own projection FIRST: inside
+    the shingle lambda it is then an attribute reference, not the
+    ``split`` expression — otherwise every ``element_at`` re-splits the
+    whole document (O(tokens x shingles) re-evaluation; Catalyst's
+    CollapseProject keeps the boundary because ``split`` is non-cheap
+    and referenced many times)."""
+    words = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("w"))
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -53,7 +61,7 @@ def word_shingles(
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    return words.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -70,6 +78,11 @@ def jaccard_pairs(
     stop-shingles first or use minhash_lsh_pairs.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    return _jaccard_from_shingles(sh, id_col, threshold)
+
+
+def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Pairwise exact Jaccard from a distinct (id, shingle) index."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -115,37 +128,38 @@ def minhash_lsh_pairs(
     ``verify``, candidates are re-scored with exact Jaccard and filtered
     — output schema matches :func:`jaccard_pairs`.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_perm // bands
     sh = word_shingles(df, text_col, id_col, n)
+    if verify:
+        # the shingle index feeds BOTH the signature path and candidate
+        # verification — persist so the second pass doesn't re-shingle
+        # the corpus (disk-backed: index can exceed executor memory)
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # base shingle hash (JVM xxhash64), folded into [0, p)
     hashed = sh.select(F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("h"))
 
-    spark = df.sparkSession
-    perms = spark.createDataFrame(_perm_params(num_perm), "perm int, a long, b long")
-    # (doc, perm) -> min universal hash; shuffle keyed by doc — the
-    # num_perm fan-out happens map-side in the join, partial-min combines
-    # before the shuffle
-    minh = (
-        hashed.join(F.broadcast(perms))
-        .select(
-            F.col(id_col),
-            F.col("perm"),
-            F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(_MERSENNE31)).alias("mh"),
-        )
-        .groupBy(id_col, "perm")
-        .agg(F.min("mh").alias("mh"))
+    # all num_perm universal hashes as expression columns on each
+    # (doc, shingle) row, min-aggregated in ONE hash aggregate: a single
+    # shuffle of |docs| x num_perm-wide rows, partial mins map-side,
+    # whole-stage codegen throughout — no num_perm-x row fan-out
+    minh = hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE31))).alias(f"mh{i}")
+            for i, a, b in _perm_params(num_perm)
+        ]
     )
-    band_sigs = (
-        minh.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))), lambda s: s["mh"]
-                ),
-            ).alias("sig")
-        )
+    # signature table is tiny (|docs| x num_perm longs) but sits under
+    # BOTH sides of the band self-join — persist so the aggregation
+    # pipeline above runs once, not once per join side
+    minh = minh.persist(StorageLevel.MEMORY_AND_DISK)
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)])
+        for j in range(bands)
+    ]
+    band_sigs = minh.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "sig")
     )
     a = band_sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = band_sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -157,7 +171,16 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # exact-verify the candidates ONLY: restrict the shingle index to
+    # docs appearing in some candidate pair (the sub-quadratic point —
+    # verifying against the full corpus would re-do the O(N^2) work)
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_docs, id_col, "left_semi")
+    exact = _jaccard_from_shingles(sh_cand, id_col, threshold=0.0)
     return candidates.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
 
 

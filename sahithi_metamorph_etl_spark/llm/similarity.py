@@ -47,24 +47,134 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: (vec_id, rank, neighbor_id, cos_sim).
 
-    ``cos_sim`` is rounded (default 8dp) before ranking with a
+    Scale design: the (bounded) query set is collected once and shipped
+    to executors as a unit-normalized float64 matrix inside the scoring
+    closure; the corpus NEVER leaves its partitions — each partition
+    streams Arrow batches through one BLAS matmul (``Q @ C.T``) and
+    reduces to a per-partition top-k heap, so the shuffle carries only
+    ``partitions x |queries| x k`` candidate rows into the final global
+    window. Brute force stays exact at any corpus size; only the query
+    set must fit on the driver (it must be small for O(Q x N) to make
+    sense at all).
+
+    ``cos_sim`` is rounded (default 8dp) BEFORE ranking with a
     neighbor-id tie-break, so ordering is reproducible across engines.
     """
-    q = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("qv"))
+    import numpy as np
+
+    q = embeddings.select(F.col(id_col), F.col(vec_col))
     if query_filter is not None:
         q = q.filter(query_filter)
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("vec_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = pairs.select("vec_id", "neighbor_id", dround(cos, round_scale).alias("cos_sim"))
+    qrows = q.collect()  # bounded query set, scalars only at scale
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    # self-contained closure (pickles by value; no package refs)
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(qm @ cm.T, round_scale)
+            nids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                heap = heaps[int(qid)]
+                s = sims[qi]
+                # vectorized prefilter: only items that can beat (or tie)
+                # the worst kept candidate enter the Python loop
+                idxs = np.nonzero(s >= heap[0][0])[0] if len(heap) >= k else range(len(nids))
+                for ci in idxs:
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    # min-heap keyed (cos asc, neighbor desc): root is the
+                    # WORST kept candidate under (cos desc, neighbor asc)
+                    item = (float(s[ci]), -nid)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, cos)
+            for qid, heap in heaps.items()
+            for cos, neg_nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+    )
     return top_k_per_group(
-        scored,
+        candidates,
         partition_by=["vec_id"],
         order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k=k,
         rank_col="rank",
         keep_rank=True,
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim)
+    for every a < b with cosine >= threshold — the exact O(N^2)
+    correctness baseline for embedding dedup. At corpus scale, run the
+    same exact scoring only within :func:`hyperplane_lsh_topk`-style
+    buckets instead of the full cross join.
+
+    Scale design: one side of the N x N comparison is shipped to
+    executors as a unit-normalized float64 matrix; the other side
+    streams through its partitions, each Arrow batch scored by one BLAS
+    matmul and mask-filtered to >= threshold before anything is
+    materialized. Exact all-pairs is inherently O(N^2) — this keeps the
+    constant BLAS-sized; at open-corpus scale run the same scoring
+    within LSH buckets (:func:`hyperplane_lsh_topk`) instead.
+    """
+    import numpy as np
+
+    rows = embeddings.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    corpus = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("cv"))
+
+    def score_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(m @ cm.T, round_scale)
+            bids = pdf["vec_b"].to_numpy()
+            # a < b keeps each unordered pair exactly once (the a-side
+            # runs over the full matrix, the b-side over this batch)
+            ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < bids[None, :]))
+            yield pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": bids[bi], "cos_sim": sims[ai, bi]}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+    return corpus.mapInPandas(score_partition, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
 def _planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:

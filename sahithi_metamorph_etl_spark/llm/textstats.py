@@ -74,6 +74,39 @@ def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.01,
+    max_punct_ratio: float = 0.3,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """Composite document-quality score for training-data filtering
+    (Gopher/C4-style heuristic rules): each rule votes 0/1, the score is
+    the passed fraction, ``keep`` requires all rules. Thresholds are
+    rule parameters, not learned. Entirely JVM-side expressions over
+    :func:`token_stats` — one pass, no shuffle."""
+    stats = token_stats(df, text_col, id_col)
+    r_len = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    r_stop = F.col("stopword_ratio") >= min_stopword_ratio
+    r_punct = F.col("punct_ratio") <= max_punct_ratio
+    r_tok = (F.col("avg_token_len") >= min_avg_token_len) & (
+        F.col("avg_token_len") <= max_avg_token_len
+    )
+    rules = [r_len, r_stop, r_punct, r_tok]
+    passed = sum((r.cast("int") for r in rules), F.lit(0))
+    return stats.select(
+        id_col,
+        "n_tokens",
+        dround(passed / len(rules), 2).alias("quality_score"),
+        (passed == len(rules)).alias("keep"),
+    )
+
+
 def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalization-invariant content fingerprint: md5 over the
     lowercased alphanumeric skeleton. The exact-dedup key."""

@@ -4,7 +4,7 @@ exact + near-duplicate detection, similarity search, multimodal
 plumbing. SQL-expressible ops carry a DuckDB oracle; the sub-quadratic
 approximations (MinHash-LSH, SimHash, hyperplane-LSH) are rows-only
 here and are recall-tested against their exact twins in
-tests/test_llm.py."""
+tests/test_operators.py."""
 
 from __future__ import annotations
 
@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 from ..functions.money import o_round
 from ..llm.dedup import exact_dedup_groups, jaccard_pairs, minhash_lsh_pairs, simhash64
 from ..llm.multimodal import decode_media_stats, to_media_column
-from ..llm.similarity import cosine_topk_bruteforce, hyperplane_lsh_topk
-from ..llm.textstats import content_fingerprint, language_guess, token_stats
+from ..llm.similarity import cosine_near_dup_pairs, cosine_topk_bruteforce, hyperplane_lsh_topk
+from ..llm.textstats import content_fingerprint, language_guess, quality_score, token_stats
 from ..sources.readers import read_testdata
 from .catalog import register
 
@@ -77,6 +77,42 @@ def doc_language_guess(spark, sf_dir):
 )
 def doc_fingerprint(spark, sf_dir):
     return content_fingerprint(read_testdata(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS bigint) AS sum_tok,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t IN ('the','of','and','is','to'))) AS bigint) AS stop,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS bigint) AS punct
+    FROM documents
+), stats AS (
+    SELECT doc_id, n_tokens,
+           {o_round('sum_tok * 1.0 / n_tokens', 4)} AS avg_token_len,
+           {o_round('stop * 1.0 / n_tokens', 6)} AS stopword_ratio,
+           {o_round('punct * 1.0 / n_chars', 6)} AS punct_ratio
+    FROM base
+), rules AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens >= 5 AND n_tokens <= 100000 AS int)
+           + CAST(stopword_ratio >= 0.01 AS int)
+           + CAST(punct_ratio <= 0.3 AS int)
+           + CAST(avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS int) AS passed
+    FROM stats
+)
+SELECT doc_id, n_tokens, {o_round('passed / 4.0', 2)} AS quality_score,
+       passed = 4 AS keep
+FROM rules
+"""
+
+
+@register("doc_quality_score", oracle=_QUALITY_ORACLE,
+          doc="Composite Gopher/C4-style quality score + keep flag for corpus filtering")
+def doc_quality_score(spark, sf_dir):
+    return quality_score(read_testdata(spark, sf_dir, "documents"))
 
 
 # --- deduplication ----------------------------------------------------------
@@ -158,6 +194,27 @@ def emb_cosine_topk(spark, sf_dir):
 def emb_lsh_ann_topk(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return hyperplane_lsh_topk(emb, k=5, n_planes=8, query_filter=F.col("vec_id") < 100)
+
+
+_NEAR_DUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) n
+           FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {o_round('list_dot_product(a.e, b.e) / (a.n * b.n)', 8)} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+"""
+
+
+@register("emb_cosine_near_dup", oracle=_NEAR_DUP_ORACLE,
+          doc="Exact embedding-cosine near-dup pairs >= 0.4 (synthetic vectors are "
+              "near-orthogonal; production threshold would be ~0.95)")
+def emb_cosine_near_dup(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4)
 
 
 # --- multimodal plumbing ----------------------------------------------------
