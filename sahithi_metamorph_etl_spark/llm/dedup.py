@@ -128,39 +128,62 @@ def minhash_lsh_pairs(
     ``verify``, candidates are re-scored with exact Jaccard and filtered
     — output schema matches :func:`jaccard_pairs`.
     """
+    import numpy as np
+
     from pyspark import StorageLevel
 
     rows_per_band = num_perm // bands
-    sh = word_shingles(df, text_col, id_col, n)
-    if verify:
-        # the shingle index feeds BOTH the signature path and candidate
-        # verification — persist so the second pass doesn't re-shingle
-        # the corpus (disk-backed: index can exceed executor memory)
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # base shingle hash (JVM xxhash64), folded into [0, p)
-    hashed = sh.select(F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("h"))
+    perm_a = np.array([a for _, a, _ in _perm_params(num_perm)], dtype=np.uint64)
+    perm_b = np.array([b for _, _, b in _perm_params(num_perm)], dtype=np.uint64)
+    mersenne = np.uint64(_MERSENNE31)
 
-    # all num_perm universal hashes as expression columns on each
-    # (doc, shingle) row, min-aggregated in ONE hash aggregate: a single
-    # shuffle of |docs| x num_perm-wide rows, partial mins map-side,
-    # whole-stage codegen throughout — no num_perm-x row fan-out
-    minh = hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE31))).alias(f"mh{i}")
-            for i, a, b in _perm_params(num_perm)
-        ]
+    # signature stage is ZERO-shuffle: each document's shingles, hashes
+    # and all num_perm mins are computed inside one Arrow batch pass
+    # (vectorized a*h+b mod p matrix per doc; a,h < 2^31 so the uint64
+    # product can't overflow); only |docs| x bands tiny signature rows
+    # ever leave the partition. Self-contained closure — pickles by
+    # value, no package refs on workers.
+    def band_signatures(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_band, out_sig = [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                toks = text.split()
+                if len(toks) < n:
+                    continue
+                shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                        for s in shingles
+                    ),
+                    dtype=np.uint64,
+                    count=len(shingles),
+                )
+                hs %= mersenne
+                mins = ((hs[:, None] * perm_a[None, :] + perm_b[None, :]) % mersenne).min(axis=0)
+                for j in range(bands):
+                    out_id.append(doc_id)
+                    out_band.append(j)
+                    out_sig.append(
+                        ",".join(str(v) for v in mins[j * rows_per_band : (j + 1) * rows_per_band])
+                    )
+            yield pd.DataFrame({"__band_id": out_id, "band": out_band, "sig": out_sig}).astype(
+                {"__band_id": "int64", "band": "int32", "sig": "string"}
+            )
+
+    band_sigs = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(band_signatures, schema="__band_id bigint, band int, sig string")
+        .withColumnRenamed("__band_id", id_col)
     )
-    # signature table is tiny (|docs| x num_perm longs) but sits under
-    # BOTH sides of the band self-join — persist so the aggregation
-    # pipeline above runs once, not once per join side
-    minh = minh.persist(StorageLevel.MEMORY_AND_DISK)
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)])
-        for j in range(bands)
-    ]
-    band_sigs = minh.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "sig")
-    )
+    # consumed by both sides of the band self-join — persist the tiny
+    # signature table so the scoring pass runs once
+    band_sigs = band_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = band_sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
     candidates = (
@@ -171,15 +194,15 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
-    # exact-verify the candidates ONLY: restrict the shingle index to
-    # docs appearing in some candidate pair (the sub-quadratic point —
-    # verifying against the full corpus would re-do the O(N^2) work)
+    # exact-verify the candidates ONLY: shingle just the docs appearing
+    # in some candidate pair (the sub-quadratic point — verifying
+    # against the full corpus would re-do the O(N^2) work)
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = sh.join(cand_docs, id_col, "left_semi")
+    sh_cand = word_shingles(df.join(cand_docs, id_col, "left_semi"), text_col, id_col, n)
     exact = _jaccard_from_shingles(sh_cand, id_col, threshold=0.0)
     return candidates.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
 

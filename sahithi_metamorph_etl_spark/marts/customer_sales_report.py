@@ -21,8 +21,9 @@ Deliberate deviations (SURVEY.md §7):
 Scale notes: products and customers broadcast; the per-customer
 aggregate is a second shuffle of the fact. The tier join-back is a
 broadcast of the (small) per-customer tier table onto the detail rows —
-the reference's self-join J8 done cheaply. The cutoffs themselves are
-two scalars driver-side, mirroring the reference's structure.
+the reference's self-join J8 done cheaply. With exact_tiers the cutoffs
+are a 1-row in-plan aggregate broadcast-joined back (single job); the
+approx path keeps the reference's driver-side approxQuantile action.
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.money import dround, dsum
-from ..operators.quantiles import approx_quantiles, exact_quantiles, tier_by_cutoffs
+from ..operators.quantiles import approx_quantiles, inplan_quantiles, tier_by_cutoffs
 
 
 def build_customer_sales_report(
@@ -74,6 +75,8 @@ def build_customer_sales_report(
         )
     )
 
+    from pyspark import StorageLevel
+
     metrics = (
         joined.withColumn("DAY_DT", run_date_lit)
         .withColumn("SALE_DATE", F.coalesce(F.col("SALE_DATE"), F.date_sub(run_date_lit, 1)))
@@ -85,19 +88,37 @@ def build_customer_sales_report(
             dround(F.col("QUANTITY") * F.col("SELLING_PRICE") * (1 - F.col("DISCOUNT") / 100), 2),
         )
     )
+    # the staged fact feeds three consumers (cutoff aggregate, tier
+    # aggregate, detail join-back) — persist so the scan+join pipeline
+    # runs once instead of once per consumer (disk-backed at scale)
+    metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
 
     per_customer = metrics.groupBy("CUSTOMER_ID").agg(
         dsum(F.col("SALE_AMOUNT"), 2).alias("AGG_SALES_AMOUNT")
     )
 
     if exact_tiers:
-        silver, gold = exact_quantiles(per_customer, "AGG_SALES_AMOUNT", [0.5, 0.8])
+        # 1-row cutoff aggregate broadcast back onto per_customer: the
+        # whole mart stays ONE job — no driver action re-running the
+        # fact join pipeline just to fetch two scalars
+        cutoffs = inplan_quantiles(
+            per_customer, "AGG_SALES_AMOUNT", [0.5, 0.8], ["_SILVER_CUT", "_GOLD_CUT"]
+        )
+        tiers = (
+            per_customer.crossJoin(F.broadcast(cutoffs))
+            .withColumn(
+                "LOYALTY_TIER",
+                tier_by_cutoffs(
+                    F.col("AGG_SALES_AMOUNT"), F.col("_SILVER_CUT"), F.col("_GOLD_CUT")
+                ),
+            )
+            .select("CUSTOMER_ID", "LOYALTY_TIER")
+        )
     else:
         silver, gold = approx_quantiles(per_customer, "AGG_SALES_AMOUNT", [0.5, 0.8], rel_err=0.01)
-
-    tiers = per_customer.withColumn(
-        "LOYALTY_TIER", tier_by_cutoffs(F.col("AGG_SALES_AMOUNT"), silver, gold)
-    ).select("CUSTOMER_ID", "LOYALTY_TIER")
+        tiers = per_customer.withColumn(
+            "LOYALTY_TIER", tier_by_cutoffs(F.col("AGG_SALES_AMOUNT"), silver, gold)
+        ).select("CUSTOMER_ID", "LOYALTY_TIER")
 
     detail = metrics.join(F.broadcast(tiers), on="CUSTOMER_ID", how="left")
 

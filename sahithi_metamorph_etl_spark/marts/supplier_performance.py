@@ -88,6 +88,12 @@ def build_supplier_performance(
         dec_sum(F.col("REVENUE")).alias("agg_product_revenue"),
         F.sum("QUANTITY").alias("agg_stock_sold"),
     )
+    # consumed by BOTH the supplier re-agg and the top-product window —
+    # persist the (small, post-agg) table so the fact scan+join+agg
+    # pipeline above runs once, not once per branch
+    from pyspark import StorageLevel
+
+    product_level = product_level.persist(StorageLevel.MEMORY_AND_DISK)
 
     supplier_level = product_level.groupBy("SUPPLIER_ID").agg(
         F.round(F.sum("agg_product_revenue"), 2).cast("double").alias("agg_total_revenue"),

@@ -30,14 +30,29 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]:
     return list(row["q"])
 
 
+def inplan_quantiles(df: DataFrame, col: str, probs: list[float], names: list[str]) -> DataFrame:
+    """Exact percentiles as a 1-row DataFrame — broadcast it onto the
+    plan instead of collecting scalars: the whole pipeline stays ONE
+    job (no extra action re-running the upstream, unlike the
+    reference's approxQuantile at `m_customer_sales_report_task.py:169-174`)."""
+    return df.agg(
+        *[
+            F.expr(f"percentile({col}, {p})").alias(name)
+            for p, name in zip(probs, names)
+        ]
+    )
+
+
 def tier_by_cutoffs(
     amount: Column,
-    silver: float,
-    gold: float,
+    silver: Column | float,
+    gold: Column | float,
     labels: tuple[str, str, str] = ("GOLD", "SILVER", "BRONZE"),
 ) -> Column:
     """Reference tier CASE (`m_customer_sales_report_task.py:177-186`):
-    GOLD strictly above ``gold``, SILVER in [silver, gold], else BRONZE."""
+    GOLD strictly above ``gold``, SILVER in [silver, gold], else BRONZE.
+    Cutoffs may be Python scalars (driver-action style) or Columns
+    (in-plan style via :func:`inplan_quantiles`)."""
     return (
         F.when(amount > gold, labels[0])
         .when(amount.between(silver, gold), labels[1])

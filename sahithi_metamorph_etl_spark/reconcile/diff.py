@@ -58,9 +58,14 @@ def diff(
     if compare_cols is None:
         compare_cols = [c for c in source.columns if c not in keys and c in target.columns]
 
+    from pyspark import StorageLevel
+
     s = source.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in compare_cols])
     t = target.select(*keys, *[F.col(c).alias(f"__t_{c}") for c in compare_cols])
-    common = s.join(t, keys, "inner")
+    # the PK join feeds every comparison branch (cells, per-column
+    # counts, the common total); persist is LAZY — members that never
+    # touch `common` (e.g. source_only alone) don't materialize it
+    common = s.join(t, keys, "inner").persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = F.array(
         *[
