@@ -16,6 +16,31 @@ from ..operators.windows import sessionize
 from ..sources.readers import read_testdata
 from .catalog import register
 
+_DISTINCT_KEYS_ORACLE = """
+SELECT CAST(user_id AS varchar) AS user_id,
+       CAST(event_type AS varchar) AS event_type
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_stream_dedup", oracle=_DISTINCT_KEYS_ORACLE,
+          doc="Custom stateful streaming op (applyInPandasWithState): online first-seen "
+              "dedup; over a bounded stream the emitted set equals SELECT DISTINCT keys")
+def events_stream_dedup(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..streaming.events import events_stream, run_stream_to_memory
+    from ..streaming.stateful import dedup_stream_first_seen
+
+    # the file-stream source watches a DIRECTORY; expose the single
+    # events.parquet through a symlinked staging dir
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+    stream = events_stream(spark, staging)
+    out = dedup_stream_first_seen(stream, ["user_id", "event_type"])
+    return run_stream_to_memory(out, "events_stream_dedup_mem", output_mode="update")
+
 _TUMBLING_ORACLE = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,

@@ -73,11 +73,12 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a (bounded file-source) streaming query to completion into
     an in-memory table; returns the result as a batch DataFrame.
-    Complete output mode: fine for tests, not for unbounded state."""
-    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    Complete output mode: fine for tests, not for unbounded state.
+    Stateful operators (applyInPandasWithState) require ``update``."""
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:

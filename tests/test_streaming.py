@@ -63,6 +63,23 @@ def test_session_stream_matches_batch_session_count(spark, sf_dir, events_dir):
     assert diff.count() == 0, diff.limit(5).collect()
 
 
+def test_stateful_dedup_first_seen_equals_distinct(spark, sf_dir, events_dir):
+    from sahithi_metamorph_etl_spark.streaming.stateful import dedup_stream_first_seen
+
+    out = run_stream_to_memory(
+        dedup_stream_first_seen(events_stream(spark, events_dir), ["user_id", "event_type"]),
+        "dedup_out",
+        output_mode="update",
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("user_id").cast("string"), F.col("event_type").cast("string"))
+        .distinct()
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
 def test_watermark_accepts_bounded_history(spark, sf_dir, events_dir):
     # all rows arrive in one file: nothing is later than the watermark,
     # so no rows may be dropped
