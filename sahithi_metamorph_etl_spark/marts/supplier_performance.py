@@ -108,10 +108,13 @@ def build_supplier_performance(
         k=1,
     ).select(F.col("SUPPLIER_ID"), F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
 
+    # both enrichment tables are per-supplier (bounded by the dimension
+    # size) — broadcast so the static plan avoids two sort-merge
+    # shuffles of the supplier dim instead of waiting on AQE
     enriched = (
         sq_suppliers.alias("sup")
         .join(
-            supplier_level.alias("agg"),
+            maybe_b(supplier_level.alias("agg")),
             F.trim(F.col("sup.SUPPLIER_ID")) == F.trim(F.col("agg.SUPPLIER_ID")),
             "left",
         )
@@ -124,7 +127,7 @@ def build_supplier_performance(
         )
         .alias("agg")
         .join(
-            top_selling.alias("top"),
+            maybe_b(top_selling.alias("top")),
             F.trim(F.col("top.SUPPLIER_ID")) == F.trim(F.col("agg.SUPPLIER_ID")),
             "left",
         )

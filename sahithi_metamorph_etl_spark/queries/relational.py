@@ -398,6 +398,35 @@ def orders_status_pivot(spark, sf_dir):
     )
 
 
+# --- salted skew join -------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT o_orderstatus,
+       count(*) AS n_lines,
+       {o_round('sum(l_quantity)', 2)} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@register("salted_skew_join", oracle=_SALTED_ORACLE,
+          doc="Deterministically salted fact join (hot-key spread over 16 sub-keys) "
+              "+ aggregate; result identical to the plain join")
+def salted_skew_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = (
+        read_testdata(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    joined = salted_join(li, o, on=["l_orderkey"], salt_source_col="l_linenumber")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dround(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
 # --- rollup ----------------------------------------------------------------
 
 _ROLLUP_ORACLE = f"""

@@ -49,6 +49,33 @@ class LayeredWarehouse:
         )
         return path
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        path: str | None = None,
+    ) -> str:
+        """Bucketed fact/dim table for CO-LOCATED joins: two tables
+        bucketed (and sorted) on the same keys with the same bucket
+        count join with ZERO shuffle — the join key partitioning is
+        baked into the layout at write time. This is the 100 TB answer
+        to recurring fact⋈fact joins (e.g. reconciliation runs against
+        yesterday's snapshot): pay the shuffle once at ingest, never
+        per query. Registered in the session catalog (bucket metadata
+        lives there, not in parquet)."""
+        path = path or self._path("bucketed", table)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(num_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return table
+
     def read_raw(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._path("raw", f"{name}_pre"))
 

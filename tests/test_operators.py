@@ -166,6 +166,52 @@ def test_warehouse_layers_and_day_replace(spark, tmp_path):
 # --- approximate dedup vs exact twins ---------------------------------------
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.operators.skew import salted_join
+    from sahithi_metamorph_etl_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    salted = salted_join(li, o, on=["l_orderkey"], salt_source_col="l_linenumber", n_salts=8)
+    plain = li.join(o, "l_orderkey")
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+    from sahithi_metamorph_etl_spark.sources.readers import read_testdata
+
+    wh = LayeredWarehouse(str(tmp_path))
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    wh.write_bucketed(li, "bk_lineitem", ["l_orderkey"], num_buckets=8)
+    wh.write_bucketed(o, "bk_orders", ["o_orderkey"], num_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick the shuffle-join
+        # path — the bucket layout then replaces the shuffle entirely
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bk_lineitem").join(
+            spark.table("bk_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # co-located: bucket layout satisfies the join distribution on
+        # both sides -> no shuffle exchange anywhere in the plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()}
