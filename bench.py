@@ -41,20 +41,17 @@ HEADLINE = [
 ]
 
 
-WARMUP_SF_DIR = "/root/testdata/sf0.001"
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
     qs = all_queries()
-    # one untimed warmup pass at the smallest sf: compiles codegen,
-    # spins up Python workers, and primes broadcast machinery so the
-    # timed pass measures the queries, not JVM cold start
+    # one untimed warmup pass (same sf): compiles codegen, spins up
+    # Python workers, primes broadcasts and the OS page cache so the
+    # timed pass measures steady-state query time, not JVM cold start
     for name in HEADLINE:
-        qs[name](spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

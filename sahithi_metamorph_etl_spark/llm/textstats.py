@@ -107,6 +107,28 @@ def quality_score(
     )
 
 
+# GPT-2-style pre-tokenization shape: letter runs, digit runs, and
+# single non-alphanumeric marks each become one token. A real BPE would
+# further split rare words; this regex pass is the deterministic,
+# engine-portable upper bound used for corpus budgeting.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs BPE-ish subword token counts per document —
+    the corpus-size accounting pass of a training-data pipeline.
+    Pure JVM regex; no UDF."""
+    text = F.col(text_col)
+    n_words = F.size(_words(text)).cast("bigint")
+    n_subwords = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_subwords.alias("n_subword_tokens"),
+        dround(F.length(text) / n_subwords, 4).alias("chars_per_token"),
+    )
+
+
 def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Normalization-invariant content fingerprint: md5 over the
     lowercased alphanumeric skeleton. The exact-dedup key."""

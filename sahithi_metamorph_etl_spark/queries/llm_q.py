@@ -14,7 +14,13 @@ from ..functions.money import o_round
 from ..llm.dedup import exact_dedup_groups, jaccard_pairs, minhash_lsh_pairs, simhash64
 from ..llm.multimodal import decode_media_stats, to_media_column
 from ..llm.similarity import cosine_near_dup_pairs, cosine_topk_bruteforce, hyperplane_lsh_topk
-from ..llm.textstats import content_fingerprint, language_guess, quality_score, token_stats
+from ..llm.textstats import (
+    bpe_token_count,
+    content_fingerprint,
+    language_guess,
+    quality_score,
+    token_stats,
+)
 from ..sources.readers import read_testdata
 from .catalog import register
 
@@ -113,6 +119,26 @@ FROM rules
           doc="Composite Gopher/C4-style quality score + keep flag for corpus filtering")
 def doc_quality_score(spark, sf_dir):
     return quality_score(read_testdata(spark, sf_dir, "documents"))
+
+
+_BPE_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_words,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bigint) AS n_subword_tokens,
+           CAST(length(text) AS bigint) AS n_chars
+    FROM documents
+)
+SELECT doc_id, n_words, n_subword_tokens,
+       {o_round('n_chars * 1.0 / n_subword_tokens', 4)} AS chars_per_token
+FROM base
+"""
+
+
+@register("doc_bpe_tokens", oracle=_BPE_ORACLE,
+          doc="Whitespace vs BPE-ish (GPT-2 pre-tokenization regex) token counts")
+def doc_bpe_tokens(spark, sf_dir):
+    return bpe_token_count(read_testdata(spark, sf_dir, "documents"))
 
 
 # --- deduplication ----------------------------------------------------------
@@ -215,6 +241,72 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
 def emb_cosine_near_dup(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+# --- end-to-end corpus cleaning pipeline ------------------------------------
+
+_CLEAN_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS bigint) AS sum_tok,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t IN ('the','of','and','is','to'))) AS bigint) AS stop,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS bigint) AS punct,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+), q AS (
+    SELECT doc_id, n_tokens, fingerprint,
+           (n_tokens >= 5 AND n_tokens <= 100000)
+           AND {o_round('stop * 1.0 / n_tokens', 6)} >= 0.01
+           AND {o_round('punct * 1.0 / n_chars', 6)} <= 0.3
+           AND {o_round('sum_tok * 1.0 / n_tokens', 4)} BETWEEN 2.0 AND 12.0 AS keep
+    FROM base
+), keepers AS (
+    SELECT fingerprint, min(doc_id) AS keeper FROM q WHERE keep GROUP BY 1
+), lang AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('the','of','and','is','to'))) AS bigint) AS score_en,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('der','die','das','und','ist'))) AS bigint) AS score_de,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('el','la','de','y','es'))) AS bigint) AS score_es
+    FROM documents
+), lg AS (
+    SELECT doc_id,
+           CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS lang_guess
+    FROM lang
+)
+SELECT lg.lang_guess,
+       count(*) AS n_docs,
+       CAST(sum(q.n_tokens) AS bigint) AS total_tokens
+FROM q
+JOIN keepers k ON q.fingerprint = k.fingerprint AND q.doc_id = k.keeper
+JOIN lg ON q.doc_id = lg.doc_id
+WHERE q.keep
+GROUP BY 1
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_CLEAN_ORACLE,
+          doc="End-to-end training-data pipeline: quality filter -> exact dedup "
+              "(keep min-id per fingerprint) -> per-language corpus token budget")
+def corpus_clean_pipeline(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = quality_score(docs).filter(F.col("keep"))
+    fp = content_fingerprint(docs)
+    qf = q.join(fp, "doc_id")
+    keepers = qf.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    lang = language_guess(docs).select("doc_id", "lang_guess")
+    kept = qf.join(keepers, ["fingerprint", "doc_id"]).join(lang, "doc_id")
+    return kept.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
 
 
 # --- multimodal plumbing ----------------------------------------------------
