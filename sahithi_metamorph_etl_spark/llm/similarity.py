@@ -177,6 +177,110 @@ def cosine_near_dup_pairs(
     return corpus.mapInPandas(score_partition, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    seed: int = 42,
+    train_sample: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer twin
+    of :func:`hyperplane_lsh_topk`.
+
+    Train: k-means (a few Lloyd iterations, seeded, on a bounded driver
+    sample) -> ``n_lists`` centroids. Index: every corpus vector is
+    assigned to its nearest centroid — in a real deployment this
+    becomes the table's partition/cluster key, so a probe reads only
+    ``n_probe/n_lists`` of the data. Search: each query scores only the
+    ``n_probe`` nearest inverted lists. All scoring is BLAS matmul in
+    ``mapInPandas``; only centroid training touches the driver.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
+    xs = np.array([r[0] for r in sample], dtype=np.float64)
+    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    cents = xs[rng.choice(len(xs), size=min(n_lists, len(xs)), replace=False)]
+    for _ in range(5):  # Lloyd on cosine (all unit vectors -> dot argmax)
+        assign = (xs @ cents.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = xs[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / np.linalg.norm(c)
+
+    q = embeddings.select(F.col(id_col), F.col(vec_col))
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    qrows = q.collect()  # bounded query set
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # each query probes its n_probe nearest lists
+    q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        probe_sets = [set(map(int, row)) for row in q_probes]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            c_assign = (cm @ cents.T).argmax(axis=1)
+            sims = np.round(qm @ cm.T, round_scale)
+            nids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                heap = heaps[int(qid)]
+                probes = probe_sets[qi]
+                s = sims[qi]
+                floor = heap[0][0] if len(heap) >= k else -2.0
+                for ci in np.nonzero(s >= floor)[0]:
+                    if int(c_assign[ci]) not in probes:
+                        continue  # outside the probed inverted lists
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    item = (float(s[ci]), -nid)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, cos)
+            for qid, heap in heaps.items()
+            for cos, neg_nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    return top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
 def _planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

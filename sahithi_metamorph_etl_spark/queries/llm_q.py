@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 from ..functions.money import o_round
 from ..llm.dedup import exact_dedup_groups, jaccard_pairs, minhash_lsh_pairs, simhash64
 from ..llm.multimodal import decode_media_stats, to_media_column
-from ..llm.similarity import cosine_near_dup_pairs, cosine_topk_bruteforce, hyperplane_lsh_topk
+from ..llm.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk_bruteforce,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
 from ..llm.textstats import (
     bpe_token_count,
     content_fingerprint,
@@ -220,6 +225,14 @@ def emb_cosine_topk(spark, sf_dir):
 def emb_lsh_ann_topk(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return hyperplane_lsh_topk(emb, k=5, n_planes=8, query_filter=F.col("vec_id") < 100)
+
+
+@register("emb_ivf_topk", oracle=None,
+          doc="IVF approximate top-5 (seeded k-means coarse quantizer, 4/16 lists probed) "
+              "— the partition-pruned ANN scale path; recall-tested vs brute force")
+def emb_ivf_topk(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5, n_lists=16, n_probe=4, query_filter=F.col("vec_id") < 100)
 
 
 _NEAR_DUP_ORACLE = f"""

@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the deterministic money layer —
+the cross-engine hazard SURVEY.md §7(3): double rounding and summation
+order must produce identical bits in Spark and DuckDB for ANY input,
+not just the fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sahithi_metamorph_etl_spark.functions.money import dround, dsum, o_dsum, o_round
+
+# money-like doubles: what price*discount arithmetic actually produces
+_money = st.floats(
+    min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+def _py_dround(x: float, scale: int = 2) -> float:
+    f = float(10**scale)
+    return math.copysign(1.0, x) * math.floor(abs(x) * f + 0.5) / f if x != 0 else 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_money, min_size=1, max_size=300))
+def test_dround_matches_python_ref_and_duckdb(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r["r"] for r in df.select(dround(F.col("x"), 2).alias("r")).collect()]
+    expected = [_py_dround(v, 2) for v in values]
+    assert got == expected
+    con = duckdb.connect()
+    oracle = [
+        con.execute(f"SELECT {o_round('x', 2)} FROM (SELECT CAST(? AS double) x)", [v]).fetchone()[0]
+        for v in values
+    ]
+    assert got == oracle
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_money, min_size=2, max_size=300), st.randoms())
+def test_dsum_is_order_independent_and_matches_duckdb(spark, values, rnd):
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    a = spark.createDataFrame([(v,) for v in values], "x double")
+    b = spark.createDataFrame([(v,) for v in shuffled], "x double")
+    ra = a.agg(dsum(F.col("x"), 2).alias("s")).first()["s"]
+    rb = b.agg(dsum(F.col("x"), 2).alias("s")).first()["s"]
+    assert ra == rb  # decimal accumulation: order can't move the total
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x double)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    oracle = con.execute(f"SELECT {o_dsum('x', 2)} FROM t").fetchone()[0]
+    assert ra == oracle

@@ -219,6 +219,26 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert approx == exact  # verified candidates: no false positives; planted dups all recalled
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.llm.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 50)
+    approx = ivf_topk(emb, k=5, n_lists=8, n_probe=4, query_filter=F.col("vec_id") < 50)
+    e: dict[int, set] = {}
+    for r in exact.collect():
+        e.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    a: dict[int, set] = {}
+    for r in approx.collect():
+        a.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert a, "IVF produced no neighbors"
+    hits = sum(len(a.get(v, set()) & e[v]) for v in e)
+    total = sum(len(e[v]) for v in e)
+    # probing half the lists on clustered synthetic data: recall@5
+    # must be substantial (deterministic: seeded centroids)
+    assert hits / total >= 0.5, f"recall@5 = {hits}/{total}"
+
+
 def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = cosine_topk_bruteforce(emb, k=1, query_filter=F.col("vec_id") < 50)
