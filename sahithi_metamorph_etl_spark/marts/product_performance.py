@@ -9,11 +9,13 @@ Prod-variant semantics per SURVEY.md §7: profit uses the discounted
 price minus cost (`m_product_performance_task.py:98`), NOT the adhoc
 variant's undiscounted formula.
 
-Scale notes: the join keeps the fact on the probe side; products is the
-(smaller) build side but must be on the LEFT for outer semantics, so we
-broadcast it and let Spark flip build sides (broadcast right outer is
-handled by AQE/BroadcastNestedLoop avoidance — it stays a broadcast hash
-join because the condition is equi).
+Scale notes: the reference's products-LEFT-JOIN-fact forces a sort-merge
+shuffle of BOTH sides (the outer dim side cannot be the broadcast build
+side). Rewritten as the equivalent inner join (fact probe side,
+broadcast products) → per-product aggregate (ONE fact shuffle,
+map-side partial) → broadcast the small aggregate back onto the full
+product dim with null→0 defaults. Row-level arithmetic is unchanged, so
+results are bit-identical to the reference shape.
 """
 
 from __future__ import annotations
@@ -38,32 +40,42 @@ def build_product_performance(
 
     fil = sq_sales.filter(F.col("ORDER_STATUS") != "Cancelled")
 
-    joined = sq_products.join(fil, on="PRODUCT_ID", how="left").select(
-        sq_products.PRODUCT_ID,
-        sq_products.COST_PRICE,
-        sq_products.PRODUCT_NAME,
-        sq_products.SELLING_PRICE,
-        sq_products.CATEGORY,
-        sq_products.STOCK_QUANTITY,
-        sq_products.REORDER_LEVEL,
-        fil.QUANTITY,
-        fil.DISCOUNT,
+    # fact stays the probe side; per-row arithmetic identical to the
+    # reference's left-join form (only rows with sales contribute terms)
+    sold = fil.join(
+        F.broadcast(sq_products.select("PRODUCT_ID", "SELLING_PRICE", "COST_PRICE")),
+        on="PRODUCT_ID",
+        how="inner",
     )
-
     discounted = F.col("SELLING_PRICE") * (1 - F.col("DISCOUNT") / 100)
-    metrics = (
-        joined.withColumn("DISCOUNTED_PRICE", discounted)
-        .withColumn("REVENUE", F.col("DISCOUNTED_PRICE") * F.col("QUANTITY"))
-        .withColumn("PROFIT", (F.col("DISCOUNTED_PRICE") - F.col("COST_PRICE")) * F.col("QUANTITY"))
-        .withColumn("QUANTITY", F.coalesce(F.col("QUANTITY"), F.lit(0)))
-        .withColumn("REVENUE", F.coalesce(F.col("REVENUE"), F.lit(0)))
-        .withColumn("PROFIT", F.coalesce(F.col("PROFIT"), F.lit(0)))
+    metrics = sold.withColumn("REVENUE", discounted * F.col("QUANTITY")).withColumn(
+        "PROFIT", (discounted - F.col("COST_PRICE")) * F.col("QUANTITY")
     )
 
-    agg = metrics.groupBy("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "STOCK_QUANTITY", "REORDER_LEVEL").agg(
+    sold_agg = metrics.groupBy("PRODUCT_ID").agg(
         dsum(F.col("REVENUE"), 2).alias("TOTAL_SALES_AMOUNT"),
         F.sum("QUANTITY").alias("TOTAL_QUANTITY_SOLD"),
         dsum(F.col("PROFIT"), 2).alias("PROFIT"),
+    )
+
+    # join the small per-product aggregate back onto the full dimension:
+    # unsold products survive with null metrics -> 0 defaults (reference
+    # P9 semantics: their single all-null joined row also summed to 0)
+    agg = (
+        sq_products.select(
+            "PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "STOCK_QUANTITY", "REORDER_LEVEL"
+        )
+        .join(F.broadcast(sold_agg), on="PRODUCT_ID", how="left")
+        .select(
+            "PRODUCT_ID",
+            "PRODUCT_NAME",
+            "CATEGORY",
+            "STOCK_QUANTITY",
+            "REORDER_LEVEL",
+            F.coalesce(F.col("TOTAL_SALES_AMOUNT"), F.lit(0.0)).alias("TOTAL_SALES_AMOUNT"),
+            F.coalesce(F.col("TOTAL_QUANTITY_SOLD"), F.lit(0)).alias("TOTAL_QUANTITY_SOLD"),
+            F.coalesce(F.col("PROFIT"), F.lit(0.0)).alias("PROFIT"),
+        )
     )
 
     final = (
