@@ -82,7 +82,13 @@ def jaccard_pairs(
 
 
 def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Pairwise exact Jaccard from a distinct (id, shingle) index."""
+    """Pairwise exact Jaccard from a distinct (id, shingle) index.
+
+    The index feeds three consumers (per-doc sizes + both self-join
+    sides) — persist so shingling runs once, not three times."""
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -62,6 +62,31 @@ def events_hourly_tumbling(spark, sf_dir):
     )
 
 
+_SLIDING_ORACLE = f"""
+WITH contrib AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', event_type, value FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       {o_dsum('value', 2)} AS total_value
+FROM contrib GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_window", oracle=_SLIDING_ORACLE,
+          doc="Sliding window aggregate (2h window, 1h slide): each event lands in two "
+              "overlapping windows")
+def events_sliding_window(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
 _SESSION_ORACLE = """
 WITH lagd AS (
     SELECT user_id, ts, event_id,

@@ -321,6 +321,34 @@ def lineitem_union_slices(spark, sf_dir):
     )
 
 
+# --- intersect / except set ops ---------------------------------------------
+
+_SETOP_ORACLE = """
+WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000),
+     urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     both_k AS (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent),
+     only_big AS (SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent)
+SELECT 'both' AS segment, count(*) AS n_customers FROM both_k
+UNION ALL
+SELECT 'big_only', count(*) FROM only_big
+"""
+
+
+@register("customer_segments_setops", oracle=_SETOP_ORACLE,
+          doc="INTERSECT / EXCEPT set operations over customer key sets (SURVEY §2.7)")
+def customer_segments_setops(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    both_k = big.intersect(urgent).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both").alias("segment"), "n_customers"
+    )
+    only_big = big.exceptAll(urgent).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("big_only").alias("segment"), "n_customers"
+    )
+    return both_k.unionByName(only_big)
+
+
 # --- analytic window: running sum (frame spec) ----------------------------
 
 _RUNNING_ORACLE = f"""
