@@ -215,27 +215,45 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash signature per document (Charikar): per-token
-    xxhash64, each bit votes +-1, signature bit = sign of the vote sum.
-    Returns (id, simhash as bigint). Near-dup candidates = small hamming
-    distance; pair generation via 16-bit chunk buckets (any pair within
-    hamming distance 3 shares at least one of 4 chunks)."""
-    # shift amounts are per-row expressions, which the Python shiftleft/
-    # shiftright API rejects (literal ints only) — use SQL expressions
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).select(F.col(id_col), F.xxhash64("token").alias("h"))
-    bits = F.expr(
-        "transform(sequence(0, 63), j -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)"
-    )
-    votes = (
-        tok.select(F.col(id_col), F.posexplode(bits).alias("bit", "vote"))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    # assemble: sum of 2^bit where vote > 0 (bit 63 wraps the sign — fine, it's a signature)
-    return votes.groupBy(id_col).agg(
-        F.expr(
-            "sum(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END)"
-        ).alias("simhash")
+    64-bit hash, each bit votes +-1, signature bit = sign of the vote
+    sum. Returns (id, simhash as bigint; bit 63 wraps the sign — it's
+    an opaque signature). Near-dup candidates = small hamming distance;
+    pair generation via 16-bit chunk buckets (any pair within hamming
+    distance 3 shares at least one of 4 chunks).
+
+    ZERO-shuffle: the token-hash bit-vote matrix is computed per doc
+    inside one Arrow batch pass (an exploded formulation pushes
+    |tokens| x 64 vote rows through two shuffles — 48M rows at sf0.1)."""
+
+    def signatures(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                toks = text.split() or [""]
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                votes = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1).sum(axis=0)
+                total = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                ids.append(doc_id)
+                sigs.append(total if total < 1 << 63 else total - (1 << 64))
+            yield pd.DataFrame({"__id": ids, "simhash": sigs}).astype(
+                {"__id": "int64", "simhash": "int64"}
+            )
+
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .mapInPandas(signatures, schema="__id bigint, simhash bigint")
+        .withColumnRenamed("__id", id_col)
     )

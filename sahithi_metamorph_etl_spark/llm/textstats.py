@@ -107,6 +107,74 @@ def quality_score(
     )
 
 
+def document_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.01,
+    max_punct_ratio: float = 0.3,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """ALL text-derived document columns in ONE pass — token stats,
+    quality rules + keep flag, language guess, content fingerprint.
+
+    This is the pipeline-facing shape: composing the individual
+    operators via doc_id joins would re-scan and re-shuffle the corpus
+    once per stat family; at corpus scale the profile is a single
+    projection over a single scan. Column semantics are identical to
+    the standalone operators (same expressions, same rounding).
+    """
+    text = F.col(text_col)
+    w = _words(text)
+
+    def count_in(lexicon: tuple[str, ...]) -> Column:
+        return F.size(F.filter(w, lambda t: t.isin(*lexicon))).cast("bigint")
+
+    base = df.select(
+        F.col(id_col),
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.length(F.regexp_replace(text, r"\s", "")).cast("bigint").alias("_sum_tok"),
+        (F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("bigint")
+        .alias("_punct"),
+        count_in(LANG_LEXICONS["en"]).alias("score_en"),
+        count_in(LANG_LEXICONS["de"]).alias("score_de"),
+        count_in(LANG_LEXICONS["es"]).alias("score_es"),
+        F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")).alias("fingerprint"),
+    )
+    ratios = base.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        dround(F.col("_sum_tok") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        # the English lexicon doubles as the stopword list (same as token_stats)
+        dround(F.col("score_en") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        dround(F.col("_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+        "score_en",
+        "score_de",
+        "score_es",
+        "fingerprint",
+    )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("avg_token_len") >= min_avg_token_len)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    )
+    guess = (
+        F.when((F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")), "en")
+        .when(F.col("score_de") >= F.col("score_es"), "de")
+        .otherwise("es")
+    )
+    return ratios.select("*", keep.alias("keep"), guess.alias("lang_guess"))
+
+
 # GPT-2-style pre-tokenization shape: letter runs, digit runs, and
 # single non-alphanumeric marks each become one token. A real BPE would
 # further split rare words; this regex pass is the deterministic,

@@ -307,15 +307,22 @@ GROUP BY 1
 
 @register("corpus_clean_pipeline", oracle=_CLEAN_ORACLE,
           doc="End-to-end training-data pipeline: quality filter -> exact dedup "
-              "(keep min-id per fingerprint) -> per-language corpus token budget")
+              "(keep min-id per fingerprint) -> per-language corpus token budget; "
+              "single-pass document_profile, no per-stat re-scan joins")
 def corpus_clean_pipeline(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from ..llm.textstats import document_profile
+
     docs = read_testdata(spark, sf_dir, "documents")
-    q = quality_score(docs).filter(F.col("keep"))
-    fp = content_fingerprint(docs)
-    qf = q.join(fp, "doc_id")
-    keepers = qf.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    lang = language_guess(docs).select("doc_id", "lang_guess")
-    kept = qf.join(keepers, ["fingerprint", "doc_id"]).join(lang, "doc_id")
+    prof = (
+        document_profile(docs)
+        .filter(F.col("keep"))
+        .select("doc_id", "fingerprint", "n_tokens", "lang_guess")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keepers = prof.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    kept = prof.join(keepers, ["fingerprint", "doc_id"])
     return kept.groupBy("lang_guess").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
