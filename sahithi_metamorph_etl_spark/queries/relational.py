@@ -426,6 +426,85 @@ def orders_status_pivot(spark, sf_dir):
     )
 
 
+# --- grouping sets: cube ----------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {o_dsum('o_totalprice', 2)} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_cube", oracle=_CUBE_ORACLE,
+          doc="CUBE grouping-set aggregate (all 4 grouping combinations)")
+def orders_cube(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --- percent_rank tiering (SURVEY W3: the idiomatic A6 replacement) ---------
+
+_PR_TIER_ORACLE = f"""
+WITH agg AS (
+    SELECT o_custkey, {o_dsum('o_totalprice', 2)} AS total_spend
+    FROM orders GROUP BY 1
+), ranked AS (
+    SELECT o_custkey, total_spend,
+           percent_rank() OVER (ORDER BY total_spend, o_custkey) AS pr
+    FROM agg
+)
+SELECT o_custkey, total_spend,
+       CASE WHEN pr >= 0.8 THEN 'GOLD' WHEN pr >= 0.5 THEN 'SILVER' ELSE 'BRONZE' END AS tier
+FROM ranked
+"""
+
+
+@register("customer_tiers_percent_rank", oracle=_PR_TIER_ORACLE,
+          doc="percent_rank window tiering — in-plan alternative to the reference's "
+              "driver-side approxQuantile cutoffs (SURVEY W3)")
+def customer_tiers_percent_rank(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), 2).alias("total_spend"))
+    w = Window.orderBy("total_spend", "o_custkey")
+    pr = F.percent_rank().over(w)
+    return agg.select(
+        "o_custkey",
+        "total_spend",
+        F.when(pr >= 0.8, "GOLD").when(pr >= 0.5, "SILVER").otherwise("BRONZE").alias("tier"),
+    )
+
+
+# --- sketches: HLL distinct + approximate percentile ------------------------
+
+
+@register("sketch_distinct_counts", oracle=None,
+          doc="HyperLogLog++ approx_count_distinct sketches (rel-error tested vs exact "
+              "in tests/test_operators.py; sketch values are engine-specific)")
+def sketch_distinct_counts(spark, sf_dir):
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    )
+
+
+@register("sketch_price_percentiles", oracle=None,
+          doc="percentile_approx (Greenwald-Khanna) price quantiles — the in-plan "
+              "sketch form of the reference's approxQuantile (rel-error tested)")
+def sketch_price_percentiles(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.agg(
+        *[
+            F.percentile_approx("o_totalprice", p, 10000).alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.8, 0.95, 0.99)
+        ]
+    )
+
+
 # --- salted skew join -------------------------------------------------------
 
 _SALTED_ORACLE = f"""

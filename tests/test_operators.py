@@ -212,6 +212,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_orders")
 
 
+def test_sketches_within_relative_error(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.queries.catalog import get_query
+    from sahithi_metamorph_etl_spark.sources.readers import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    approx = get_query("sketch_distinct_counts").fn(spark, sf_dir).first()
+    for col, key in [("approx_orders", "l_orderkey"), ("approx_parts", "l_partkey")]:
+        exact = li.select(key).distinct().count()
+        assert abs(approx[col] - exact) / exact < 0.05, (col, approx[col], exact)
+
+    o = read_testdata(spark, sf_dir, "orders")
+    qs = get_query("sketch_price_percentiles").fn(spark, sf_dir).first()
+    for p, col in [(0.5, "p50"), (0.95, "p95")]:
+        lo, hi = o.approxQuantile("o_totalprice", [max(p - 0.02, 0.0), min(p + 0.02, 1.0)], 0.001)
+        assert lo <= qs[col] <= hi, (col, qs[col], lo, hi)
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()}
