@@ -121,6 +121,57 @@ def events_sessionization(spark, sf_dir):
     )
 
 
+_ASOF_ORACLE = """
+WITH purch AS (
+    SELECT user_id, ts, max(event_id) AS purchase_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_event_id AS asof_purchase_event_id,
+       (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS secs_since_purchase
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("events_asof_join", oracle=_ASOF_ORACLE,
+          doc="As-of (backward) join: latest purchase at-or-before each click per user — "
+              "union-merge window form, one shuffle, no range explosion (DuckDB native "
+              "ASOF JOIN as the oracle)")
+def events_asof_join(spark, sf_dir):
+    from ..operators.asof import as_of_join
+
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    # unique per (user, ts): as-of requires an unambiguous latest row
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id", "purchase_ts"],
+    )
+    # null-safe delta (bigint) rather than a nullable timestamp column:
+    # unmatched clicks yield NULL, which every compare layer handles
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_purchase_event_id"),
+        # floor the DIFFERENCE (micros div 1e6), not each side: flooring
+        # per-timestamp is off by one whenever frac(left) < frac(right)
+        F.expr("(unix_micros(ts) - unix_micros(asof_purchase_ts)) div 1000000")
+        .cast("bigint")
+        .alias("secs_since_purchase"),
+    )
+
+
 _JSON_ORACLE = """
 SELECT event_type,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS total_k,

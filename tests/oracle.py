@@ -24,7 +24,7 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_value(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
