@@ -505,6 +505,38 @@ def sketch_price_percentiles(spark, sf_dir):
     )
 
 
+# --- range (interval) join --------------------------------------------------
+
+_RANGE_ORACLE = f"""
+WITH bands AS (
+    SELECT i AS band_id, 900 + i * 5.0 AS lo, 900 + i * 5.0 + 3.99 AS hi
+    FROM range(0, 20) t(i)
+)
+SELECT b.band_id, count(*) AS n_parts, {o_dsum('p.p_retailprice', 2)} AS total_price
+FROM part p JOIN bands b ON p.p_retailprice BETWEEN b.lo AND b.hi
+GROUP BY 1
+"""
+
+
+@register("part_price_band_range_join", oracle=_RANGE_ORACLE,
+          doc="Range join via interval bucketing (equi-join on quantized buckets + exact "
+              "recheck) — avoids the O(n*m) nested-loop a BETWEEN join plans to")
+def part_price_band_range_join(spark, sf_dir):
+    from ..operators.rangejoin import range_join_bucketed
+
+    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (900 + F.col("id") * 5.0).alias("lo"),
+        (900 + F.col("id") * 5.0 + 3.99).alias("hi"),
+    )
+    joined = range_join_bucketed(p, bands, "p_retailprice", "lo", "hi", bucket_width=5.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("p_retailprice"), 2).alias("total_price"),
+    )
+
+
 # --- salted skew join -------------------------------------------------------
 
 _SALTED_ORACLE = f"""
