@@ -38,6 +38,8 @@ HEADLINE = [
     "emb_cosine_topk",
     "events_hourly_tumbling",
     "events_sessionization",
+    "events_asof_join",
+    "corpus_clean_pipeline",
 ]
 
 
