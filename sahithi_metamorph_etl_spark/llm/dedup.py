@@ -138,6 +138,12 @@ def minhash_lsh_pairs(
 
     from pyspark import StorageLevel
 
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            "a non-divisor silently drops permutations and bands > num_perm "
+            "would bucket every document together"
+        )
     rows_per_band = num_perm // bands
     perm_a = np.array([a for _, a, _ in _perm_params(num_perm)], dtype=np.uint64)
     perm_b = np.array([b for _, _, b in _perm_params(num_perm)], dtype=np.uint64)

@@ -37,6 +37,7 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     k: int = 5,
@@ -66,10 +67,14 @@ def cosine_topk_bruteforce(
     if query_filter is not None:
         q = q.filter(query_filter)
     qrows = q.collect()  # bounded query set, scalars only at scale
+    if not qrows:
+        schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        return embeddings.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
+    rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
 
     # self-contained closure (pickles by value; no package refs)
@@ -85,7 +90,10 @@ def cosine_topk_bruteforce(
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = np.round(qm @ cm.T, round_scale)
+            t = qm @ cm.T
+            # half-AWAY-from-zero (functions.money.dround twin): np.round
+            # is half-to-even and can disagree with the oracle on .5 ties
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
             nids = pdf["neighbor_id"].to_numpy()
             for qi, qid in enumerate(q_ids):
                 heap = heaps[int(qid)]
@@ -154,6 +162,7 @@ def cosine_near_dup_pairs(
     m = np.array([r[1] for r in rows], dtype=np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
 
+    rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("cv"))
 
     def score_partition(batches):
@@ -165,7 +174,9 @@ def cosine_near_dup_pairs(
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = np.round(m @ cm.T, round_scale)
+            t = m @ cm.T
+            # half-away-from-zero rounding (dround twin)
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
             bids = pdf["vec_b"].to_numpy()
             # a < b keeps each unordered pair exactly once (the a-side
             # runs over the full matrix, the b-side over this batch)
@@ -219,12 +230,16 @@ def ivf_topk(
     if query_filter is not None:
         q = q.filter(query_filter)
     qrows = q.collect()  # bounded query set
+    if not qrows:
+        schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        return embeddings.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     # each query probes its n_probe nearest lists
     q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
 
+    rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
 
     def score_partition(batches):
@@ -241,7 +256,10 @@ def ivf_topk(
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             c_assign = (cm @ cents.T).argmax(axis=1)
-            sims = np.round(qm @ cm.T, round_scale)
+            t = qm @ cm.T
+            # half-AWAY-from-zero (functions.money.dround twin): np.round
+            # is half-to-even and can disagree with the oracle on .5 ties
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
             nids = pdf["neighbor_id"].to_numpy()
             for qi, qid in enumerate(q_ids):
                 heap = heaps[int(qid)]
@@ -290,7 +308,7 @@ def hyperplane_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     query_filter: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -298,7 +316,14 @@ def hyperplane_lsh_topk(
     """Approximate cosine top-k: bucket by sign bits against seeded
     random hyperplanes, then exact scoring within the bucket only.
     2^n_planes buckets => corpus scanned per query shrinks ~2^-n_planes
-    (at some recall cost; multi-probe = lower n_planes here)."""
+    (at some recall cost; multi-probe = lower n_planes here).
+
+    ``dim`` is inferred from the data when not given — a mismatched dim
+    would null-pad the dot products and silently collapse every vector
+    into one bucket (a full cross join)."""
+    if dim is None:
+        first = embeddings.select(vec_col).first()
+        dim = len(first[0])
     planes = _planes(n_planes, dim)
     plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
     sig = F.concat_ws(

@@ -27,10 +27,12 @@ def range_join_bucketed(
     lo_col: str,
     hi_col: str,
     bucket_width: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join ``values`` rows onto every ``intervals`` row whose
-    ``[lo_col, hi_col]`` (inclusive) contains ``value_col``."""
+    """INNER join of ``values`` rows onto every ``intervals`` row whose
+    ``[lo_col, hi_col]`` (inclusive) contains ``value_col``. (Outer
+    variants would need the exact recheck folded into the join
+    condition; the post-join filter here would silently drop preserved
+    null rows, so they are not offered.)"""
     v = values.withColumn(BUCKET_COL, F.floor(F.col(value_col) / bucket_width).cast("long"))
     iv = intervals.withColumn(
         BUCKET_COL,
@@ -41,7 +43,7 @@ def range_join_bucketed(
             )
         ),
     )
-    joined = v.join(iv, BUCKET_COL, how)
+    joined = v.join(iv, BUCKET_COL, "inner")
     return joined.filter(
         F.col(value_col).between(F.col(lo_col), F.col(hi_col))
     ).drop(BUCKET_COL)

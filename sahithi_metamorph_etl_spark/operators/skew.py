@@ -35,7 +35,13 @@ def salted_join(
     ``salt_source_col``: a high-cardinality column of ``large`` (e.g. a
     line/sale id) hashed to pick the salt deterministically.
     Result == ``large.join(small, on, how)`` with the same columns.
+
+    Only large-side-preserving joins are valid: the replicated small
+    side would duplicate ITS unmatched rows under right/full/semi
+    semantics, so those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salted_large = large.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(n_salts)).cast("int")
     )

@@ -559,7 +559,10 @@ def salted_skew_join(spark, sf_dir):
         read_testdata(spark, sf_dir, "orders")
         .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
     )
-    joined = salted_join(li, o, on=["l_orderkey"], salt_source_col="l_linenumber")
+    # l_linenumber has <=7 distinct values per order, so n_salts beyond
+    # that buys nothing here — TPC-H keys aren't skewed; the query
+    # demonstrates the mechanism (real use: a line/sale id as source)
+    joined = salted_join(li, o, on=["l_orderkey"], salt_source_col="l_linenumber", n_salts=8)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
         dround(F.sum("l_quantity"), 2).alias("total_qty"),

@@ -57,6 +57,11 @@ def diff(
 ) -> DiffResult:
     if compare_cols is None:
         compare_cols = [c for c in source.columns if c not in keys and c in target.columns]
+    if not compare_cols:
+        raise ValueError(
+            "no columns to compare beyond the keys — for key-existence-only "
+            "reconciliation use left_anti joins (operators.joins.anti_join) directly"
+        )
 
     from pyspark import StorageLevel
 

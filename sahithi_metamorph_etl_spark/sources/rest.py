@@ -31,8 +31,14 @@ def rows_from_records(
     (reference behavior at `adhoc_load_sales_20250707_file.py:31-32`).
     """
     data = records() if callable(records) else records
-    if normalize_keys:
-        data = [{k.strip().upper().replace(" ", "_"): v for k, v in rec.items()} for rec in data]
     wanted = schema.fieldNames()
-    data = [{k: rec.get(k) for k in wanted} for rec in data]
+    if normalize_keys:
+        # match on the NORMALIZED form of both sides, emit the schema's
+        # exact field names — a lower/mixed-case contract would otherwise
+        # silently null every value
+        norm = lambda k: k.strip().upper().replace(" ", "_")  # noqa: E731
+        data = [{norm(k): v for k, v in rec.items()} for rec in data]
+        data = [{k: rec.get(norm(k)) for k in wanted} for rec in data]
+    else:
+        data = [{k: rec.get(k) for k in wanted} for rec in data]
     return spark.createDataFrame(data, schema=schema)

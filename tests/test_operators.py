@@ -212,6 +212,55 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_orders")
 
 
+def test_salted_join_rejects_right_preserving_modes(spark):
+    from sahithi_metamorph_etl_spark.operators.skew import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on=["k"], salt_source_col="k", how="full")
+
+
+def test_minhash_rejects_bad_band_split(spark):
+    from sahithi_metamorph_etl_spark.llm.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, num_perm=16, bands=32)
+
+
+def test_diff_rejects_empty_compare_cols(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="no columns to compare"):
+        diff(df, df, keys=["k"])
+
+
+def test_cosine_topk_empty_query_set(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk_bruteforce(emb, k=3, query_filter=F.col("vec_id") < 0)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
+
+
+def test_lsh_infers_embedding_dim(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # dim inferred: buckets must actually partition the corpus (more
+    # than one bucket); a silent dim mismatch would put all in one
+    from pyspark.sql import functions as SF
+    from sahithi_metamorph_etl_spark.llm.similarity import _planes  # noqa: F401
+
+    out = hyperplane_lsh_topk(emb, k=1, n_planes=4, query_filter=F.col("vec_id") < 10)
+    assert out.count() > 0
+
+
+def test_rest_source_mixed_case_contract(spark):
+    from pyspark.sql import types as T
+    from sahithi_metamorph_etl_spark.sources.rest import rows_from_records
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType(), True)])
+    df = rows_from_records(spark, [{"doc_id": 7}], schema)
+    assert df.first()["doc_id"] == 7
+
+
 def test_sketches_within_relative_error(spark, sf_dir):
     from sahithi_metamorph_etl_spark.queries.catalog import get_query
     from sahithi_metamorph_etl_spark.sources.readers import read_testdata
