@@ -139,6 +139,38 @@ def recon_mismatched_cells(spark, sf_dir):
     return _diff(spark, sf_dir).mismatched_cells
 
 
+_SAMPLE_ORACLE = f"""
+WITH {_TARGET_CTE},
+{_COMMON_CTE},
+cells AS (
+    SELECT o_orderkey, 'o_custkey' AS column_name, CAST(s1 AS varchar) AS source_value, CAST(t1 AS varchar) AS target_value
+    FROM common WHERE s1 IS DISTINCT FROM t1
+    UNION ALL SELECT o_orderkey, 'o_orderstatus', CAST(s2 AS varchar), CAST(t2 AS varchar) FROM common WHERE s2 IS DISTINCT FROM t2
+    UNION ALL SELECT o_orderkey, 'o_totalprice', CAST(s3 AS varchar), CAST(t3 AS varchar) FROM common WHERE s3 IS DISTINCT FROM t3
+    UNION ALL SELECT o_orderkey, 'o_orderdate', CAST(s4 AS varchar), CAST(t4 AS varchar) FROM common WHERE s4 IS DISTINCT FROM t4
+    UNION ALL SELECT o_orderkey, 'o_orderpriority', CAST(s5 AS varchar), CAST(t5 AS varchar) FROM common WHERE s5 IS DISTINCT FROM t5
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY column_name ORDER BY o_orderkey) AS rnk FROM cells
+)
+SELECT column_name, o_orderkey, source_value, target_value FROM ranked WHERE rnk = 1
+"""
+
+
+@register("recon_sample_mismatches", oracle=_SAMPLE_ORACLE,
+          doc="One example mismatch per column (Raptor W2 report sampling: "
+              "row_number per mismatch_column_name, deterministic key order)")
+def recon_sample_mismatches(spark, sf_dir):
+    from ..operators.windows import top_k_per_group
+
+    cells = _diff(spark, sf_dir).mismatched_cells
+    return top_k_per_group(
+        cells,
+        partition_by=["column_name"],
+        order_by=[F.col("o_orderkey").asc()],
+        k=1,
+    ).select("column_name", "o_orderkey", "source_value", "target_value")
+
+
 @register(
     "recon_extra_rows",
     oracle=f"""
