@@ -5,9 +5,15 @@ For every left row, attach the LATEST right row with
 range theta-join (O(n·m) nested loop) or per-key collect; the scalable
 form used here is the union-merge: tag both sides, union on the key,
 and run ONE window pass ordered by (ts, side) where
-``last(right_payload, ignorenulls=True)`` carries the most recent right
-values forward onto each left row. Exactly one shuffle (the window
-partitioning), no row explosion, any key cardinality.
+``last(struct(right_payload), ignorenulls=True)`` carries the most
+recent right row forward onto each left row. Exactly one shuffle (the
+window partitioning), no row explosion, any key cardinality.
+
+The payload travels as a single struct so every output column comes
+from the SAME matched right row — matching DuckDB ``ASOF JOIN``, which
+returns the matched row wholesale including its legitimate NULLs.
+(Carrying columns independently would let an older row's non-null value
+leak into a newer row's NULL slot.)
 
 Equal timestamps match (right sorts before left at the same ts). The
 right side must be unique per (key, ts) — pre-aggregate it if not —
@@ -31,19 +37,26 @@ def as_of_join(
 ) -> DataFrame:
     """Backward as-of join: left columns + ``right_payload`` columns
     (null where no right row is at-or-before the left timestamp)."""
+    from pyspark.sql.types import StructField, StructType
+
     left_cols = left.columns
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in right_payload]
+    )
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r = right.select(
         *on,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        # One struct per right row: the window's last() then carries the
+        # whole matched row, so a NULL inside the payload stays NULL.
+        F.struct(*[F.col(c) for c in right_payload]).alias("__r"),
     ).select(*l.columns)  # align column order for the union
 
     w = (
@@ -52,13 +65,9 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_payload
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     return merged.filter(F.col("__side") == 1).select(
         *left_cols,
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_payload],
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in right_payload],
     )

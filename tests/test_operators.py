@@ -319,3 +319,25 @@ def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
     # only sometimes shares a bucket — require agreement > 0, not recall
     agree = sum(1 for vid in a if a[vid][0] == e[vid][0])
     assert agree >= 1
+
+
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A matched right row's legitimate NULL must survive — an older
+    row's non-null value must NOT leak in (DuckDB ASOF returns the
+    matched row wholesale)."""
+    from sahithi_metamorph_etl_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=10), Row(k="a", ts=20)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=5, price=1.0, note="x"), Row(k="a", ts=15, price=None, note="y")],
+        "k string, ts long, price double, note string",
+    )
+    out = {
+        r["ts"]: (r["asof_price"], r["asof_note"])
+        for r in as_of_join(left, right, ["k"], "ts", "ts", ["price", "note"]).collect()
+    }
+    assert out[10] == (1.0, "x")
+    # ts=20 matches the ts=15 row: price is genuinely NULL there
+    assert out[20] == (None, "y")
