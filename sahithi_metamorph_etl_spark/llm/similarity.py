@@ -34,7 +34,32 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+    # clamped so zero vectors score 0, not NaN (0/eps = 0)
+    return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12))
+
+
+def _bounded_query_rows(embeddings, id_col, vec_col, query_filter, max_queries, op_name):
+    """Collect the query set with an explicit bound — an unbounded
+    ``collect()`` of the whole corpus is a driver OOM at scale, so it is
+    a usage error, not a silent default."""
+    q = embeddings.select(F.col(id_col), F.col(vec_col))
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    elif max_queries is None:
+        raise ValueError(
+            f"{op_name}: pass query_filter to bound the query set, or set "
+            "max_queries explicitly — collecting the full corpus as queries "
+            "is O(N x N) and a driver OOM at scale"
+        )
+    if max_queries is not None:
+        rows = q.limit(max_queries + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"{op_name}: query set exceeds max_queries={max_queries}; "
+                "tighten query_filter or raise the cap deliberately"
+            )
+        return rows
+    return q.collect()
 
 
 
@@ -45,6 +70,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 8,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (vec_id, rank, neighbor_id, cos_sim).
 
@@ -63,16 +89,15 @@ def cosine_topk_bruteforce(
     """
     import numpy as np
 
-    q = embeddings.select(F.col(id_col), F.col(vec_col))
-    if query_filter is not None:
-        q = q.filter(query_filter)
-    qrows = q.collect()  # bounded query set, scalars only at scale
+    qrows = _bounded_query_rows(
+        embeddings, id_col, vec_col, query_filter, max_queries, "cosine_topk_bruteforce"
+    )
     if not qrows:
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
 
     rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -89,7 +114,7 @@ def cosine_topk_bruteforce(
             if len(pdf) == 0:
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             t = qm @ cm.T
             # half-AWAY-from-zero (functions.money.dround twin): np.round
             # is half-to-even and can disagree with the oracle on .5 ties
@@ -140,12 +165,14 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 8,
+    max_corpus_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim)
     for every a < b with cosine >= threshold — the exact O(N^2)
-    correctness baseline for embedding dedup. At corpus scale, run the
-    same exact scoring only within :func:`hyperplane_lsh_topk`-style
-    buckets instead of the full cross join.
+    correctness baseline for embedding dedup, bounded by
+    ``max_corpus_rows`` (it broadcasts one full side by closure). The
+    production-scale path is :func:`lsh_near_dup_pairs`, which never
+    collects and scores only within LSH buckets.
 
     Scale design: one side of the N x N comparison is shipped to
     executors as a unit-normalized float64 matrix; the other side
@@ -157,10 +184,16 @@ def cosine_near_dup_pairs(
     """
     import numpy as np
 
-    rows = embeddings.select(F.col(id_col), F.col(vec_col)).collect()
+    rows = embeddings.select(F.col(id_col), F.col(vec_col)).limit(max_corpus_rows + 1).collect()
+    if len(rows) > max_corpus_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs: corpus exceeds max_corpus_rows={max_corpus_rows}; "
+            "this exact all-pairs baseline broadcasts one full side — use "
+            "lsh_near_dup_pairs for open-ended corpora"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([r[1] for r in rows], dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
     rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("cv"))
@@ -173,7 +206,7 @@ def cosine_near_dup_pairs(
             if len(pdf) == 0:
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             t = m @ cm.T
             # half-away-from-zero rounding (dround twin)
             sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
@@ -188,6 +221,97 @@ def cosine_near_dup_pairs(
     return corpus.mapInPandas(score_partition, schema="vec_a bigint, vec_b bigint, cos_sim double")
 
 
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 24,
+    band_planes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded hyperplane LSH —
+    the fully distributed scale path (nothing is ever collected to the
+    driver; contrast :func:`cosine_near_dup_pairs`, the bounded exact
+    oracle twin).
+
+    Shape: (1) one ``mapInPandas`` pass signs each vector against
+    ``n_bands x band_planes`` seeded hyperplanes and emits one
+    (band, bucket) row per band — zero shuffle; (2) ``applyInPandas``
+    per (band, bucket) group runs the exact BLAS all-pairs scoring
+    WITHIN the bucket only and keeps pairs >= threshold; (3) one
+    ``dropDuplicates`` merges pairs that collided in several bands
+    (scores are identically rounded, so the merge is exact). Two
+    shuffles total, both keyed finer than the data (band x bucket).
+
+    A pair at exactly the threshold collides in a band with
+    p = (1 - acos(t)/pi)^band_planes; missing all bands is
+    (1-p)^n_bands — ~5e-6 at t=0.4 with the defaults, and the planes
+    are seeded, so results are deterministic. At production thresholds
+    (~0.95) raise ``band_planes`` to 8-16 so buckets shrink ~2^-planes
+    and within-bucket work stays sub-quadratic.
+    """
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_planes, dim))
+    rf = float(10**round_scale)
+    nb, bp = n_bands, band_planes
+
+    src = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    def assign_buckets(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = (2 ** np.arange(bp)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            bits = (m @ planes.T >= 0).astype(np.int64)  # (n, nb*bp)
+            buckets = bits.reshape(len(m), nb, bp) @ weights  # (n, nb)
+            ids = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "band": np.repeat(np.arange(nb, dtype=np.int32), len(m)),
+                    "bucket": buckets.T.reshape(-1),
+                    "vec_id": np.tile(ids, nb),
+                    "v": list(pdf["v"]) * nb,
+                }
+            )
+            yield out
+
+    banded = src.mapInPandas(
+        assign_buckets, schema=f"band int, bucket bigint, vec_id bigint, v {src.schema['v'].dataType.simpleString()}"
+    )
+
+    def score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        t = m @ m.T
+        sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf  # dround twin
+        ids = pdf["vec_id"].to_numpy()
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "cos_sim": sims[ai, bi]}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+    pairs = banded.groupBy("band", "bucket").applyInPandas(
+        score_bucket, schema="vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    return pairs.dropDuplicates(["vec_a", "vec_b"])
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -199,6 +323,7 @@ def ivf_topk(
     round_scale: int = 8,
     seed: int = 42,
     train_sample: int = 2048,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer twin
     of :func:`hyperplane_lsh_topk`.
@@ -216,7 +341,7 @@ def ivf_topk(
     rng = np.random.default_rng(seed)
     sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
     xs = np.array([r[0] for r in sample], dtype=np.float64)
-    xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
     cents = xs[rng.choice(len(xs), size=min(n_lists, len(xs)), replace=False)]
     for _ in range(5):  # Lloyd on cosine (all unit vectors -> dot argmax)
         assign = (xs @ cents.T).argmax(axis=1)
@@ -224,18 +349,17 @@ def ivf_topk(
             members = xs[assign == j]
             if len(members):
                 c = members.mean(axis=0)
-                cents[j] = c / np.linalg.norm(c)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
 
-    q = embeddings.select(F.col(id_col), F.col(vec_col))
-    if query_filter is not None:
-        q = q.filter(query_filter)
-    qrows = q.collect()  # bounded query set
+    qrows = _bounded_query_rows(
+        embeddings, id_col, vec_col, query_filter, max_queries, "ivf_topk"
+    )
     if not qrows:
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     # each query probes its n_probe nearest lists
     q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
 
@@ -254,7 +378,7 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             c_assign = (cm @ cents.T).argmax(axis=1)
             t = qm @ cm.T
             # half-AWAY-from-zero (functions.money.dround twin): np.round

@@ -18,6 +18,7 @@ from ..llm.similarity import (
     cosine_topk_bruteforce,
     hyperplane_lsh_topk,
     ivf_topk,
+    lsh_near_dup_pairs,
 )
 from ..llm.textstats import (
     bpe_token_count,
@@ -254,6 +255,15 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
 def emb_cosine_near_dup(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+@register("emb_lsh_near_dup", oracle=_NEAR_DUP_ORACLE,
+          doc="Banded hyperplane-LSH near-dup pairs (24 bands x 2 planes), exact-rescored "
+              "within buckets — the fully distributed scale path (no driver collect); "
+              "checked against the exact all-pairs oracle: full recall at these params")
+def emb_lsh_near_dup(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, threshold=0.4)
 
 
 # --- end-to-end corpus cleaning pipeline ------------------------------------

@@ -341,3 +341,50 @@ def test_asof_join_null_payload_not_backfilled(spark):
     assert out[10] == (1.0, "x")
     # ts=20 matches the ts=15 row: price is genuinely NULL there
     assert out[20] == (None, "y")
+
+
+def test_lsh_near_dup_matches_exact(spark, sf_dir):
+    """The distributed bucketed path recalls every exact pair at these
+    params (miss prob ~5e-6/pair, seeded planes => deterministic)."""
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.vec_a, r.vec_b, r.cos_sim) for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r.vec_a, r.vec_b, r.cos_sim) for r in lsh_near_dup_pairs(emb, threshold=0.4).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_unbounded_query_collects_rejected(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="query_filter"):
+        cosine_topk_bruteforce(emb, k=3)
+    with pytest.raises(ValueError, match="query_filter"):
+        ivf_topk(emb, k=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_bruteforce(emb, k=3, max_queries=10)
+    with pytest.raises(ValueError, match="max_corpus_rows"):
+        cosine_near_dup_pairs(emb, max_corpus_rows=10)
+    # explicit cap >= query-set size works without a filter
+    assert cosine_topk_bruteforce(emb.limit(5), k=2, max_queries=5).count() > 0
+
+
+def test_zero_norm_vectors_score_zero_not_nan(spark):
+    import math
+
+    from sahithi_metamorph_etl_spark.llm.similarity import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = cosine_topk_bruteforce(emb, k=2, query_filter=F.col("vec_id") == 2).collect()
+    assert rows and all(not math.isnan(r.cos_sim) and r.cos_sim == 0.0 for r in rows)
