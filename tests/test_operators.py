@@ -266,16 +266,17 @@ def test_sketches_within_relative_error(spark, sf_dir):
     from sahithi_metamorph_etl_spark.sources.readers import read_testdata
 
     li = read_testdata(spark, sf_dir, "lineitem")
-    approx = get_query("sketch_distinct_counts").fn(spark, sf_dir).first()
-    for col, key in [("approx_orders", "l_orderkey"), ("approx_parts", "l_partkey")]:
+    dc = {r["metric"]: r for r in get_query("sketch_distinct_counts").fn(spark, sf_dir).collect()}
+    assert set(dc) == {"orders", "parts", "suppliers"}
+    for metric, key in [("orders", "l_orderkey"), ("parts", "l_partkey")]:
         exact = li.select(key).distinct().count()
-        assert abs(approx[col] - exact) / exact < 0.05, (col, approx[col], exact)
+        assert dc[metric]["exact_distinct"] == exact
+        assert dc[metric]["sketch_ok"], (metric, dc[metric])
 
-    o = read_testdata(spark, sf_dir, "orders")
-    qs = get_query("sketch_price_percentiles").fn(spark, sf_dir).first()
-    for p, col in [(0.5, "p50"), (0.95, "p95")]:
-        lo, hi = o.approxQuantile("o_totalprice", [max(p - 0.02, 0.0), min(p + 0.02, 1.0)], 0.001)
-        assert lo <= qs[col] <= hi, (col, qs[col], lo, hi)
+    qs = {r["pctl"]: r for r in get_query("sketch_price_percentiles").fn(spark, sf_dir).collect()}
+    assert set(qs) == {"p50", "p80", "p95", "p99"}
+    assert all(r["sketch_ok"] for r in qs.values()), qs
+    assert qs["p50"]["exact_value"] <= qs["p99"]["exact_value"]
 
 
 def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
@@ -388,3 +389,36 @@ def test_zero_norm_vectors_score_zero_not_nan(spark):
     )
     rows = cosine_topk_bruteforce(emb, k=2, query_filter=F.col("vec_id") == 2).collect()
     assert rows and all(not math.isnan(r.cos_sim) and r.cos_sim == 0.0 for r in rows)
+
+
+def test_simhash_pairs_exact_within_radius_and_recalls_jaccard(spark, sf_dir):
+    """Chunk-bucket candidates are pigeonhole-exact for hamming <= 3:
+    output must equal brute-force over signatures, and (data check) the
+    pairs it finds are real near-dups per exact Jaccard."""
+    import itertools
+
+    from sahithi_metamorph_etl_spark.llm.dedup import jaccard_pairs, simhash64, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = {r.doc_id: r.simhash & ((1 << 64) - 1) for r in simhash64(docs).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    mine = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_pairs(docs).collect()}
+    assert mine == brute and len(brute) > 0
+    jac = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+    found = {(a, b) for a, b, _ in mine}
+    assert found <= jac  # hamming<=3 pairs are genuine 0.8-jaccard near-dups here
+    assert len(found) / len(jac) >= 0.5  # and a substantial share is recalled
+
+
+def test_simhash_pairs_rejects_radius_beyond_guarantee(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.llm.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(docs, n_chunks=5, max_hamming=3)
