@@ -54,6 +54,10 @@ def main() -> None:
     # timed pass measures steady-state query time, not JVM cold start
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # each invocation persists its own intermediates; drop them so
+        # repeat runs neither re-cache identical plans (WARN CacheManager
+        # noise) nor accumulate blocks across the pass
+        spark.catalog.clearCache()
 
     # best-of-2 timed passes: single runs on a shared machine swing by
     # seconds from GC/scheduler noise; the minimum is the stable
@@ -65,6 +69,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
+            spark.catalog.clearCache()
 
     print(
         json.dumps(

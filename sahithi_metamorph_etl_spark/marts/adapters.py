@@ -45,8 +45,11 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     lineitem = read_testdata(spark, sf_dir, "lineitem")
     orders = read_testdata(spark, sf_dir, "orders")
 
-    # supplier table is tiny (10..1000 rows); one count action is fine
-    n_supp = supplier.count()
+    # |supplier| is needed for the p_partkey % n_supp assignment. Keep it
+    # in-plan: a 1-row count aggregate broadcast-cross-joined onto part,
+    # so building the products frame stays lazy (no driver action here,
+    # nothing to re-fire on retries).
+    n_supp_scalar = F.broadcast(supplier.agg(F.count(F.lit(1)).alias("__n_supp")))
 
     suppliers = supplier.select(
         _tagged_id("S", F.col("s_suppkey"), 6).alias("SUPPLIER_ID"),
@@ -55,7 +58,7 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("s_nationkey").cast("string").alias("REGION"),
     )
 
-    products = part.select(
+    products = part.crossJoin(n_supp_scalar).select(
         _tagged_id("P", F.col("p_partkey"), 6).alias("PRODUCT_ID"),
         F.col("p_name").alias("PRODUCT_NAME"),
         F.col("p_type").alias("CATEGORY"),
@@ -63,7 +66,7 @@ def tpch_entities(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         dround(F.col("p_retailprice") * 0.7, 2).alias("COST_PRICE"),
         ((F.col("p_partkey") % 97) * 25 + F.col("p_size")).cast("bigint").alias("STOCK_QUANTITY"),
         ((F.col("p_partkey") % 13) * 40).cast("bigint").alias("REORDER_LEVEL"),
-        _tagged_id("S", F.col("p_partkey") % n_supp, 6).alias("SUPPLIER_ID"),
+        _tagged_id("S", F.col("p_partkey") % F.col("__n_supp"), 6).alias("SUPPLIER_ID"),
     )
 
     customers = customer.select(

@@ -28,18 +28,26 @@ FROM events GROUP BY 1, 2
               "dedup; over a bounded stream the emitted set equals SELECT DISTINCT keys")
 def events_stream_dedup(spark, sf_dir):
     import os
+    import shutil
     import tempfile
 
-    from ..streaming.events import events_stream, run_stream_to_memory
+    from ..streaming.events import events_stream, nanos_as_long, run_stream_to_memory
     from ..streaming.stateful import dedup_stream_first_seen
 
     # the file-stream source watches a DIRECTORY; expose the single
-    # events.parquet through a symlinked staging dir
+    # events.parquet through a symlinked staging dir. The stream runs to
+    # completion inside run_stream_to_memory, so the staging dir and the
+    # legacy-parquet conf are both released before returning — repeated
+    # invocations leak nothing and unrelated reads see the prior conf.
     staging = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
-    stream = events_stream(spark, staging)
-    out = dedup_stream_first_seen(stream, ["user_id", "event_type"])
-    return run_stream_to_memory(out, "events_stream_dedup_mem", output_mode="update")
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+        with nanos_as_long(spark):
+            stream = events_stream(spark, staging)
+            out = dedup_stream_first_seen(stream, ["user_id", "event_type"])
+            return run_stream_to_memory(out, "events_stream_dedup_mem", output_mode="update")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 _TUMBLING_ORACLE = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -43,6 +43,14 @@ class DiffResult:
     mismatched_cells: DataFrame   # keys + column_name + source/target values
     source_only: DataFrame        # rows with keys absent from target
     target_only: DataFrame        # rows with keys absent from source
+    _cached: DataFrame | None = None  # the persisted PK join backing the members
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the persisted PK-join blocks once the caller is done
+        acting on the members. Long-lived sessions that diff repeatedly
+        should call this rather than relying on LRU eviction."""
+        if self._cached is not None:
+            self._cached.unpersist(blocking)
 
 
 def _one(df: DataFrame, col: str) -> DataFrame:
@@ -118,4 +126,5 @@ def diff(
         mismatched_cells=cells,
         source_only=source_only,
         target_only=target_only,
+        _cached=common,
     )

@@ -16,6 +16,8 @@ transformations; file-source streaming is used for tests and backfill.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,9 +36,40 @@ _EVENTS_RAW = T.StructType(
 )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextlib.contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scope ``spark.sql.legacy.parquet.nanosAsLong=true`` (required to
+    scan the testdata's nanosecond ``ts`` as long) around a bounded
+    stream's define+run, restoring the prior session value afterwards so
+    unrelated parquet reads in a long-lived session are unaffected.
+
+    The conf is read at scan time (each micro-batch), so the scope must
+    cover the stream's execution, not just its definition.
+    """
+    try:
+        old = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        old = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, old)
+
+
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of the events table (one file = one batch)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of the events table (one file = one batch).
+
+    Callers driving the stream should wrap define+run in
+    :func:`nanos_as_long`; this set is kept for direct/test use and is
+    idempotent under the scope."""
+    spark.conf.set(_NANOS_CONF, "true")
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
