@@ -19,6 +19,35 @@ def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def dedupe_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep exactly ONE row per key, deterministically.
+
+    ``dropDuplicates`` keeps an arbitrary row (whichever partition wins);
+    here the survivor is the first row under ``order_by`` (default: all
+    non-key columns ascending, nulls last — a total order over the
+    payload so reruns and engine changes keep the same row). One shuffle
+    on the keys; the window ranks within each key group only.
+    """
+    from pyspark.sql import Window
+
+    if order_by is None:
+        order_by = [
+            F.col(c).asc_nulls_last() for c in df.columns if c not in keys
+        ]
+        if not order_by:  # key-only frame: rows are indistinguishable
+            return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def two_level_aggregate(
     df: DataFrame,
     fine_keys: list[str],

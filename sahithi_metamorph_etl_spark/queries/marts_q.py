@@ -126,9 +126,7 @@ def mart_product_performance(spark, sf_dir):
     return build_product_performance(e["sales"], e["products"], RUN_DATE)
 
 
-_CSR_ORACLE = f"""
-WITH {ORACLE_ENTITY_CTES},
-{_SUPPLIER_MART_CTES},
+_CSR_BODY = f"""
 csr_fil AS (SELECT * FROM sales WHERE ORDER_STATUS <> 'Cancelled'),
 csr_jnr AS (
     SELECT f.SALE_ID, f.CUSTOMER_ID, f.PRODUCT_ID, f.QUANTITY, f.DISCOUNT, f.SALE_DATE,
@@ -192,6 +190,12 @@ LEFT JOIN tiers t ON m.CUSTOMER_ID = t.CUSTOMER_ID
 LEFT JOIN top_sellers ts ON m.PRODUCT_NAME = ts.TOP_SELLING_PRODUCT
 """
 
+_CSR_ORACLE = f"""
+WITH {ORACLE_ENTITY_CTES},
+{_SUPPLIER_MART_CTES},
+{_CSR_BODY}
+"""
+
 
 @register("mart_customer_sales_report", oracle=_CSR_ORACLE,
           doc="Customer sales report mart (quantile loyalty tiers, top-performer flag)")
@@ -201,3 +205,60 @@ def mart_customer_sales_report(spark, sf_dir):
     return build_customer_sales_report(
         e["sales"], e["products"], e["customers"], sp, RUN_DATE
     )
+
+
+# --- full-pipeline composition (reference entry point 1) --------------------
+#
+# The flow's ingest stage deduplicates SALE_ID deterministically before
+# the Q1 gate (marts/flow.py), so the oracle's `sales` CTE is the entity
+# CTE wrapped in the same keep-first row_number — survivor = first row
+# under all-payload-columns ASC NULLS LAST, matching
+# operators.aggregates.dedupe_by_key's default ordering.
+_DEDUP_ORDER = ", ".join(
+    f"{c} ASC NULLS LAST"
+    for c in ["CUSTOMER_ID", "PRODUCT_ID", "SALE_DATE", "QUANTITY",
+              "DISCOUNT", "SHIPPING_COST", "ORDER_STATUS", "PAYMENT_MODE"]
+)
+_ENTITY_CTES_DEDUP = ORACLE_ENTITY_CTES.replace("sales AS (", "sales_all AS (", 1) + f""",
+sales AS (
+    SELECT SALE_ID, CUSTOMER_ID, PRODUCT_ID, SALE_DATE, QUANTITY,
+           DISCOUNT, SHIPPING_COST, ORDER_STATUS, PAYMENT_MODE
+    FROM (SELECT *, row_number() OVER (PARTITION BY SALE_ID ORDER BY {_DEDUP_ORDER}) AS __rn
+          FROM sales_all)
+    WHERE __rn = 1
+)"""
+
+_PIPELINE_ORACLE = f"""
+WITH {_ENTITY_CTES_DEDUP},
+{_SUPPLIER_MART_CTES},
+{_CSR_BODY}
+"""
+
+
+@register("pipeline_customer_sales_report", oracle=_PIPELINE_ORACLE,
+          doc="Reference entry point 1 END-TO-END: run_pipeline executes the full DAG "
+              "([suppliers,products,customers] >> sales >> 3 marts) with Q1 gates into a "
+              "layered warehouse; returns the landed customer mart slice read back with "
+              "partition pruning")
+def pipeline_customer_sales_report(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..marts.flow import run_metamorph_pipeline
+    from ..sinks.warehouse import LayeredWarehouse
+
+    # stable per-sf root under the system temp dir: every layer write is
+    # mode=overwrite, so reruns replace files instead of accumulating
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"metamorph_wh_{tag}")
+    run_metamorph_pipeline(spark, sf_dir, root, RUN_DATE)
+    wh = LayeredWarehouse(root)
+    out = wh.read_legacy(spark, "customer_sales_report", RUN_DATE)
+    # project to the mart's declared column order (the partition column
+    # comes back last from a partitioned read)
+    cols = ["DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
+            "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
+            "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
+            "LOAD_TSTMP"]
+    return out.select(*cols)

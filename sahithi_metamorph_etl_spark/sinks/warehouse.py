@@ -76,6 +76,35 @@ class LayeredWarehouse:
         )
         return table
 
+    def serve_jdbc(
+        self,
+        df: DataFrame,
+        url: str,
+        table: str,
+        mode: str = "overwrite",
+        schema: str | None = None,
+        **options,
+    ) -> None:
+        """Serving extract to a JDBC database (reference S7,
+        `utils.py:145-163`): parquet stays the system of record, the
+        relational copy serves dashboards/APIs. ``schema`` triggers the
+        bootstrap DDL hook (S9, `Raptor.py:41-57`) before the write.
+        Overwrite defaults to ``truncate`` semantics upstream — see
+        sinks.jdbc for the scale knobs (batchsize, numPartitions)."""
+        from .jdbc import ensure_schema, write_jdbc
+
+        ddl_runner = options.pop("ddl_runner", None)
+        if schema is not None:
+            ensure_schema(
+                df.sparkSession,
+                schema,
+                url=url,
+                user=options.get("user"),
+                password=options.get("password"),
+                ddl_runner=ddl_runner,
+            )
+        write_jdbc(df, url, table, mode=mode, **options)
+
     def read_raw(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._path("raw", f"{name}_pre"))
 

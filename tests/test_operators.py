@@ -422,3 +422,19 @@ def test_simhash_pairs_rejects_radius_beyond_guarantee(spark, sf_dir):
         simhash_pairs(docs, max_hamming=4, n_chunks=4)
     with pytest.raises(ValueError, match="divide"):
         simhash_pairs(docs, n_chunks=5, max_hamming=3)
+
+
+def test_dedupe_by_key_keeps_deterministic_survivor(spark):
+    from sahithi_metamorph_etl_spark.operators.aggregates import dedupe_by_key
+
+    df = spark.createDataFrame(
+        [("k1", 2, "b"), ("k1", 1, "a"), ("k1", 1, None), ("k2", 5, "z")],
+        "id string, n int, s string",
+    )
+    out = dedupe_by_key(df, ["id"]).orderBy("id").collect()
+    assert [(r.id, r.n, r.s) for r in out] == [("k1", 1, "a"), ("k2", 5, "z")]
+    # custom ordering flips the survivor
+    from pyspark.sql import functions as F
+
+    out2 = dedupe_by_key(df, ["id"], order_by=[F.col("n").desc()]).orderBy("id").collect()
+    assert out2[0].n == 2

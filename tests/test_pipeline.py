@@ -1,0 +1,124 @@
+"""Pipeline runner (reference entry point 1) tests: the generic DAG
+executor's ordering/retry/skip semantics, plus the full
+ingestion→marts flow end-to-end on sf0.001 with the Q1 quality gates."""
+
+from __future__ import annotations
+
+import pytest
+
+from sahithi_metamorph_etl_spark.core.pipeline import (
+    PipelineFailure,
+    PipelineTask,
+    run_pipeline,
+)
+from sahithi_metamorph_etl_spark.marts import RUN_DATE
+from sahithi_metamorph_etl_spark.marts import flow as flow_mod
+from sahithi_metamorph_etl_spark.marts.flow import run_metamorph_pipeline
+from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+from sahithi_metamorph_etl_spark.validators.checks import DuplicateKeyError
+
+
+def _t(name, fn, deps=(), **kw):
+    return PipelineTask(name, fn, deps=tuple(deps), **kw)
+
+
+def test_runs_in_dependency_order_and_passes_results():
+    log = []
+    runs = run_pipeline(
+        [
+            # declared out of order on purpose
+            _t("c", lambda up: log.append("c") or up["a"] + up["b"], deps=["a", "b"]),
+            _t("a", lambda up: log.append("a") or 1),
+            _t("b", lambda up: log.append("b") or 2),
+        ]
+    )
+    assert log == ["a", "b", "c"]
+    assert runs["c"].result == 3
+    assert all(r.status == "success" for r in runs.values())
+
+
+def test_retries_then_succeeds():
+    calls = []
+
+    def flaky(_):
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    runs = run_pipeline([_t("x", flaky, retries=3, retry_delay_s=60)], sleep=lambda s: None)
+    assert runs["x"].status == "success"
+    assert runs["x"].attempts == 3
+
+
+def test_failure_skips_downstream_but_runs_independent_branch():
+    ran = []
+
+    def boom(_):
+        raise RuntimeError("hard failure")
+
+    with pytest.raises(PipelineFailure) as ei:
+        run_pipeline(
+            [
+                _t("bad", boom, retries=1),
+                _t("child", lambda up: ran.append("child"), deps=["bad"]),
+                _t("grandchild", lambda up: ran.append("gc"), deps=["child"]),
+                _t("other", lambda up: ran.append("other")),
+            ]
+        )
+    runs = ei.value.runs
+    assert runs["bad"].status == "failed" and runs["bad"].attempts == 2
+    assert runs["child"].status == "skipped"
+    assert runs["grandchild"].status == "skipped"
+    assert runs["other"].status == "success"
+    assert ran == ["other"]
+
+
+def test_cycle_and_unknown_dep_rejected():
+    with pytest.raises(ValueError, match="cycle"):
+        run_pipeline([_t("a", lambda u: 1, deps=["b"]), _t("b", lambda u: 1, deps=["a"])])
+    with pytest.raises(ValueError, match="unknown"):
+        run_pipeline([_t("a", lambda u: 1, deps=["ghost"])])
+    with pytest.raises(ValueError, match="duplicate"):
+        run_pipeline([_t("a", lambda u: 1), _t("a", lambda u: 2)])
+
+
+def test_metamorph_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "wh")
+    runs = run_metamorph_pipeline(spark, sf_dir, root, RUN_DATE)
+    assert [n for n, r in runs.items() if r.status == "success"] == [
+        "ingest_suppliers",
+        "ingest_products",
+        "ingest_customers",
+        "ingest_sales",
+        "supplier_performance",
+        "product_performance",
+        "customer_sales_report",
+    ]
+    wh = LayeredWarehouse(root)
+    report = wh.read_legacy(spark, "customer_sales_report", RUN_DATE)
+    assert report.limit(1).count() == 1
+    for c in ("CUSTOMER_ID", "LOYALTY_TIER", "DAY_DT"):
+        assert c in report.columns
+    # the supplier mart slice the customer mart consumed is also landed
+    assert wh.read_legacy(spark, "supplier_performance", RUN_DATE).limit(1).count() == 1
+
+
+def test_metamorph_pipeline_q1_gate_fires(spark, sf_dir, tmp_path, monkeypatch):
+    real = flow_mod.tpch_entities
+
+    def with_dup_suppliers(s, d):
+        e = real(s, d)
+        e["suppliers"] = e["suppliers"].unionAll(e["suppliers"].limit(1))
+        return e
+
+    monkeypatch.setattr(flow_mod, "tpch_entities", with_dup_suppliers)
+    with pytest.raises(PipelineFailure) as ei:
+        run_metamorph_pipeline(spark, sf_dir, str(tmp_path / "wh2"), RUN_DATE)
+    runs = ei.value.runs
+    assert runs["ingest_suppliers"].status == "failed"
+    assert isinstance(runs["ingest_suppliers"].error, DuplicateKeyError)
+    # sales depends on ALL ingests -> skipped; independent ingests ran
+    assert runs["ingest_sales"].status == "skipped"
+    assert runs["customer_sales_report"].status == "skipped"
+    assert runs["ingest_products"].status == "success"

@@ -58,3 +58,92 @@ def test_rows_from_records_callable_source(spark):
         spark, lambda: [{"PRODUCT_ID": "P9", "SELLING_PRICE": 2.5, "STOCK_QUANTITY": 1}], _SCHEMA
     )
     assert df.count() == 1
+
+
+# --- TokenClient (S2 auth, reference utils.py:65-105) -----------------------
+
+
+class _FakeResp:
+    def __init__(self, status, payload=None, text=""):
+        self.status_code = status
+        self._payload = payload
+        self.text = text
+
+    def json(self):
+        if isinstance(self._payload, Exception):
+            raise self._payload
+        return self._payload
+
+
+class _FakeTransport:
+    def __init__(self, token_resp, get_resps):
+        self.token_resp = token_resp
+        self.get_resps = list(get_resps)
+        self.calls = []
+
+    def post(self, url, data=None):
+        self.calls.append(("post", url, data))
+        return self.token_resp
+
+    def get(self, url, headers=None):
+        self.calls.append(("get", url, headers))
+        return self.get_resps.pop(0)
+
+
+def _client(token_resp, get_resps):
+    from sahithi_metamorph_etl_spark.sources.rest import TokenClient
+
+    t = _FakeTransport(token_resp, get_resps)
+    return TokenClient("http://api/", "u", "pw", transport=t), t
+
+
+def test_token_client_bearer_flow_and_cache(spark):
+    cli, t = _client(
+        _FakeResp(200, {"access_token": "tok123"}),
+        [_FakeResp(200, [{"PRODUCT_ID": "P1", "SELLING_PRICE": 1.0, "STOCK_QUANTITY": 2}]),
+         _FakeResp(200, [])],
+    )
+    df = rows_from_records(spark, cli.records("v2/products"), _SCHEMA)
+    assert df.count() == 1
+    cli.fetch("v2/products")  # second call: token is cached, no second POST
+    posts = [c for c in t.calls if c[0] == "post"]
+    gets = [c for c in t.calls if c[0] == "get"]
+    assert len(posts) == 1
+    assert posts[0][1] == "http://api/token"
+    assert posts[0][2] == {"username": "u", "password": "pw"}
+    assert all(g[2] == {"Authorization": "Bearer tok123"} for g in gets)
+    assert gets[0][1] == "http://api/v2/products"
+
+
+def test_token_client_refreshes_once_on_401():
+    cli, t = _client(
+        _FakeResp(200, {"access_token": "tokA"}),
+        [_FakeResp(401, text="expired"), _FakeResp(200, {"ok": True})],
+    )
+    assert cli.fetch("v2/customers") == {"ok": True}
+    assert len([c for c in t.calls if c[0] == "post"]) == 2  # initial + refresh
+
+
+def test_token_client_errors():
+    import pytest
+
+    from sahithi_metamorph_etl_spark.sources.rest import RestApiError
+
+    cli, _ = _client(_FakeResp(500, text="boom"), [])
+    with pytest.raises(RestApiError, match="token generation failed"):
+        cli.token()
+
+    cli, _ = _client(_FakeResp(200, {}), [])
+    with pytest.raises(RestApiError, match="token not found"):
+        cli.token()
+
+    cli, _ = _client(_FakeResp(200, {"access_token": "t"}), [_FakeResp(404)])
+    with pytest.raises(RestApiError, match="not found"):
+        cli.fetch("missing")
+
+    cli, _ = _client(
+        _FakeResp(200, {"access_token": "t"}),
+        [_FakeResp(200, ValueError("bad json"))],
+    )
+    with pytest.raises(RestApiError, match="parse JSON"):
+        cli.fetch("v2/products")
