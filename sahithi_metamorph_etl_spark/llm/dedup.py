@@ -109,6 +109,35 @@ def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> Data
     )
 
 
+def _shingle_hash_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, array<bigint>) of DISTINCT xxhash64 shingle hashes per doc —
+    tokenize, shingle, hash all inside JVM whole-stage codegen; Python
+    never touches a string. Docs with < n tokens yield an empty array.
+
+    Same projection-boundary discipline as :func:`word_shingles`: the
+    token array and the shingle array are each materialized before the
+    HOF that consumes them, so lambdas see attribute references (the
+    split/concat work runs once per element, not per re-evaluation)."""
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("w"),
+    )
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = words.select(F.col(id_col), F.array_distinct(grams).alias("__sh"))
+    return sh.select(
+        F.col(id_col), F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__hs")
+    )
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int, int]]:
     rng = random.Random(seed)
     return [
@@ -149,34 +178,26 @@ def minhash_lsh_pairs(
     perm_b = np.array([b for _, _, b in _perm_params(num_perm)], dtype=np.uint64)
     mersenne = np.uint64(_MERSENNE31)
 
-    # signature stage is ZERO-shuffle: each document's shingles, hashes
-    # and all num_perm mins are computed inside one Arrow batch pass
-    # (vectorized a*h+b mod p matrix per doc; a,h < 2^31 so the uint64
-    # product can't overflow); only |docs| x bands tiny signature rows
-    # ever leave the partition. Self-contained closure — pickles by
-    # value, no package refs on workers.
+    # signature stage is ZERO-shuffle and split JVM/Python at the right
+    # seam: tokenize→shingle→xxhash64 runs in whole-stage codegen
+    # (_shingle_hash_arrays — Python never sees a string), then one
+    # Arrow batch pass does the vectorized a*h+b mod p min-matrix per
+    # doc (a,h < 2^31 so the uint64 product can't overflow); only
+    # |docs| x bands tiny signature rows ever leave the partition.
+    # Self-contained closure — pickles by value, no package refs on
+    # workers. (The previous all-Python form md5-hashed every shingle
+    # in a Python loop — ~1.5M hashlib calls at sf0.1, the single
+    # hottest Python section in the bench.)
     def band_signatures(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out_id, out_band, out_sig = [], [], []
-            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                toks = (text or "").split()  # text is nullable per contract
-                if len(toks) < n:
+            for doc_id, hs_list in zip(pdf["__id"], pdf["__hs"]):
+                if hs_list is None or len(hs_list) == 0:  # < n tokens
                     continue
-                shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                        for s in shingles
-                    ),
-                    dtype=np.uint64,
-                    count=len(shingles),
-                )
-                hs %= mersenne
+                hs = np.asarray(hs_list, dtype=np.int64).view(np.uint64) % mersenne
                 mins = ((hs[:, None] * perm_a[None, :] + perm_b[None, :]) % mersenne).min(axis=0)
                 for j in range(bands):
                     out_id.append(doc_id)
@@ -189,7 +210,8 @@ def minhash_lsh_pairs(
             )
 
     band_sigs = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _shingle_hash_arrays(df, text_col, id_col, n)
+        .withColumnRenamed(id_col, "__id")
         .mapInPandas(band_signatures, schema="__band_id bigint, band int, sig string")
         .withColumnRenamed("__band_id", id_col)
     )
@@ -215,8 +237,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_cand = word_shingles(df.join(cand_docs, id_col, "left_semi"), text_col, id_col, n)
-    exact = _jaccard_from_shingles(sh_cand, id_col, threshold=0.0)
-    return candidates.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+    exact = _jaccard_from_shingles(sh_cand, id_col, threshold=threshold)
+    return candidates.join(exact, ["doc_a", "doc_b"])
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
