@@ -6,6 +6,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Queries are executed with the noop sink so every output column is
 computed (a bare count() would let Catalyst prune the projections).
+
+METHODOLOGY (changed in round 2): the cache is cleared after every
+query invocation, so each timed run pays its own persist
+materializations — honest steady-state cost. Round 1's numbers let the
+second timed pass silently reuse the first pass's persisted
+intermediates (CacheManager re-cache warnings in the r01 tail), which
+flattered cache-heavy queries (marts, dedup) by ~30-50%. r01->r02
+per-query comparisons are therefore not apples-to-apples; the r02
+protocol is the truthful one. Shared-machine variance at sf0.1 is
+roughly +/-5s on the total.
 """
 
 from __future__ import annotations
@@ -79,6 +89,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "note": "cache cleared per invocation since r02 (each run pays its own "
+                        "persists); r01 reused cached intermediates across passes, so "
+                        "r01 per-query numbers are ~30-50% flattered on cache-heavy queries",
             }
         )
     )
