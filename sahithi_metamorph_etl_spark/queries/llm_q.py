@@ -154,6 +154,52 @@ def doc_bpe_tokens(spark, sf_dir):
     return bpe_token_count(read_testdata(spark, sf_dir, "documents"))
 
 
+# --- dataset splitting & sampling -------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SAMPLE_FRACS = {"en": 0.2, "zh": 0.8}  # downsample high-resource langs
+
+
+def _split_oracle():
+    from ..operators.sampling import o_hash_split
+
+    return (
+        f"SELECT doc_id, lang, {o_hash_split('doc_id', _SPLIT_WEIGHTS)} AS split "
+        "FROM documents"
+    )
+
+
+def _sample_oracle():
+    from ..operators.sampling import o_stratified_sample
+
+    pred = o_stratified_sample("doc_id", "lang", _SAMPLE_FRACS, default_fraction=1.0)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+@register("doc_train_split", oracle=_split_oracle(),
+          doc="Deterministic hash-bucket train/val/test split (90/5/5): membership is a "
+              "pure function of (doc_id, seed) — partitioning-independent, reproducible "
+              "across engines (md5 hex-prefix compare), zero shuffle")
+def doc_train_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS).select("doc_id", "lang", "split")
+
+
+@register("doc_stratified_sample", oracle=_sample_oracle(),
+          doc="Deterministic stratified downsampling by language (corpus rebalancing: "
+              "keep 20% en / 80% zh / 100% rest) — hash-bucket filter, no sampleBy "
+              "partition-dependence, zero shuffle")
+def doc_stratified_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _SAMPLE_FRACS, "lang", "doc_id", default_fraction=1.0
+    ).select("doc_id", "lang", "source")
+
+
 # --- deduplication ----------------------------------------------------------
 
 
@@ -188,6 +234,33 @@ WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.8
           doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8)")
 def doc_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS keeper
+FROM reach GROUP BY v
+"""
+
+
+@register("doc_dedup_clusters", oracle=_CLUSTER_ORACLE,
+          doc="Transitive near-dup CLUSTERS from the exact Jaccard pair list — "
+              "distributed hash-min connected components (one edges⋈labels join + "
+              "min-agg per round, pair-graph-sized, driver-controlled convergence); "
+              "the oracle is a DuckDB recursive-CTE reachability closure")
+def doc_dedup_clusters(spark, sf_dir):
+    from ..operators.graph import dedup_clusters
+
+    prs = jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup_clusters(prs)
 
 
 @register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,

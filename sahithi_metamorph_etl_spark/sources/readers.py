@@ -75,6 +75,29 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def dated_path(template: str, run_date, token: str = "{YYYYMMDD}") -> str:
+    """Expand a date-templated landing path (reference
+    `ingestion_task.py:204-205`: ``gs://…/{YYYYMMDD}/sales_{YYYYMMDD}.csv``
+    built by hand with ``datetime.today()``). ``run_date`` is an explicit
+    parameter — never "today" inside the engine (SURVEY.md §4
+    determinism rule), so backfills and reruns hit the intended day."""
+    if token not in template:
+        raise ValueError(f"template {template!r} does not contain {token!r}")
+    return template.replace(token, run_date.strftime("%Y%m%d"))
+
+
+def read_dated_csv(
+    spark: SparkSession,
+    template: str,
+    run_date,
+    schema: T.StructType,
+    **csv_kwargs,
+) -> DataFrame:
+    """Date-templated CSV ingestion (the reference's daily sales drop):
+    `dated_path` + contract-enforced `read_csv` with corrupt capture."""
+    return read_csv(spark, dated_path(template, run_date), schema, **csv_kwargs)
+
+
 def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
@@ -102,3 +125,20 @@ def read_jdbc_partitioned(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def jdbc_query_source(query: str, alias: str = "q") -> str:
+    """S5 query pushdown: wrap an arbitrary SQL query so the DATABASE
+    executes it and only its result crosses the wire — pass the return
+    value as ``table`` to :func:`read_jdbc_partitioned`.
+
+    The reference pulls whole tables and filters in Spark
+    (`Raptor.py:20-38`); pushing the query down turns a full-table
+    extract into a server-side scan (with the DB's own indexes), which
+    at serving-database scale is the difference between seconds and
+    hours. Spark's JDBC source accepts any derived table as ``dbtable``;
+    combine with ``partition_column`` on a numeric column of the QUERY
+    RESULT to keep the read parallel.
+    """
+    q = query.strip().rstrip(";")
+    return f"({q}) {alias}"

@@ -22,6 +22,7 @@ from sahithi_metamorph_etl_spark.operators.projection import (
 from sahithi_metamorph_etl_spark.operators.joins import join_on_clean_keys
 from sahithi_metamorph_etl_spark.operators.quantiles import tier_by_cutoffs
 from sahithi_metamorph_etl_spark.reconcile import diff
+from sahithi_metamorph_etl_spark.sources.readers import read_testdata
 from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
 from sahithi_metamorph_etl_spark.validators import (
     DuplicateKeyError,
@@ -438,3 +439,74 @@ def test_dedupe_by_key_keeps_deterministic_survivor(spark):
 
     out2 = dedupe_by_key(df, ["id"], order_by=[F.col("n").desc()]).orderBy("id").collect()
     assert out2[0].n == 2
+
+
+def test_connected_components_chain_and_clique(spark):
+    from sahithi_metamorph_etl_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (diameter 3) + triangle 10-11-12 + isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    cc = {r.vertex: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    cl = dedup_clusters(pairs).collect()
+    keepers = {r.doc_id for r in cl if r.keeper}
+    assert keepers == {1, 10, 20}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)
+
+
+def test_hash_split_deterministic_and_partition_independent(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.operators.sampling import hash_split
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", w).select("doc_id", "split").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(13), "doc_id", w).select("doc_id", "split").collect()
+    }
+    assert a == b  # membership survives repartitioning
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert 0.7 < c["train"] / n < 0.9  # rough proportions at 500 docs
+    assert c["val"] > 0 and c["test"] > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_stratified_sample_deterministic_subset(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.operators.sampling import stratified_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"en": 0.2}, "lang", "doc_id", default_fraction=1.0)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {r.doc_id for r in stratified_sample(
+        docs.repartition(7), {"en": 0.2}, "lang", "doc_id", default_fraction=1.0
+    ).select("doc_id").collect()}
+    assert kept == again
+    # non-en strata fully kept; en strictly downsampled
+    rows = docs.select("doc_id", "lang").collect()
+    non_en = {r.doc_id for r in rows if r.lang != "en"}
+    en = {r.doc_id for r in rows if r.lang == "en"}
+    assert non_en <= kept
+    assert 0 < len(kept & en) < len(en)
+
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\[0,1\]"):
+        stratified_sample(docs, {"en": 1.5}, "lang", "doc_id")

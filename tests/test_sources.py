@@ -147,3 +147,40 @@ def test_token_client_errors():
     )
     with pytest.raises(RestApiError, match="parse JSON"):
         cli.fetch("v2/products")
+
+
+# --- dated paths (reference daily sales drop) + JDBC query pushdown ---------
+
+
+def test_dated_path_and_read_dated_csv(spark, tmp_path):
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.sources.readers import dated_path, read_dated_csv
+
+    d = dt.date(2026, 3, 7)
+    assert (
+        dated_path("gs://bucket/{YYYYMMDD}/sales_{YYYYMMDD}.csv", d)
+        == "gs://bucket/20260307/sales_20260307.csv"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="does not contain"):
+        dated_path("gs://bucket/sales.csv", d)
+
+    day_dir = tmp_path / "20260307"
+    day_dir.mkdir()
+    (day_dir / "sales_20260307.csv").write_text(
+        "PRODUCT_ID,SELLING_PRICE,STOCK_QUANTITY\nP1,9.99,5\n"
+    )
+    df = read_dated_csv(spark, str(tmp_path / "{YYYYMMDD}" / "sales_{YYYYMMDD}.csv"), d, _SCHEMA)
+    assert df.count() == 1
+    assert df.first()["PRODUCT_ID"] == "P1"
+
+
+def test_jdbc_query_source_wraps_for_pushdown():
+    from sahithi_metamorph_etl_spark.sources.readers import jdbc_query_source
+
+    assert (
+        jdbc_query_source("SELECT id, amount FROM sales WHERE day = '2026-01-01';")
+        == "(SELECT id, amount FROM sales WHERE day = '2026-01-01') q"
+    )
