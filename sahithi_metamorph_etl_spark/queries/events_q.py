@@ -180,6 +180,41 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+SELECT c.event_id AS click_event_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_event_id, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("events_interval_join", oracle=_INTERVAL_JOIN_ORACLE,
+          doc="Interval self-join (attribution): every purchase by the same user within "
+              "30 min before each click — equi-join on user_id with a range predicate "
+              "(hash-joinable, no range explosion); streaming twin is the watermarked "
+              "stream-stream join in streaming.events")
+def events_interval_join(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.expr("click_ts - interval 30 minutes"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_event_id", "user_id", "click_ts", "purchase_event_id", "purchase_ts"
+    )
+
+
 _JSON_ORACLE = """
 SELECT event_type,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS total_k,

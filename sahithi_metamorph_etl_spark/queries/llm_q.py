@@ -154,6 +154,72 @@ def doc_bpe_tokens(spark, sf_dir):
     return bpe_token_count(read_testdata(spark, sf_dir, "documents"))
 
 
+# --- chunking & scrubbing ---------------------------------------------------
+
+# 64-token windows, 16 overlap (stride 48) — mirrors llm.chunking defaults
+_CHUNK_ORACLE = """
+WITH words AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS w
+    FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+sized AS (
+    SELECT doc_id, w, len(w) AS n,
+           greatest(0, (CAST(ceil((len(w) - 16) / 48.0) AS int) - 1) * 48) AS last_start
+    FROM words
+)
+SELECT doc_id,
+       CAST(s / 48 AS int) AS chunk_id,
+       CAST(least(64, n - s) AS bigint) AS n_tokens,
+       array_to_string(w[s + 1 : least(s + 64, n)], ' ') AS chunk_text
+FROM sized CROSS JOIN unnest(range(0, last_start + 1, 48)) AS u(s)
+"""
+
+
+@register("doc_chunks", oracle=_CHUNK_ORACLE,
+          doc="Overlapping token-window chunking (64 tokens, 16 overlap) — context-window "
+              "prep between cleaning and tokenization; JVM-only sequence+posexplode+slice, "
+              "zero shuffle, fan-out proportional to corpus tokens")
+def doc_chunks(spark, sf_dir):
+    from ..llm.chunking import chunk_documents
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def _pii_oracle():
+    from ..llm.scrub import o_scrub_pii
+
+    injected = (
+        "text || ' contact c' || CAST(doc_id AS varchar) || '@example.com or call "
+        "+1 555 010' || CAST(doc_id % 10 AS varchar)"
+    )
+    scrubbed, n_red = o_scrub_pii(injected)
+    return (
+        f"SELECT doc_id, CAST({n_red} AS bigint) AS n_redactions, {scrubbed} AS text "
+        "FROM documents"
+    )
+
+
+@register("doc_pii_scrub", oracle=_pii_oracle(),
+          doc="PII redaction (email/phone/IPv4 regexp_replace chain, JVM codegen, zero "
+              "shuffle) over text with deterministically injected PII so the redaction "
+              "path is actually exercised; n_redactions counts matches removed")
+def doc_pii_scrub(spark, sf_dir):
+    from ..llm.scrub import scrub_pii
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact c"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1 555 010"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+    )
+    return scrub_pii(with_pii).select("doc_id", "n_redactions", "text")
+
+
 # --- dataset splitting & sampling -------------------------------------------
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}

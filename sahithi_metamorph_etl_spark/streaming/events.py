@@ -106,6 +106,49 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def clicks_purchases_interval_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL self-join: each click paired with every
+    purchase by the same user in the preceding ``lookback`` window
+    (attribution joins — the canonical stream-stream use case).
+
+    State-bounding is the point: both sides carry a watermark and the
+    join condition time-bounds purchase_ts relative to click_ts, so
+    Spark can evict buffered rows older than watermark+lookback instead
+    of buffering both streams forever. Batch twin:
+    queries.events_q.events_interval_join (oracle-checked); parity in
+    tests/test_streaming.py."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.expr(f"click_ts - interval {lookback}"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "click_event_id", "user_id", "click_ts", "purchase_event_id", "purchase_ts"
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a (bounded file-source) streaming query to completion into
     an in-memory table; returns the result as a batch DataFrame.

@@ -510,3 +510,60 @@ def test_stratified_sample_deterministic_subset(spark, sf_dir):
 
     with pytest.raises(ValueError, match=r"\[0,1\]"):
         stratified_sample(docs, {"en": 1.5}, "lang", "doc_id")
+
+
+def test_chunk_documents_boundaries(spark):
+    from sahithi_metamorph_etl_spark.llm.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # n=10 < chunk -> 1 chunk
+            (2, " ".join(f"t{i}" for i in range(8))),    # n == chunk -> 1 chunk
+            (3, " ".join(f"t{i}" for i in range(9))),    # n = chunk+1 -> 2 chunks
+            (4, ""),                                      # empty -> no rows
+            (5, None),                                    # null -> no rows
+            (6, "a b"),                                   # n <= overlap -> 1 chunk
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    by_doc = {}
+    for (d, c), v in rows.items():
+        by_doc.setdefault(d, []).append((c, v))
+    # n=10, chunk=8, stride=6: ceil((10-2)/6)=2 chunks -> starts 0,6
+    assert len(by_doc[1]) == 2
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1][0] == 8
+    assert len(by_doc[3]) == 2
+    assert rows[(3, 1)][1].split()[:2] == ["t6", "t7"]  # 2-token overlap
+    assert 4 not in by_doc and 5 not in by_doc
+    assert len(by_doc[6]) == 1 and by_doc[6][0][1][1] == "a b"
+    # every token of doc 3 appears in some chunk
+    covered = set()
+    for _, (n, txt) in by_doc[3]:
+        covered.update(txt.split())
+    assert covered == {f"t{i}" for i in range(9)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from sahithi_metamorph_etl_spark.llm.scrub import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob@corp.io or +1 555 123 4567 from 10.0.0.1"),
+            (2, "nothing sensitive here"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert "[email]" in out[1].text and "[phone]" in out[1].text
+    assert "bob@corp.io" not in out[1].text and "555" not in out[1].text
+    assert out[1].n_redactions >= 2
+    assert out[2].text == "nothing sensitive here" and out[2].n_redactions == 0
+    assert out[3].text == "" and out[3].n_redactions == 0

@@ -90,3 +90,16 @@ def test_watermark_accepts_bounded_history(spark, sf_dir, events_dir):
     n_stream = out.agg(F.sum("n_events")).first()[0]
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n_stream == n_batch
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir):
+    from sahithi_metamorph_etl_spark.streaming.events import clicks_purchases_interval_join
+
+    out = run_stream_to_memory(
+        clicks_purchases_interval_join(events_stream(spark, events_dir)),
+        "ivj_out",
+        output_mode="append",  # stream-stream inner joins emit append-only
+    )
+    batch = get_query("events_interval_join").fn(spark, sf_dir)
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
