@@ -64,20 +64,65 @@ def word_shingles(
     return words.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_freq: int = 2,
+    k: int | None = None,
+) -> DataFrame:
+    """Heavy-hitter shingles: (shingle, n_docs) for shingles appearing
+    in >= ``min_freq`` documents, frequency-descending (``k`` caps the
+    output). These are the boilerplate n-grams (headers, licenses,
+    navigation chrome) that drive the inverted-index self-join's
+    O(Σ freq²) fan-out — profile them with this, cap them with
+    ``jaccard_pairs(max_shingle_freq=...)``. One shuffle (the
+    count agg); the top-k sort runs on the already-aggregated frame."""
+    freq = (
+        word_shingles(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_freq)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+    )
+    return freq.limit(k) if k is not None else freq
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index self-join: |pairs| is sum over shingles of freq^2 —
-    fine when shingle frequencies are bounded; at open-web scale remove
-    stop-shingles first or use minhash_lsh_pairs.
+    fine when shingle frequencies are bounded. At open-web scale pass
+    ``max_shingle_freq``: shingles shared by more documents than that
+    are dropped BEFORE the self-join (anti-join against the hot set),
+    bounding the fan-out at max_freq² per surviving shingle. Scores
+    then approximate Jaccard over the non-boilerplate shingle space —
+    per-doc sizes are recomputed on the capped index so the ratio stays
+    internally consistent; pairs connected ONLY by boilerplate no
+    longer surface (that is the point).
     """
     sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        if max_shingle_freq < 2:
+            raise ValueError(
+                f"max_shingle_freq must be >= 2 (got {max_shingle_freq}): below 2 no "
+                "shingle can connect any pair and the output is empty"
+            )
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__freq"))
+            .filter(F.col("__freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     return _jaccard_from_shingles(sh, id_col, threshold)
 
 

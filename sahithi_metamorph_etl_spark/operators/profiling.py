@@ -1,0 +1,52 @@
+"""Column profiling: per-column data-quality summary in ONE pass.
+
+The reference's quality surface is a single uniqueness gate
+(`utils.py:122-140`); real pipelines profile every landed dataset
+(null rates, cardinalities, ranges) before trusting it — the Deequ /
+dbt-test capability, expressed as one Spark aggregate.
+
+Shape: a single groupBy-less aggregation computes every metric for
+every column in one scan (Catalyst evaluates them all in one partial/
+final agg pass; exact count(distinct) columns each add an expand —
+bounded by the profiled column list, and the scan still happens once),
+then the 1-row wide result is unpivoted driver-side into one row per
+column. No shuffle beyond the single aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (column_name, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max rendered as strings so mixed-type
+    frames unpivot into one typed result."""
+    cols = cols or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

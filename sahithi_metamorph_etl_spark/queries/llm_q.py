@@ -302,6 +302,27 @@ def doc_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
 
 
+_HOT_SHINGLES_ORACLE = """
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+shl AS (SELECT doc_id, list_transform(range(greatest(len(w)-2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) sl FROM words),
+sh AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl)
+SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_docs DESC, shingle LIMIT 20
+"""
+
+
+@register("doc_hot_shingles", oracle=_HOT_SHINGLES_ORACLE,
+          doc="Heavy-hitter shingle profile (top-20 boilerplate n-grams, freq >= 2) — "
+              "the fan-out drivers of the Jaccard inverted-index self-join; feeds "
+              "jaccard_pairs(max_shingle_freq=...) capping. Deterministic tie-break "
+              "(freq desc, shingle asc) so LIMIT is stable cross-engine")
+def doc_hot_shingles(spark, sf_dir):
+    from ..llm.dedup import hot_shingles
+
+    return hot_shingles(read_testdata(spark, sf_dir, "documents"), min_freq=2, k=20)
+
+
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM jp

@@ -649,3 +649,32 @@ def supplier_region_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_suppliers"),
         dsum(F.col("s_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+# --- column profiling (data-quality summary) --------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority",
+]
+# doubles excluded on purpose: Spark and DuckDB render double->string
+# differently (1.5E7 vs 15000000.0), which would false-fail the hash
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(count(*) - count({c}) AS bigint) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS bigint) AS n_distinct,
+       CAST(min({c}) AS varchar) AS min_value,
+       CAST(max({c}) AS varchar) AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("orders_column_profile", oracle=_PROFILE_ORACLE,
+          doc="Per-column data-quality profile (rows/nulls/distinct/min/max) computed in "
+              "ONE aggregation pass over the table (Deequ-style profiling the reference "
+              "lacks); unpivoted to a row per column")
+def orders_column_profile(spark, sf_dir):
+    from ..operators.profiling import profile_columns
+
+    return profile_columns(read_testdata(spark, sf_dir, "orders"), _PROFILE_COLS)

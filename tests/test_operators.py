@@ -567,3 +567,52 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[1].n_redactions >= 2
     assert out[2].text == "nothing sensitive here" and out[2].n_redactions == 0
     assert out[3].text == "" and out[3].n_redactions == 0
+
+
+def test_profile_columns_metrics(spark):
+    from sahithi_metamorph_etl_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (4, "a")], "k bigint, s string"
+    )
+    p = {r.column_name: r for r in profile_columns(df).collect()}
+    assert p["k"].n_rows == 4 and p["k"].n_nulls == 0 and p["k"].n_distinct == 3
+    assert p["k"].min_value == "1" and p["k"].max_value == "4"
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["s"].min_value == "a" and p["s"].max_value == "b"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["ghost"])
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    from sahithi_metamorph_etl_spark.llm.dedup import hot_shingles, jaccard_pairs
+
+    # docs 1+2 near-identical; every doc shares the boilerplate footer
+    footer = "standard license footer text here"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon " + footer),
+            (2, "alpha beta gamma delta zeta " + footer),
+            (3, "totally different content body words " + footer),
+            (4, "another unrelated document entirely now " + footer),
+        ],
+        "doc_id bigint, text string",
+    )
+    hot = hot_shingles(docs, min_freq=4).collect()
+    assert any("license footer text" in r.shingle for r in hot)
+    # uncapped: the shared footer alone cannot push unrelated docs over
+    # 0.5, but capping must remove footer-only pairs at ANY threshold
+    capped = jaccard_pairs(docs, threshold=0.1, max_shingle_freq=3)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1, 2) in pairs            # genuine near-dup survives
+    assert (3, 4) not in pairs        # boilerplate-only pair gone
+    uncapped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.1).collect()}
+    assert (3, 4) in uncapped         # sanity: footer connected them before
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shingle_freq"):
+        jaccard_pairs(docs, max_shingle_freq=1)
