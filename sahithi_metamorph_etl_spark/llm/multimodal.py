@@ -68,3 +68,68 @@ def decode_media_stats(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema="media_id bigint, n_bytes bigint, width bigint, height bigint")
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling for video-ish payloads: up to ``max_frames``
+    evenly-spaced byte windows per media item —
+    (media_id, frame_idx, frame_offset, frame_len, frame_payload).
+
+    Pure JVM plan (sequence + posexplode + binary substring): the
+    fan-out and slicing need no Python at all; a real video pipeline
+    replaces the byte windows with an ffmpeg keyframe decode inside a
+    mapInPandas stage downstream (see decode_media_stats for the
+    pattern). Offsets are deterministic arithmetic on payload size, so
+    the sampling plan itself is oracle-checkable.
+    """
+    if frame_bytes <= 0 or max_frames <= 0:
+        raise ValueError("frame_bytes and max_frames must be positive")
+    n = F.length("payload").cast("bigint")  # bytes, not chars, for binary
+    n_frames = F.least(
+        F.lit(max_frames).cast("bigint"),
+        F.greatest(F.lit(1).cast("bigint"), F.ceil(n / F.lit(frame_bytes)).cast("bigint")),
+    )
+    stride = (n / n_frames).cast("bigint")  # floor: n_frames*stride <= n
+    frames = media.select(
+        "media_id",
+        F.col("payload"),
+        n.alias("__n"),
+        stride.alias("__stride"),
+        F.posexplode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx", "__i"),
+    )
+    offset = F.col("__i") * F.col("__stride")
+    flen = F.least(F.lit(frame_bytes).cast("bigint"), F.col("__n") - offset)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        offset.alias("frame_offset"),
+        flen.alias("frame_len"),
+        F.expr(f"substring(payload, __i * __stride + 1, {frame_bytes})").alias("frame_payload"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction: (media_id, features array<bigint>)
+    — a folded byte histogram (byte value mod ``dim``, counted), the
+    deterministic STUB standing in for a real embedding model. The
+    plumbing is the production shape: vectorized numpy over Arrow
+    batches, one output row per item, features as a fixed-width array
+    column ready for the similarity operators. Self-contained closure."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload or b"", dtype=np.uint8)
+                out.append(np.bincount(b % dim, minlength=dim).astype("int64").tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": out})
+
+    return media.mapInPandas(feats, schema="media_id bigint, features array<bigint>")

@@ -233,3 +233,24 @@ def events_json_extract(spark, sf_dir):
         F.sum(k).cast("bigint").alias("total_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_INCR_ORACLE = """
+SELECT event_id, user_id, ts, event_type
+FROM events WHERE ts > TIMESTAMP '2024-03-01 00:00:00'
+"""
+
+
+@register("events_incremental_slice", oracle=_INCR_ORACLE,
+          doc="High-water-mark incremental load: rows strictly newer than the stored "
+              "watermark — the comparison reaches the parquet scan as a pushed filter "
+              "(or a JDBC WHERE via jdbc_query_source), so an incremental run reads new "
+              "data only")
+def events_incremental_slice(spark, sf_dir):
+    import datetime as dt
+
+    from ..sources.incremental import incremental_slice
+
+    ev = read_testdata(spark, sf_dir, "events")
+    hwm = dt.datetime(2024, 3, 1)
+    return incremental_slice(ev, "ts", hwm).select("event_id", "user_id", "ts", "event_type")

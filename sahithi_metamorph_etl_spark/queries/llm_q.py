@@ -154,6 +154,33 @@ def doc_bpe_tokens(spark, sf_dir):
     return bpe_token_count(read_testdata(spark, sf_dir, "documents"))
 
 
+# --- embedding analytics ----------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, CAST(i AS int) AS dim, v[CAST(i + 1 AS int)] AS val
+      FROM e CROSS JOIN unnest(range(0, len(v))) AS u(i))
+SELECT label, dim,
+       (sign(s / n) * floor(abs(s / n) * 100000000.0 + 0.5) / 100000000.0) AS mean_value,
+       n AS n_vectors
+FROM (SELECT label, dim,
+             CAST(sum(CAST(val AS DECIMAL(38,12))) AS double) AS s,
+             CAST(count(*) AS bigint) AS n
+      FROM x GROUP BY 1, 2)
+"""
+
+
+@register("emb_label_centroids", oracle=_CENTROID_ORACLE,
+          doc="Per-label embedding centroids (drift monitoring / IVF coarse quantizer): "
+              "posexplode to (group, dim), ONE shuffle with decimal sums so float "
+              "summation order cannot flip a bit, davg-style deterministic mean")
+def emb_label_centroids(spark, sf_dir):
+    from ..llm.embeddings import group_centroids_long
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return group_centroids_long(emb, "label")
+
+
 # --- chunking & scrubbing ---------------------------------------------------
 
 # 64-token windows, 16 overlap (stride 48) — mirrors llm.chunking defaults
@@ -570,3 +597,32 @@ def multimodal_decode_stats(spark, sf_dir):
     docs = read_testdata(spark, sf_dir, "documents")
     media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
     return decode_media_stats(media)
+
+
+# frame_bytes=64, max_frames=4 over UTF-8 payloads; the oracle verifies
+# the sampling arithmetic (offsets/lengths from byte size) — DuckDB
+# cannot slice BLOBs, so the byte content is pytest-verified instead
+_FRAMES_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+f AS (SELECT media_id, n,
+             least(4, greatest(1, CAST(ceil(n / 64.0) AS bigint))) AS n_frames
+      FROM m)
+SELECT media_id, CAST(i AS int) AS frame_idx,
+       i * (n // n_frames) AS frame_offset,
+       least(64, n - i * (n // n_frames)) AS frame_len
+FROM f CROSS JOIN unnest(range(0, n_frames)) AS u(i)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE,
+          doc="Frame sampling over binary payloads: up to 4 evenly-spaced 64-byte windows "
+              "per item — pure JVM fan-out (sequence+posexplode+binary substring), no "
+              "Python; frame byte content is pytest-verified (DuckDB can't slice blobs)")
+def multimodal_frame_sample(spark, sf_dir):
+    from ..llm.multimodal import sample_frames
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
+    return sample_frames(media, frame_bytes=64, max_frames=4).select(
+        "media_id", "frame_idx", "frame_offset", "frame_len"
+    )

@@ -616,3 +616,70 @@ def test_jaccard_hot_shingle_cap(spark):
 
     with pytest.raises(ValueError, match="max_shingle_freq"):
         jaccard_pairs(docs, max_shingle_freq=1)
+
+
+def test_sample_frames_reassembles_payload_prefixes(spark):
+    from sahithi_metamorph_etl_spark.llm.multimodal import sample_frames, to_media_column
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short"), (3, "y" * 64)], "doc_id bigint, text string"
+    )
+    media = to_media_column(docs, payload_col="text", id_col="doc_id")
+    rows = sample_frames(media, frame_bytes=64, max_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 300 bytes -> 4 frames; short -> 1 frame containing the whole payload
+    assert len(by_id[1]) == 4 and len(by_id[2]) == 1 and len(by_id[3]) == 1
+    assert bytes(by_id[2][0].frame_payload) == b"short"
+    assert by_id[2][0].frame_len == 5
+    for r in by_id[1]:
+        # every frame's bytes really come from the declared offset
+        assert bytes(r.frame_payload) == b"x" * min(64, 300 - r.frame_offset)
+        assert len(bytes(r.frame_payload)) == r.frame_len
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        sample_frames(media, frame_bytes=0)
+
+
+def test_extract_features_histogram(spark):
+    from sahithi_metamorph_etl_spark.llm.multimodal import extract_features, to_media_column
+
+    docs = spark.createDataFrame([(1, "aab"), (2, "")], "doc_id bigint, text string")
+    media = to_media_column(docs, payload_col="text", id_col="doc_id")
+    out = {r.media_id: r.features for r in extract_features(media, dim=4).collect()}
+    # 'a'=97 -> 97%4=1 twice; 'b'=98 -> 2 once
+    assert out[1] == [0, 2, 1, 0]
+    assert out[2] == [0, 0, 0, 0]
+    assert sum(out[1]) == 3  # counts cover every byte
+
+
+def test_incremental_slice_and_watermark(spark):
+    from sahithi_metamorph_etl_spark.sources.incremental import (
+        advance_watermark,
+        incremental_slice,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id bigint, wm bigint")
+    assert incremental_slice(df, "wm", None).count() == 3  # initial full load
+    inc = incremental_slice(df, "wm", 10)
+    assert {r.id for r in inc.collect()} == {2, 3}  # strict inequality
+    assert advance_watermark(inc, "wm") == 30
+    empty = incremental_slice(df, "wm", 30)
+    assert empty.count() == 0 and advance_watermark(empty, "wm") is None
+    # idempotence: re-running with the advanced watermark yields nothing new
+    assert incremental_slice(df, "wm", advance_watermark(df, "wm")).count() == 0
+
+
+def test_group_centroids_array_form(spark):
+    from sahithi_metamorph_etl_spark.llm.embeddings import group_centroids
+
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "a", [3.0, 4.0]), (3, "b", [10.0, 20.0])],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    out = {r.label: r for r in group_centroids(emb, "label").collect()}
+    assert out["a"].centroid == [2.0, 3.0] and out["a"].n_vectors == 2
+    assert out["b"].centroid == [10.0, 20.0] and out["b"].n_vectors == 1
