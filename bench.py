@@ -49,7 +49,11 @@ HEADLINE = [
     "events_hourly_tumbling",
     "events_sessionization",
     "events_asof_join",
+    "events_interval_join",
     "corpus_clean_pipeline",
+    "doc_chunks",
+    "doc_train_split",
+    "doc_dedup_clusters",
 ]
 
 

@@ -112,6 +112,30 @@ def sample_frames(
     )
 
 
+def resize_media(media: DataFrame, max_bytes: int = 1024) -> DataFrame:
+    """Resize/downscale stage (stub codec): payloads above ``max_bytes``
+    are truncated, metadata records original + resized sizes —
+    (media_id, payload, media_type, source, orig_bytes, resized).
+
+    A real pipeline swaps the byte truncation for PIL ``Image.resize``
+    / ffmpeg scale inside a mapInPandas stage; the stub keeps the
+    operator pure-JVM (binary substring — no Python) so the
+    size-bounding semantics are oracle-checkable: downstream batch
+    memory is capped at |rows| x max_bytes, which is the production
+    point of a resize stage."""
+    if max_bytes <= 0:
+        raise ValueError("max_bytes must be positive")
+    n = F.length("payload").cast("bigint")
+    return media.select(
+        "media_id",
+        F.expr(f"substring(payload, 1, {max_bytes})").alias("payload"),
+        "media_type",
+        "source",
+        n.alias("orig_bytes"),
+        (n > max_bytes).alias("resized"),
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction: (media_id, features array<bigint>)
     — a folded byte histogram (byte value mod ``dim``, counted), the

@@ -37,16 +37,52 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``pairs``; component id =
     the minimum vertex id reachable from it. Raises if not converged
     within ``max_iter`` rounds (diameter > max_iter — raise it for
-    pathological chain graphs)."""
+    pathological chain graphs).
+
+    Adaptive strategy (the broadcast-join move, applied to graphs): the
+    pair graph is usually TINY relative to the corpus — only docs with
+    a near-dup at all — so when it has <= ``local_threshold`` edges it
+    is collected (bounded by the threshold, ~16 bytes/edge) and solved
+    with a driver-side union-find in one pass, avoiding per-round
+    join+action overhead. Larger graphs run the distributed hash-min
+    loop. ``local_threshold=0`` forces the distributed path."""
     # undirected: keep each edge both ways; vertices = all endpoints
     a = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     edges = a.unionByName(
         a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            parent.setdefault(r.src, r.src)
+            parent.setdefault(r.dst, r.dst)
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        out = [(v, comp_min[find(v)]) for v in parent]
+        schema = pairs.select(
+            F.col(src_col).alias("vertex"), F.col(src_col).alias("component")
+        ).schema
+        return pairs.sparkSession.createDataFrame(out, schema)
 
     labels = (
         edges.select(F.col("src").alias("vertex")).distinct()

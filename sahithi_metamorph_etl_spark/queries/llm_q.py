@@ -614,6 +614,32 @@ FROM f CROSS JOIN unnest(range(0, n_frames)) AS u(i)
 """
 
 
+_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(least(octet_length(encode(text)), 256) AS bigint) AS n_bytes_after,
+       CAST(octet_length(encode(text)) AS bigint) AS orig_bytes,
+       octet_length(encode(text)) > 256 AS resized
+FROM documents
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE,
+          doc="Resize/downscale stage (stub codec, pure-JVM byte truncation): bounds "
+              "downstream batch memory at |rows| x max_bytes; size semantics "
+              "oracle-checked, swap in PIL/ffmpeg for real pixels")
+def multimodal_resize(spark, sf_dir):
+    from ..llm.multimodal import resize_media
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
+    return resize_media(media, max_bytes=256).select(
+        "media_id",
+        F.length("payload").cast("bigint").alias("n_bytes_after"),
+        "orig_bytes",
+        "resized",
+    )
+
+
 @register("multimodal_frame_sample", oracle=_FRAMES_ORACLE,
           doc="Frame sampling over binary payloads: up to 4 evenly-spaced 64-byte windows "
               "per item — pure JVM fan-out (sequence+posexplode+binary substring), no "

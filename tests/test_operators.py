@@ -452,8 +452,16 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "doc_a bigint, doc_b bigint",
     )
-    cc = {r.vertex: r.component for r in connected_components(pairs).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # local union-find fast path (default) and distributed hash-min
+    # (forced with local_threshold=0) must agree exactly
+    cc_local = {r.vertex: r.component for r in connected_components(pairs).collect()}
+    cc_dist = {
+        r.vertex: r.component
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
+    assert cc_local == expected
+    assert cc_dist == expected
 
     cl = dedup_clusters(pairs).collect()
     keepers = {r.doc_id for r in cl if r.keeper}
@@ -462,7 +470,7 @@ def test_connected_components_chain_and_clique(spark):
     import pytest
 
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, local_threshold=0)
 
 
 def test_hash_split_deterministic_and_partition_independent(spark, sf_dir):
@@ -683,3 +691,31 @@ def test_group_centroids_array_form(spark):
     out = {r.label: r for r in group_centroids(emb, "label").collect()}
     assert out["a"].centroid == [2.0, 3.0] and out["a"].n_vectors == 2
     assert out["b"].centroid == [10.0, 20.0] and out["b"].n_vectors == 1
+
+
+def test_per_row_operators_have_zero_shuffle_plans(spark, sf_dir):
+    """The per-row LLM-prep operators (chunk/split/sample/scrub/frames/
+    resize) must compile to pure map plans — any Exchange here would be
+    a scale bug (they run over the full 100 TB corpus)."""
+    from sahithi_metamorph_etl_spark.llm.chunking import chunk_documents
+    from sahithi_metamorph_etl_spark.llm.multimodal import (
+        resize_media,
+        sample_frames,
+        to_media_column,
+    )
+    from sahithi_metamorph_etl_spark.llm.scrub import scrub_pii
+    from sahithi_metamorph_etl_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = to_media_column(docs, payload_col="text", id_col="doc_id")
+    plans = {
+        "chunk": chunk_documents(docs),
+        "split": hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}),
+        "sample": stratified_sample(docs, {"en": 0.5}, "lang", "doc_id"),
+        "scrub": scrub_pii(docs),
+        "frames": sample_frames(media),
+        "resize": resize_media(media),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
