@@ -86,6 +86,42 @@ def o_hash_split(id_expr: str, weights: dict[str, float], seed: str = "split") -
     return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
 
 
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    group_col: str | None = None,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy corpus curation under a token budget: order documents by
+    priority (default: id), keep while the running token total per
+    group stays <= ``budget``. A document that would overflow the
+    budget is dropped entirely (no partial documents). ``id_col`` is
+    the deterministic tie-breaker, so the selected set is reproducible.
+
+    One shuffle on the group key; the running sum is a window over
+    already-grouped data — the standard "top quality docs until the
+    per-language budget fills" step of training-mix construction.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = list(order_by or []) + [F.col(id_col).asc()]
+    part = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(F.col(token_col)).over(w).cast("bigint"))
+        .filter(F.col(cum_col) <= budget)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -98,8 +98,8 @@ def doc_fingerprint(spark, sf_dir):
     return content_fingerprint(read_testdata(spark, sf_dir, "documents"))
 
 
-_QUALITY_ORACLE = f"""
-WITH base AS (
+_QUALITY_CTES = f"""
+base AS (
     SELECT doc_id,
            CAST(length(text) AS bigint) AS n_chars,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
@@ -122,6 +122,10 @@ WITH base AS (
            + CAST(avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS int) AS passed
     FROM stats
 )
+""".strip()
+
+_QUALITY_ORACLE = f"""
+WITH {_QUALITY_CTES}
 SELECT doc_id, n_tokens, {o_round('passed / 4.0', 2)} AS quality_score,
        passed = 4 AS keep
 FROM rules
@@ -245,6 +249,39 @@ def doc_pii_scrub(spark, sf_dir):
         ),
     )
     return scrub_pii(with_pii).select("doc_id", "n_redactions", "text")
+
+
+# --- token-budget curation --------------------------------------------------
+
+_BUDGET_ORACLE = f"""
+WITH {_QUALITY_CTES},
+q AS (SELECT doc_id, n_tokens, {o_round('passed / 4.0', 2)} AS quality_score FROM rules),
+j AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+      FROM documents d JOIN q USING (doc_id)),
+c AS (SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                      ORDER BY quality_score DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_tokens
+      FROM j)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 3000
+"""
+
+
+@register("doc_token_budget", oracle=_BUDGET_ORACLE,
+          doc="Training-mix curation: per-language greedy selection of highest-quality "
+              "docs until a 3000-token budget fills (window running sum, deterministic "
+              "quality-desc/id tie-break, whole documents only)")
+def doc_token_budget(spark, sf_dir):
+    from ..operators.sampling import select_by_token_budget
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    joined = docs.select("doc_id", "lang").join(q, "doc_id")
+    out = select_by_token_budget(
+        joined, budget=3000, token_col="n_tokens", group_col="lang",
+        order_by=[F.col("quality_score").desc()],
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 
 # --- dataset splitting & sampling -------------------------------------------

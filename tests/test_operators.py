@@ -719,3 +719,28 @@ def test_per_row_operators_have_zero_shuffle_plans(spark, sf_dir):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_select_by_token_budget_greedy_whole_docs(spark):
+    from sahithi_metamorph_etl_spark.operators.sampling import select_by_token_budget
+
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 40, 0.9),
+            ("en", 2, 50, 1.0),   # highest quality, selected first
+            ("en", 3, 30, 0.5),   # would overflow: dropped whole
+            ("de", 4, 100, 0.2),  # exactly at budget
+        ],
+        "lang string, doc_id bigint, n_tokens bigint, q double",
+    )
+    out = select_by_token_budget(
+        df, budget=100, token_col="n_tokens", group_col="lang",
+        order_by=[F.col("q").desc()],
+    ).collect()
+    sel = {r.doc_id: r.cum_tokens for r in out}
+    assert sel == {2: 50, 1: 90, 4: 100}  # doc 3 (cum 120) dropped whole
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        select_by_token_budget(df, 0, "n_tokens")
