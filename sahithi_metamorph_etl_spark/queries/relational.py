@@ -678,3 +678,59 @@ def orders_column_profile(spark, sf_dir):
     from ..operators.profiling import profile_columns
 
     return profile_columns(read_testdata(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+# --- declarative expectations report ----------------------------------------
+
+_EXPECT_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT 'not_null(o_orderkey)' AS expectation, 'not_null' AS kind, n.n_rows,
+       (SELECT CAST(count(*) - count(o_orderkey) AS bigint) FROM orders) AS n_violations,
+       (SELECT count(*) - count(o_orderkey) FROM orders) = 0 AS passed FROM n
+UNION ALL
+SELECT 'unique(o_orderkey)', 'unique', n.n_rows,
+       (SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS bigint) FROM orders),
+       (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders) = 0 FROM n
+UNION ALL
+SELECT 'in_set(o_orderstatus)', 'in_set', n.n_rows,
+       (SELECT CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F','O','P')) AS bigint) FROM orders),
+       (SELECT count(*) FILTER (o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('F','O','P')) FROM orders) = 0 FROM n
+UNION ALL
+SELECT 'between(o_totalprice)', 'between', n.n_rows,
+       (SELECT CAST(count(*) FILTER (o_totalprice IS NOT NULL
+               AND (o_totalprice < 0 OR o_totalprice > 10000000)) AS bigint) FROM orders),
+       (SELECT count(*) FILTER (o_totalprice IS NOT NULL
+               AND (o_totalprice < 0 OR o_totalprice > 10000000)) FROM orders) = 0 FROM n
+UNION ALL
+SELECT 'matches(o_orderpriority)', 'matches', n.n_rows,
+       (SELECT CAST(count(*) FILTER (o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS bigint) FROM orders),
+       (SELECT count(*) FILTER (o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders) = 0 FROM n
+"""
+
+
+@register("orders_expectations", oracle=_EXPECT_ORACLE,
+          doc="Declarative quality-expectation REPORT (Deequ/dbt-test style): every check "
+              "evaluated in one aggregation pass, one row per expectation — the "
+              "non-raising complement of the Q1 gates")
+def orders_expectations(spark, sf_dir):
+    from ..validators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    o = read_testdata(spark, sf_dir, "orders")
+    return run_expectations(o, [
+        expect_not_null("o_orderkey"),
+        expect_unique("o_orderkey"),
+        expect_in_set("o_orderstatus", ["F", "O", "P"]),
+        expect_between("o_totalprice", 0, 10_000_000),
+        expect_matches("o_orderpriority", "^[1-5]-"),
+    ])

@@ -105,6 +105,39 @@ class LayeredWarehouse:
             )
         write_jdbc(df, url, table, mode=mode, **options)
 
+    def expire_legacy_days(
+        self,
+        spark: SparkSession,
+        name: str,
+        keep_days: int,
+        as_of: dt.date,
+    ) -> list[str]:
+        """Retention: drop legacy ``DAY_DT`` partitions older than
+        ``as_of - keep_days`` (cheap because DAY_DT is a physical
+        partition directory — the reference's append-only JDBC history
+        can only delete with a full-table DELETE). Goes through the
+        Hadoop FileSystem API so the same code works on HDFS/object
+        stores, not just local paths. Returns the partition values
+        dropped."""
+        if keep_days < 1:
+            raise ValueError(f"keep_days must be >= 1, got {keep_days}")
+        cutoff = (as_of - dt.timedelta(days=keep_days - 1)).isoformat()
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self._path("legacy", name))
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        dropped: list[str] = []
+        if not fs.exists(root):
+            return dropped
+        for status in fs.listStatus(root):
+            base = status.getPath().getName()
+            if not (status.isDirectory() and base.startswith("DAY_DT=")):
+                continue
+            day = base.split("=", 1)[1]
+            if day < cutoff:  # ISO dates compare lexicographically
+                fs.delete(status.getPath(), True)
+                dropped.append(day)
+        return sorted(dropped)
+
     def read_raw(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._path("raw", f"{name}_pre"))
 

@@ -744,3 +744,73 @@ def test_select_by_token_budget_greedy_whole_docs(spark):
 
     with pytest.raises(ValueError, match="budget"):
         select_by_token_budget(df, 0, "n_tokens")
+
+
+def test_expectations_report_counts(spark):
+    from sahithi_metamorph_etl_spark.validators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "F", 10.0, "1-URGENT"), (2, "O", -5.0, "9-BAD"),
+         (2, "X", 20.0, None), (None, "F", 30.0, "2-HIGH")],
+        "k bigint, status string, price double, prio string",
+    )
+    rep = {r.expectation: r for r in run_expectations(df, [
+        expect_not_null("k"),
+        expect_unique("k"),
+        expect_in_set("status", ["F", "O", "P"]),
+        expect_between("price", 0, 100),
+        expect_matches("prio", "^[1-5]-"),
+    ]).collect()}
+    assert rep["not_null(k)"].n_violations == 1 and not rep["not_null(k)"].passed
+    assert rep["unique(k)"].n_violations == 1          # k=2 twice (null k ignored)
+    assert rep["in_set(status)"].n_violations == 1     # 'X'
+    assert rep["between(price)"].n_violations == 1     # -5.0
+    assert rep["matches(prio)"].n_violations == 1      # '9-BAD'; null prio ignored
+    assert all(r.n_rows == 4 for r in rep.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown column"):
+        run_expectations(df, [expect_not_null("ghost")])
+
+
+def test_route_invalid_quarantines_with_reasons(spark):
+    from sahithi_metamorph_etl_spark.validators.expectations import route_invalid
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "F"), (2, -1.0, "F"), (3, 5.0, "X"), (4, -2.0, None)],
+        "k bigint, price double, status string",
+    )
+    valid, invalid = route_invalid(df, {
+        "price_nonneg": F.col("price") >= 0,
+        "status_known": F.col("status").isin("F", "O"),
+    })
+    assert {r.k for r in valid.collect()} == {1}
+    bad = {r.k: set(r.failed_checks) for r in invalid.collect()}
+    assert bad == {
+        2: {"price_nonneg"},
+        3: {"status_known"},
+        4: {"price_nonneg", "status_known"},  # null check result = failure
+    }
+
+
+def test_expire_legacy_days_drops_old_partitions(spark, tmp_path):
+    wh = LayeredWarehouse(str(tmp_path))
+    for day in [dt.date(2026, 1, 1), dt.date(2026, 1, 5), dt.date(2026, 1, 9)]:
+        wh.write_legacy(spark.createDataFrame([(1,)], "id bigint"), "t", day)
+    dropped = wh.expire_legacy_days(spark, "t", keep_days=5, as_of=dt.date(2026, 1, 9))
+    assert dropped == ["2026-01-01"]  # 1/5 is exactly at the keep horizon
+    assert wh.read_legacy(spark, "t").count() == 2
+    assert wh.expire_legacy_days(spark, "missing", 5, dt.date(2026, 1, 9)) == []
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_days"):
+        wh.expire_legacy_days(spark, "t", 0, dt.date(2026, 1, 9))
