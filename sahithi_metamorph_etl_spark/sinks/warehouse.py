@@ -105,6 +105,38 @@ class LayeredWarehouse:
             )
         write_jdbc(df, url, table, mode=mode, **options)
 
+    def append_legacy(self, df: DataFrame, name: str, run_date: dt.date) -> str:
+        """Plain append into the DAY_DT-partitioned history — the
+        micro-batch form (streaming foreachBatch appends each batch;
+        the dynamic-overwrite write_legacy would clobber earlier
+        batches of the same day)."""
+        path = self._path("legacy", name)
+        out = df.withColumn("DAY_DT", F.lit(run_date.isoformat()).cast("date")) if "DAY_DT" not in df.columns else df
+        out.write.mode("append").partitionBy("DAY_DT").parquet(path)
+        return path
+
+    def stream_to_legacy(
+        self,
+        stream_df: DataFrame,
+        name: str,
+        run_date: dt.date,
+        checkpoint_dir: str,
+    ):
+        """Land a stream into the legacy layer via ``foreachBatch``:
+        each micro-batch appends into the day's partition, offsets are
+        tracked in ``checkpoint_dir`` so a restart resumes where it
+        stopped. Delivery is at-least-once (a batch that wrote but
+        failed before the checkpoint commits is re-appended on
+        restart) — downstream readers dedup on a natural key when
+        exactly-once matters. Returns the StreamingQuery; caller owns
+        its lifecycle."""
+        return (
+            stream_df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda batch_df, _id: self.append_legacy(batch_df, name, run_date))
+            .start()
+        )
+
     def expire_legacy_days(
         self,
         spark: SparkSession,

@@ -103,3 +103,35 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, events_dir):
     batch = get_query("events_interval_join").fn(spark, sf_dir)
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
+
+
+def test_stream_to_legacy_lands_days_partition(spark, sf_dir, events_dir, tmp_path):
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    run_date = dt.date(2025, 7, 7)
+    q = wh.stream_to_legacy(
+        events_stream(spark, events_dir).select("event_id", "user_id", "event_type"),
+        "events",
+        run_date,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = wh.read_legacy(spark, "events", run_date=run_date)
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_batch
+    assert "DAY_DT" in back.columns
+    # restart with the same checkpoint: no new micro-batch, no duplicate rows
+    q2 = wh.stream_to_legacy(
+        events_stream(spark, events_dir).select("event_id", "user_id", "event_type"),
+        "events",
+        run_date,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert wh.read_legacy(spark, "events", run_date=run_date).count() == n_batch
