@@ -175,6 +175,63 @@ def document_profile(
     return ratios.select("*", keep.alias("keep"), guess.alias("lang_guess"))
 
 
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document over word ``n``-grams:
+    the duplicate-n-gram occurrence fraction and the character share of
+    the single most frequent n-gram. High values mark boilerplate /
+    machine-generated text that survives the per-token quality rules.
+
+    Shape at scale: one explode + two hash aggregations keyed on
+    ``(doc_id, gram)`` then ``doc_id`` — the word-count pattern, no
+    window, no skew beyond document length. The top gram is taken with
+    ``max(struct(cnt, gram))`` (tie-break: highest count, then
+    lexicographically last gram — matched by the oracle's
+    ``ORDER BY cnt DESC, gram DESC``). Documents with fewer than ``n``
+    words carry no n-gram and are excluded.
+    """
+    text = F.col(text_col)
+    toks = df.filter(text.isNotNull()).select(
+        F.col(id_col),
+        F.length(text).cast("bigint").alias("n_chars"),
+        _words(text).alias("w"),
+    )
+    # sequence(1, size-n+1) is DESCENDING when size < n — guard first
+    grams_arr = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        toks.select(id_col, "n_chars", F.explode(grams_arr).alias("gram"))
+        .groupBy(id_col, "n_chars", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_gram.groupBy(id_col, "n_chars").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("_top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias("_dup_occ"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_distinct_grams",
+        F.col("_top.gram").alias("top_gram"),
+        F.col("_top.cnt").alias("top_gram_count"),
+        dround(F.col("_dup_occ") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        dround(F.length(F.col("_top.gram")) * F.col("_top.cnt") / F.col("n_chars"), 6).alias(
+            "top_gram_char_frac"
+        ),
+    )
+
+
 # GPT-2-style pre-tokenization shape: letter runs, digit runs, and
 # single non-alphanumeric marks each become one token. A real BPE would
 # further split rare words; this regex pass is the deterministic,

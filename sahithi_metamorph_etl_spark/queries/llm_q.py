@@ -27,11 +27,13 @@ from ..llm.similarity import (
     ivf_topk,
     lsh_near_dup_pairs,
 )
+from ..llm.decontaminate import ngram_overlap
 from ..llm.textstats import (
     bpe_token_count,
     content_fingerprint,
     language_guess,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 from ..sources.readers import read_testdata
@@ -156,6 +158,81 @@ FROM base
           doc="Whitespace vs BPE-ish (GPT-2 pre-tokenization regex) token counts")
 def doc_bpe_tokens(spark, sf_dir):
     return bpe_token_count(read_testdata(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           string_split_regex(trim(text), '\\s+') AS w
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT doc_id, n_chars, array_to_string(w[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, n_chars, w,
+                 unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+          FROM toks)
+), per_gram AS (
+    SELECT doc_id, n_chars, gram, CAST(count(*) AS bigint) AS cnt
+    FROM grams GROUP BY doc_id, n_chars, gram
+), ranked AS (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+    FROM per_gram
+), per_doc AS (
+    SELECT doc_id, n_chars,
+           CAST(sum(cnt) AS bigint) AS n_grams,
+           CAST(count(*) AS bigint) AS n_distinct_grams,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS bigint) AS dup_occ
+    FROM per_gram GROUP BY doc_id, n_chars
+)
+SELECT d.doc_id, d.n_grams, d.n_distinct_grams,
+       r.gram AS top_gram, r.cnt AS top_gram_count,
+       {o_round('d.dup_occ * 1.0 / d.n_grams', 6)} AS dup_gram_frac,
+       {o_round('length(r.gram) * r.cnt * 1.0 / d.n_chars', 6)} AS top_gram_char_frac
+FROM per_doc d JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+@register("doc_repetition_stats", oracle=_REPETITION_ORACLE,
+          doc="Gopher-style repetition signals: duplicate-2-gram fraction + top-2-gram char share")
+def doc_repetition_stats(spark, sf_dir):
+    return repetition_stats(read_testdata(spark, sf_dir, "documents"), n=2)
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+2], ' ')) AS g
+    FROM (SELECT doc_id, w,
+                 unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+          FROM toks)
+), corpus AS (
+    SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+), ev AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+), tot AS (
+    SELECT doc_id, CAST(count(*) AS bigint) AS n_grams FROM corpus GROUP BY doc_id
+), hit AS (
+    SELECT c.doc_id, CAST(count(*) AS bigint) AS n_matched
+    FROM corpus c JOIN ev USING (g) GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(COALESCE(h.n_matched, 0) AS bigint) AS n_matched,
+       {o_round('COALESCE(h.n_matched, 0) * 1.0 / t.n_grams', 6)} AS contamination_frac,
+       COALESCE(h.n_matched, 0) >= 1 AS contaminated
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+
+@register("doc_decontaminate", oracle=_DECONTAMINATE_ORACLE,
+          doc="Benchmark decontamination: word-3-gram overlap of the corpus vs a held-out eval slice")
+def doc_decontaminate(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap(corpus, eval_df, n=3)
 
 
 # --- embedding analytics ----------------------------------------------------

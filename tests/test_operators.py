@@ -814,3 +814,58 @@ def test_expire_legacy_days_drops_old_partitions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_days"):
         wh.expire_legacy_days(spark, "t", 0, dt.date(2026, 1, 9))
+
+
+def test_repetition_stats_known_values(spark):
+    from sahithi_metamorph_etl_spark.llm.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),      # 2-grams: "a b"x2, "b a", "b c" → 4 grams, 3 distinct
+            (2, "x"),              # fewer than 2 words → excluded
+            (3, None),             # NULL text → excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_grams == 4 and r.n_distinct_grams == 3
+    assert r.top_gram == "a b" and r.top_gram_count == 2
+    assert abs(r.dup_gram_frac - 0.5) < 1e-9          # 2 of 4 occurrences duplicated
+    assert abs(r.top_gram_char_frac - 3 * 2 / 9) < 1e-4  # len("a b")*2 / len(text)
+
+
+def test_repetition_stats_tie_break_is_deterministic(spark):
+    from sahithi_metamorph_etl_spark.llm.textstats import repetition_stats
+
+    # "a b" and "b a" both occur twice → tie broken by highest gram string
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id bigint, text string")
+    r = repetition_stats(df, n=2).collect()[0]
+    assert r.top_gram == "b a" and r.top_gram_count == 2
+
+
+def test_ngram_overlap_flags_only_shared_grams(spark):
+    import pytest
+
+    from sahithi_metamorph_etl_spark.llm.decontaminate import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox" with eval
+            (2, "entirely different words here"),
+            (3, "ab"),                           # < 3 words → no grams, excluded
+        ],
+        "doc_id bigint, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "QUICK Brown FOX runs")],  # case-normalized match
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_overlap(corpus, eval_df, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].contaminated and out[1].n_matched == 1 and out[1].n_grams == 3
+    assert not out[2].contaminated and out[2].n_matched == 0
+
+    with pytest.raises(ValueError, match="min_hits"):
+        ngram_overlap(corpus, eval_df, min_hits=0)
