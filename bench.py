@@ -51,6 +51,8 @@ HEADLINE = [
     "events_asof_join",
     "events_interval_join",
     "corpus_clean_pipeline",
+    "doc_repetition_stats",
+    "doc_decontaminate",
     "doc_chunks",
     "doc_train_split",
     "doc_dedup_clusters",
