@@ -135,3 +135,23 @@ def test_stream_to_legacy_lands_days_partition(spark, sf_dir, events_dir, tmp_pa
     q2.processAllAvailable()
     q2.stop()
     assert wh.read_legacy(spark, "events", run_date=run_date).count() == n_batch
+
+
+def test_text_profile_runs_unchanged_on_stream(spark, sf_dir, tmp_path):
+    """The text-analysis surface is stateless projection, so the SAME
+    operator code runs on a file stream with no modification — Spark's
+    batch/stream unification, demonstrated rather than claimed."""
+    import os as _os
+
+    from sahithi_metamorph_etl_spark.llm.textstats import document_profile
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    _os.symlink(f"{sf_dir}/documents.parquet", d / "documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(d))
+
+    out = run_stream_to_memory(document_profile(stream), "profile_out", output_mode="append")
+    batch = document_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0

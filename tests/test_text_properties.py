@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the n-gram text operators:
+repetition stats and decontamination overlap must agree with a direct
+pure-Python model on ANY whitespace-tokenized corpus, not just the
+parquet fixtures. Few examples, large random documents — each example
+pays a Spark job."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from sahithi_metamorph_etl_spark.llm.decontaminate import ngram_overlap
+from sahithi_metamorph_etl_spark.llm.textstats import repetition_stats
+
+# small vocab → high collision rate → duplicates and overlaps actually occur
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "yy"])
+_doc = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+def _grams(text: str, n: int) -> list[str]:
+    w = text.split()
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_stats_matches_python_model(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    for i, t in enumerate(texts):
+        grams = _grams(t, 2)
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert r.n_distinct_grams == len(c)
+        top_cnt, top_gram = max((cnt, g) for g, cnt in c.items())
+        assert (r.top_gram_count, r.top_gram) == (top_cnt, top_gram)
+        dup_occ = sum(cnt for cnt in c.values() if cnt > 1)
+        assert abs(r.dup_gram_frac - dup_occ / len(grams)) < 1e-6
+        assert abs(r.top_gram_char_frac - len(top_gram) * top_cnt / len(t)) < 1e-6
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=6),
+    st.lists(_doc, min_size=1, max_size=3),
+)
+def test_ngram_overlap_matches_python_model(spark, corpus_texts, eval_texts):
+    corpus = spark.createDataFrame(list(enumerate(corpus_texts)), "doc_id bigint, text string")
+    eval_df = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_texts)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in ngram_overlap(corpus, eval_df, n=2).collect()}
+    eval_grams = {g for t in eval_texts for g in _grams(t.lower(), 2)}
+    for i, t in enumerate(corpus_texts):
+        doc_grams = set(_grams(t.lower(), 2))
+        if not doc_grams:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_grams == len(doc_grams)
+        assert r.n_matched == len(doc_grams & eval_grams)
+        assert r.contaminated == (r.n_matched >= 1)
