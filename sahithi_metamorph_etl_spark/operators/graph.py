@@ -135,3 +135,29 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("keeper"),
     )
+
+
+def prune_near_dups(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply near-dup cluster labels to the FULL corpus: every document
+    gets (id, cluster_id, kept) — clustered docs keep only their
+    cluster's keeper, documents in no near-dup pair keep themselves
+    (cluster_id = own id, kept = true). ``docs.filter(kept)`` is the
+    deduplicated corpus.
+
+    Scale: ``clusters`` holds only documents that appear in >= 1
+    near-dup pair — usually a small fraction of the corpus — so the
+    left join is corpus ⋈ (pair-graph-sized) on the id key; AQE
+    broadcasts it when it fits, otherwise it is the one id-keyed
+    shuffle the semantics require."""
+    labels = clusters.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "keeper"
+    )
+    return docs.select(id_col).join(labels, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.coalesce(F.col("keeper"), F.lit(True)).alias("kept"),
+    )

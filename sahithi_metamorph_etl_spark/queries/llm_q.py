@@ -491,6 +491,39 @@ def doc_dedup_clusters(spark, sf_dir):
     return dedup_clusters(prs)
 
 
+_PRUNE_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+),
+labels AS (
+    SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS keeper
+    FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.keeper, TRUE) AS kept
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
+
+@register("corpus_near_dup_prune", oracle=_PRUNE_ORACLE,
+          doc="End-to-end near-dup pruning: Jaccard pairs -> transitive clusters -> "
+              "keeper-per-cluster applied back onto the FULL corpus (singletons kept); "
+              "filter(kept) IS the deduplicated corpus")
+def corpus_near_dup_prune(spark, sf_dir):
+    from ..operators.graph import dedup_clusters, prune_near_dups
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    clusters = dedup_clusters(jaccard_pairs(docs, threshold=0.8))
+    return prune_near_dups(docs, clusters)
+
+
 @register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,
           doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic "
               "scale path. Candidate recall at s>=0.8 is ~0.99+ per pair and verified "

@@ -869,3 +869,19 @@ def test_ngram_overlap_flags_only_shared_grams(spark):
 
     with pytest.raises(ValueError, match="min_hits"):
         ngram_overlap(corpus, eval_df, min_hits=0)
+
+
+def test_prune_near_dups_singletons_kept(spark):
+    from sahithi_metamorph_etl_spark.operators.graph import dedup_clusters, prune_near_dups
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a bigint, doc_b bigint")
+    out = {r.doc_id: r for r in prune_near_dups(docs, dedup_clusters(pairs)).collect()}
+    assert len(out) == 6
+    # cluster {1,3,5}: keeper is min id 1
+    assert out[1].kept and out[1].cluster_id == 1
+    assert not out[3].kept and out[3].cluster_id == 1
+    assert not out[5].kept and out[5].cluster_id == 1
+    # singletons keep themselves
+    for i in (0, 2, 4):
+        assert out[i].kept and out[i].cluster_id == i
