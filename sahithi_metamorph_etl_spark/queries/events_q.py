@@ -180,6 +180,53 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+_ASOF_FWD_ORACLE = """
+WITH purch AS (
+    SELECT user_id, ts, max(event_id) AS purchase_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_event_id AS asof_purchase_event_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_until_purchase
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@register("events_asof_join_forward", oracle=_ASOF_FWD_ORACLE,
+          doc="Forward as-of join: EARLIEST purchase at-or-after each click per user — "
+              "the mirrored union-merge window (first() looking forward), same one-shuffle "
+              "shape; DuckDB ASOF JOIN with <= as the oracle")
+def events_asof_join_forward(spark, sf_dir):
+    from ..operators.asof import as_of_join
+
+    ev = read_testdata(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id", "purchase_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_purchase_event_id"),
+        F.expr("(unix_micros(asof_purchase_ts) - unix_micros(ts)) div 1000000")
+        .cast("bigint")
+        .alias("secs_until_purchase"),
+    )
+
+
 _INTERVAL_JOIN_ORACLE = """
 SELECT c.event_id AS click_event_id, c.user_id, c.ts AS click_ts,
        p.event_id AS purchase_event_id, p.ts AS purchase_ts

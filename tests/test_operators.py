@@ -885,3 +885,24 @@ def test_prune_near_dups_singletons_kept(spark):
     # singletons keep themselves
     for i in (0, 2, 4):
         assert out[i].kept and out[i].cluster_id == i
+
+
+def test_asof_join_forward_earliest_at_or_after(spark):
+    import pytest
+
+    from sahithi_metamorph_etl_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([("k", 5), ("k", 9), ("k", 13)], "k string, ts bigint")
+    right = spark.createDataFrame(
+        [("k", 9, 90.0), ("k", 12, 120.0)], "k string, ts bigint, price double"
+    )
+    out = {
+        r["ts"]: r["asof_price"]
+        for r in as_of_join(left, right, ["k"], "ts", "ts", ["price"], direction="forward").collect()
+    }
+    assert out[5] == 90.0     # earliest at-or-after
+    assert out[9] == 90.0     # equal timestamps match
+    assert out[13] is None    # nothing after
+
+    with pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, ["k"], "ts", "ts", ["price"], direction="nearest")
