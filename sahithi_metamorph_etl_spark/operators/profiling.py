@@ -50,3 +50,39 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-distribution diagnostic for join/agg planning — the
+    "measure, don't guess" input to the salting decision
+    (`operators.skew.salted_join`): one row with
+    (n_rows, n_keys, max_key_rows, top_key, skew_ratio) where
+    skew_ratio = max_key_rows / mean_key_rows. A ratio near 1 means a
+    plain hash shuffle balances; a large ratio says the hot key
+    dominates a shuffle partition and needs salting / AQE skew-join.
+
+    Shape: one key-grouped count (the only fact-sized shuffle) + a
+    1-row global aggregate; the top key is taken with
+    ``max(struct(cnt, key))`` — deterministic tie-break (highest count,
+    then lexicographically last key), no ranking window."""
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    per_key = (
+        df.select(key_str.alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("key_rows"))
+    )
+    agg = per_key.agg(
+        F.sum("key_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").alias("max_key_rows"),
+        F.max(F.struct(F.col("key_rows"), F.col("__k"))).alias("_top"),
+    )
+    from ..functions.money import dround
+
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.col("_top.__k").alias("top_key"),
+        dround(F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
+    )

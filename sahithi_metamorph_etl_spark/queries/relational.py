@@ -445,6 +445,57 @@ def orders_cube(spark, sf_dir):
     )
 
 
+_GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {o_dsum('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("orders_grouping_sets", oracle=_GROUPING_SETS_ORACLE,
+          doc="Explicit GROUPING SETS aggregate (detail + per-status + grand total) — "
+              "the general form behind rollup/cube, one expand + one shuffle")
+def orders_grouping_sets(spark, sf_dir):
+    o = read_testdata(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_SKEW_PROFILE_ORACLE = f"""
+WITH pk AS (
+    SELECT CAST(l_partkey AS varchar) AS k, CAST(count(*) AS bigint) AS key_rows
+    FROM lineitem GROUP BY 1
+), r AS (
+    SELECT k, key_rows, row_number() OVER (ORDER BY key_rows DESC, k DESC) AS rn FROM pk
+), s AS (
+    SELECT CAST(sum(key_rows) AS bigint) AS n_rows,
+           CAST(count(*) AS bigint) AS n_keys,
+           CAST(max(key_rows) AS bigint) AS max_key_rows
+    FROM pk
+)
+SELECT s.n_rows, s.n_keys, s.max_key_rows, r.k AS top_key,
+       {o_round('s.max_key_rows * s.n_keys * 1.0 / s.n_rows', 4)} AS skew_ratio
+FROM s, r WHERE r.rn = 1
+"""
+
+
+@register("lineitem_key_skew", oracle=_SKEW_PROFILE_ORACLE,
+          doc="Key-distribution skew diagnostic on the fact join key — the measured "
+              "input to the salting / AQE-skew-join decision")
+def lineitem_key_skew(spark, sf_dir):
+    from ..operators.profiling import key_skew_profile
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ["l_partkey"])
+
+
 # --- percent_rank tiering (SURVEY W3: the idiomatic A6 replacement) ---------
 
 _PR_TIER_ORACLE = f"""
