@@ -86,3 +86,44 @@ def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.col("_top.__k").alias("top_key"),
         dround(F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
     )
+
+
+def equi_width_histogram(df: DataFrame, col: str, n_buckets: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column, entirely in-plan: the
+    (min, max) range is a 1-row aggregate broadcast back onto the rows
+    (crossJoin), so the whole histogram is ONE job — no driver-side
+    min/max action re-running the upstream (the same no-mid-pipeline-
+    action design as the customer mart's tier cutoffs).
+
+    Returns (bucket, lo, hi, n_rows) for the non-empty buckets,
+    bucket in [0, n_buckets-1]; the max value lands in the last bucket.
+    NULLs are excluded. Shape: 1-row agg + broadcast + one
+    bucket-keyed shuffle (n_buckets groups)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    x = F.col(col).cast("double")
+    rng = df.agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_buckets
+    # degenerate range (all values equal): everything in bucket 0
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("_lo")) / width).cast("int"), F.lit(n_buckets - 1)
+        )
+    )
+    from ..functions.money import dround
+
+    return (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(rng))
+        .select(bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy("bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            dround(F.col("_lo") + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / n_buckets, 6).alias("lo"),
+            dround(F.col("_lo") + (F.col("bucket") + 1) * (F.col("_hi") - F.col("_lo")) / n_buckets, 6).alias("hi"),
+            "n_rows",
+        )
+    )

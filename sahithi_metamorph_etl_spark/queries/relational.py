@@ -496,6 +496,36 @@ def lineitem_key_skew(spark, sf_dir):
     return key_skew_profile(li, ["l_partkey"])
 
 
+_HISTOGRAM_ORACLE = f"""
+WITH rng AS (
+    SELECT min(CAST(o_totalprice AS double)) AS rlo, max(CAST(o_totalprice AS double)) AS rhi
+    FROM orders
+), b AS (
+    SELECT CASE WHEN r.rhi = r.rlo THEN 0
+                ELSE least(CAST(floor((CAST(o_totalprice AS double) - r.rlo)
+                                      / ((r.rhi - r.rlo) / 10.0)) AS int), 9)
+           END AS bucket,
+           r.rlo, r.rhi
+    FROM orders, rng r WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket,
+       {o_round('rlo + bucket * (rhi - rlo) / 10.0', 6)} AS lo,
+       {o_round('rlo + (bucket + 1) * (rhi - rlo) / 10.0', 6)} AS hi,
+       CAST(count(*) AS bigint) AS n_rows
+FROM b GROUP BY bucket, rlo, rhi
+"""
+
+
+@register("orders_price_histogram", oracle=_HISTOGRAM_ORACLE,
+          doc="Equi-width 10-bucket histogram with in-plan min/max (1-row broadcast "
+              "back, single job — no driver-side range action)")
+def orders_price_histogram(spark, sf_dir):
+    from ..operators.profiling import equi_width_histogram
+
+    o = read_testdata(spark, sf_dir, "orders")
+    return equi_width_histogram(o, "o_totalprice", n_buckets=10)
+
+
 # --- percent_rank tiering (SURVEY W3: the idiomatic A6 replacement) ---------
 
 _PR_TIER_ORACLE = f"""

@@ -906,3 +906,23 @@ def test_asof_join_forward_earliest_at_or_after(spark):
 
     with pytest.raises(ValueError, match="direction"):
         as_of_join(left, right, ["k"], "ts", "ts", ["price"], direction="nearest")
+
+
+def test_equi_width_histogram_edges(spark):
+    import pytest
+
+    from sahithi_metamorph_etl_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame([(0.0,), (2.5,), (5.0,), (10.0,), (None,)], "x double")
+    out = {r.bucket: r for r in equi_width_histogram(df, "x", n_buckets=4).collect()}
+    # range [0,10], width 2.5: 0.0→b0, 2.5→b1, 5.0→b2, 10.0 (max)→b3, NULL dropped
+    assert {b: out[b].n_rows for b in sorted(out)} == {0: 1, 1: 1, 2: 1, 3: 1}
+    assert out[3].hi == 10.0 and out[0].lo == 0.0
+
+    # degenerate range: all equal → single bucket 0
+    same = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = equi_width_histogram(same, "x", n_buckets=4).collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n_rows == 2
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        equi_width_histogram(df, "x", n_buckets=0)
