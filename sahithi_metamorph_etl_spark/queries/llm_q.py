@@ -524,6 +524,19 @@ def corpus_near_dup_prune(spark, sf_dir):
     return prune_near_dups(docs, clusters)
 
 
+@register("corpus_near_dup_prune_lsh", oracle=_PRUNE_ORACLE,
+          doc="Near-dup pruning composed over the SUB-QUADRATIC MinHash-LSH pair path "
+              "(banded candidates, exact-verified) — the 100 TB form of "
+              "corpus_near_dup_prune, hash-matching the same exact-Jaccard oracle "
+              "because verified candidates provably equal the exact pair set here")
+def corpus_near_dup_prune_lsh(spark, sf_dir):
+    from ..operators.graph import dedup_clusters, prune_near_dups
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs, threshold=0.8))
+    return prune_near_dups(docs, clusters)
+
+
 @register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,
           doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic "
               "scale path. Candidate recall at s>=0.8 is ~0.99+ per pair and verified "
