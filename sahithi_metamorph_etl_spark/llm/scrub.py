@@ -15,11 +15,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ordered: emails first (an email contains digit runs a phone pattern
-# could half-eat), then phones, then bare IPv4s
+# could half-eat), then bare IPv4s BEFORE phones (a loose phone pattern
+# would otherwise consume dotted quads and the ipv4 rule would be dead
+# code), then phones.
+#
+# The phone pattern is deliberately shape-anchored rather than "any long
+# digit run" — two alternatives, both valid Java regex AND RE2 (DuckDB),
+# so no lookaround:
+#   1. international: '+' then 7-15 digits with single space/()-
+#      separators ('+' is a strong phone signal; dates/IPs never carry it);
+#   2. NANP-shaped: (ddd) ddd dddd / ddd-ddd-dddd / ddddddddd(d), with \b
+#      guards so it cannot fire inside longer digit runs.
+# ISO dates (2024-01-15 = 4-2-2), timestamps, thousands groups
+# ('10 000 000' = 2-3-3) and dotted quads match neither alternative.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d .-]{6,}\d",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d ()-]{5,13}\d|(?:\(\d{3}\)|\b\d{3})[ -]?\d{3}[ -]?\d{4}\b",
 }
 
 

@@ -254,7 +254,15 @@ def lsh_near_dup_pairs(
     """
     import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    # one bounded driver probe for the vector dim (the array<> schema does
+    # not carry it); empty/all-null input short-circuits to an empty pair
+    # frame instead of a TypeError deep in plane construction
+    row = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cos_sim double"
+        )
+    dim = len(row[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_planes, dim))
     rf = float(10**round_scale)
@@ -447,8 +455,14 @@ def ann_recall_summary(
             "n_exact",
             "n_ann",
             "n_hits",
-            dround(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
-            (F.col("n_hits") / F.col("n_exact") >= recall_floor).alias("floor_ok"),
+            # n_exact = 0 (empty query set / k=0) would make both NULL and a
+            # gate reading floor_ok would see neither true nor false — pin
+            # recall to 0.0 and floor_ok to false so no-data reads as a
+            # failing gate, not a silent one
+            F.coalesce(dround(F.col("n_hits") / F.col("n_exact"), 4), F.lit(0.0)).alias("recall"),
+            F.coalesce(
+                F.col("n_hits") / F.col("n_exact") >= recall_floor, F.lit(False)
+            ).alias("floor_ok"),
         )
     )
 
@@ -476,7 +490,11 @@ def hyperplane_lsh_topk(
     would null-pad the dot products and silently collapse every vector
     into one bucket (a full cross join)."""
     if dim is None:
-        first = embeddings.select(vec_col).first()
+        first = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:  # empty/all-null input: no buckets, no neighbors
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+            )
         dim = len(first[0])
     planes = _planes(n_planes, dim)
     plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])

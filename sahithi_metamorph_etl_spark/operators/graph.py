@@ -57,8 +57,12 @@ def connected_components(
         a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
-    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
-        rows = edges.collect()
+    # single bounded action: collect at most threshold+1 edges (~16
+    # bytes/edge). If the cap row shows up the graph is "large" and we
+    # fall through to the distributed loop; otherwise the rows in hand ARE
+    # the whole edge list — no second collect pass.
+    rows = edges.limit(local_threshold + 1).collect() if local_threshold else None
+    if rows is not None and len(rows) <= local_threshold:
         edges.unpersist()
         parent: dict = {}
 

@@ -527,8 +527,10 @@ def corpus_near_dup_prune(spark, sf_dir):
 @register("corpus_near_dup_prune_lsh", oracle=_PRUNE_ORACLE,
           doc="Near-dup pruning composed over the SUB-QUADRATIC MinHash-LSH pair path "
               "(banded candidates, exact-verified) — the 100 TB form of "
-              "corpus_near_dup_prune, hash-matching the same exact-Jaccard oracle "
-              "because verified candidates provably equal the exact pair set here")
+              "corpus_near_dup_prune, hash-matching the same exact-Jaccard oracle. "
+              "LSH is probabilistic (a pair at s=0.8 misses all 16 bands with "
+              "p~2e-4), so equality with the exact oracle is empirical at this "
+              "sf/seed, not guaranteed at every scale")
 def corpus_near_dup_prune_lsh(spark, sf_dir):
     from ..operators.graph import dedup_clusters, prune_near_dups
 
@@ -539,9 +541,10 @@ def corpus_near_dup_prune_lsh(spark, sf_dir):
 
 @register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,
           doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic "
-              "scale path. Candidate recall at s>=0.8 is ~0.99+ per pair and verified "
-              "candidates are exact-rescored, so the output provably equals the exact "
-              "Jaccard pair set here — checked against the SAME oracle as doc_jaccard_pairs")
+              "scale path, checked against the SAME oracle as doc_jaccard_pairs. "
+              "Verified candidates are exact-rescored so there are no false positives; "
+              "recall is probabilistic (a pair at s=0.8 misses all bands with p~2e-4), "
+              "so oracle equality is empirical at this sf/seed, not a guarantee")
 def doc_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
 
@@ -661,7 +664,9 @@ def emb_cosine_near_dup(spark, sf_dir):
 @register("emb_lsh_near_dup", oracle=_NEAR_DUP_ORACLE,
           doc="Banded hyperplane-LSH near-dup pairs (24 bands x 2 planes), exact-rescored "
               "within buckets — the fully distributed scale path (no driver collect); "
-              "checked against the exact all-pairs oracle: full recall at these params")
+              "checked against the exact all-pairs oracle. Recall is probabilistic "
+              "(miss-all-bands p~5e-6 at t=0.4 with these params), so oracle equality "
+              "is empirical at this sf/seed, not a guarantee")
 def emb_lsh_near_dup(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return lsh_near_dup_pairs(emb, threshold=0.4)
