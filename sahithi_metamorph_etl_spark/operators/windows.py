@@ -49,8 +49,11 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000  # microsecond precision, no truncation
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ columns
+    # (unix_micros would reject NTZ — the testdata events table is NTZ)
     new_session = F.when(
-        prev_ts.isNull() | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts) > gap_us),
+        prev_ts.isNull()
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col)) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

@@ -172,9 +172,11 @@ def events_asof_join(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts",
         F.col("asof_purchase_event_id"),
-        # floor the DIFFERENCE (micros div 1e6), not each side: flooring
-        # per-timestamp is off by one whenever frac(left) < frac(right)
-        F.expr("(unix_micros(ts) - unix_micros(asof_purchase_ts)) div 1000000")
+        # floor the DIFFERENCE (whole elapsed seconds), not each side:
+        # flooring per-timestamp is off by one whenever frac(left) <
+        # frac(right). timestamp_diff handles NTZ columns (unix_micros
+        # would reject the testdata's TIMESTAMP_NTZ ts).
+        F.timestamp_diff("SECOND", F.col("asof_purchase_ts"), F.col("ts"))
         .cast("bigint")
         .alias("secs_since_purchase"),
     )
@@ -221,7 +223,7 @@ def events_asof_join_forward(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts",
         F.col("asof_purchase_event_id"),
-        F.expr("(unix_micros(asof_purchase_ts) - unix_micros(ts)) div 1000000")
+        F.timestamp_diff("SECOND", F.col("ts"), F.col("asof_purchase_ts"))
         .cast("bigint")
         .alias("secs_until_purchase"),
     )
@@ -284,7 +286,7 @@ def events_json_extract(spark, sf_dir):
 
 _INCR_ORACLE = """
 SELECT event_id, user_id, ts, event_type
-FROM events WHERE ts > TIMESTAMP '2024-03-01 00:00:00'
+FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
 """
 
 
@@ -299,5 +301,7 @@ def events_incremental_slice(spark, sf_dir):
     from ..sources.incremental import incremental_slice
 
     ev = read_testdata(spark, sf_dir, "events")
-    hwm = dt.datetime(2024, 3, 1)
+    # mid-range watermark (testdata events span Jan 2024): the slice is
+    # a real subset — non-empty AND smaller than the table
+    hwm = dt.datetime(2024, 1, 20)
     return incremental_slice(ev, "ts", hwm).select("event_id", "user_id", "ts", "event_type")

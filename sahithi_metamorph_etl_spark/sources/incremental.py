@@ -28,7 +28,13 @@ def incremental_slice(df: DataFrame, watermark_col: str, last_value: Any | None)
     batch — the standard high-water-mark contract."""
     if last_value is None:
         return df
-    return df.filter(F.col(watermark_col) > F.lit(last_value))
+    # cast the literal to the column's own type: a naive datetime literal
+    # becomes TIMESTAMP (session-tz); casting it to a TIMESTAMP_NTZ
+    # column's type round-trips through the same session tz, so the
+    # comparison is deterministic regardless of session timezone — and
+    # stays a pushable scalar predicate either way
+    bound = F.lit(last_value).cast(df.schema[watermark_col].dataType)
+    return df.filter(F.col(watermark_col) > bound)
 
 
 def advance_watermark(df: DataFrame, watermark_col: str) -> Any | None:

@@ -59,19 +59,34 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read via the legacy nanos-as-long escape hatch
-    and converted to a microsecond timestamp (integer division — the
-    same truncation DuckDB applies when narrowing ns to us).
+    ``events.parquet`` has shipped two ways across driver generations:
+    TIMESTAMP(MICROS) (read natively — as TIMESTAMP_NTZ, the semantic
+    twin of DuckDB's naive TIMESTAMP, so oracle comparisons are
+    timezone-independent) and TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; the nanos shape is read via the legacy nanos-as-long
+    escape hatch and truncated to microseconds (the same narrowing
+    DuckDB applies). The branch keys on the actual file schema, so both
+    generations load to the same column type.
     """
     if table not in TESTDATA:
         raise KeyError(f"unknown testdata table: {table}")
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        except Exception:
+            # TIMESTAMP(NANOS) testdata: retry with the legacy escape hatch
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # nanos → micros, then to NTZ via an explicit UTC rendering so
+            # the result is session-timezone-independent
+            df = df.withColumn(
+                "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -22,12 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# streaming-source schema for events.parquet: ts arrives as nanos long
-# (see sources.readers.read_testdata) and is normalized to timestamp
+# streaming-source schema for events.parquet: ts is TIMESTAMP(MICROS)
+# with no zone — TIMESTAMP_NTZ, matching sources.readers.read_testdata's
+# batch read, so batch/stream parity tests compare identical types
 _EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -66,16 +67,19 @@ def nanos_as_long(spark: SparkSession):
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the events table (one file = one batch).
 
-    Callers driving the stream should wrap define+run in
-    :func:`nanos_as_long`; this set is kept for direct/test use and is
-    idempotent under the scope."""
-    spark.conf.set(_NANOS_CONF, "true")
+    ``ts`` arrives as TIMESTAMP_NTZ (see ``_EVENTS_RAW``) and is cast to
+    TIMESTAMP: watermarks/event-time windows require the zoned type
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The cast interprets
+    the naive value in the session timezone — run streaming sessions
+    under UTC (the default here) for instants that equal the batch NTZ
+    values. The :func:`nanos_as_long` scope remains available for legacy
+    nanos-generation files and is harmless for micros files."""
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

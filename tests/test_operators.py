@@ -577,6 +577,43 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[3].text == "" and out[3].n_redactions == 0
 
 
+def test_scrub_pii_phone_shapes_and_negatives(spark):
+    """Pin the phone pattern's digit-bounded behavior (ADVICE r3/r4):
+    full international/NANP shapes redact with NO residual digits, while
+    dates, timestamps, thousands groups, IPs (redacted as [ipv4], not
+    [phone]), and separator-padded non-phones survive untouched."""
+    from sahithi_metamorph_etl_spark.llm.scrub import scrub_pii
+
+    redact_whole = [
+        "+1 (555) 123-4567",
+        "+44 (0) 20 7946 0958",  # E.164 worst case with separators
+        "+15551234567",
+        "(555) 123-4567",
+        "555-123-4567",
+    ]
+    survive = [
+        "2024-01-15",
+        "2024-01-15 12:30:45",
+        "10 000 000",
+        "+1-----2",  # 2 digits: digit bound rejects it
+        "order 123456",
+    ]
+    rows = [(i, t) for i, t in enumerate(redact_whole + survive)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    for i, t in enumerate(redact_whole):
+        assert out[i].text == "[phone]", (t, out[i].text)
+        assert out[i].n_redactions == 1
+    for j, t in enumerate(survive):
+        i = len(redact_whole) + j
+        assert out[i].text == t, (t, out[i].text)
+        assert out[i].n_redactions == 0
+    # an IP redacts as [ipv4] (ipv4 rule ordered before phones), never [phone]
+    ip = spark.createDataFrame([(0, "from 10.0.0.1 ok")], "doc_id bigint, text string")
+    r = scrub_pii(ip).collect()[0]
+    assert r.text == "from [ipv4] ok" and r.n_redactions == 1
+
+
 def test_profile_columns_metrics(spark):
     from sahithi_metamorph_etl_spark.operators.profiling import profile_columns
 
