@@ -757,7 +757,11 @@ FROM documents
 
 
 @register("multimodal_decode_stats", oracle=_MEDIA_ORACLE,
-          doc="Binary media column -> Arrow-batched mapInPandas decode stage (stub codec)")
+          doc="Binary media column -> Arrow-batched mapInPandas decode stage: REAL "
+              "header/pixel decode (llm.codecs) for image payloads, deterministic "
+              "length-derived pseudo-stats for non-image binary (these text payloads) "
+              "so the stage is total; the real-decode path is oracle-checked by "
+              "multimodal_png_roundtrip")
 def multimodal_decode_stats(spark, sf_dir):
     docs = read_testdata(spark, sf_dir, "documents")
     media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
@@ -816,4 +820,77 @@ def multimodal_frame_sample(spark, sf_dir):
     media = to_media_column(docs, payload_col="text", id_col="doc_id", source_col="source")
     return sample_frames(media, frame_bytes=64, max_frames=4).select(
         "media_id", "frame_idx", "frame_offset", "frame_len"
+    )
+
+
+# real-codec proof: per document, synthesize a PNG whose dimensions,
+# channel count, and pixel values are pure arithmetic on doc_id; decode
+# it back with the library-free PNG decoder (llm.codecs) and report the
+# DECODED stats. The oracle recomputes the same arithmetic in SQL — a
+# codec bug (wrong unfilter, wrong stride, wrong channel order) breaks
+# the hash match. Pixels vary along x and channel so the check is
+# sensitive to axis transposition, not just byte counts.
+_PNG_RT_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           doc_id % 13 + 1 AS width,
+           doc_id % 7 + 1  AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+           doc_id % 251    AS fill
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(width AS bigint) AS width,
+       CAST(height AS bigint) AS height,
+       CAST(channels AS bigint) AS channels,
+       CAST(height * (SELECT sum((fill + x.i + 7 * ch.j) % 256)
+                      FROM unnest(range(0, width)) AS x(i),
+                           unnest(range(0, channels)) AS ch(j))
+            AS bigint) AS pixel_sum
+FROM base
+"""
+
+
+@register("multimodal_png_roundtrip", oracle=_PNG_RT_ORACLE,
+          doc="REAL image codec end-to-end: encode a deterministic PNG per document "
+              "(dims/pixels are arithmetic on doc_id), pixel-decode it with the "
+              "library-free PNG codec, report decoded width/height/channels/pixel_sum — "
+              "the SQL oracle recomputes the arithmetic, so any codec defect "
+              "(unfilter, stride, channel order) hash-mismatches")
+def multimodal_png_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ..llm.codecs import module_source
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    codecs_src = module_source()  # shipped by value; see codecs.module_source
+
+    def work(batches):
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        decode_png, encode_png = ns["decode_png"], ns["encode_png"]
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "channels": [], "pixel_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 1, d % 7 + 1
+                c = 3 if d % 2 == 0 else 1
+                fill = d % 251
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(c, dtype=np.int64)[None, None, :]
+                px = np.broadcast_to((fill + x + 7 * ch) % 256, (h, w, c)).astype(np.uint8)
+                back = decode_png(encode_png(px))  # the real decode under test
+                out["media_id"].append(d)
+                out["width"].append(back.shape[1])
+                out["height"].append(back.shape[0])
+                out["channels"].append(back.shape[2])
+                out["pixel_sum"].append(int(back.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        work,
+        schema="media_id bigint, width bigint, height bigint, channels bigint, pixel_sum bigint",
     )

@@ -1,0 +1,212 @@
+"""Unit tests for the library-free image codecs (llm.codecs) and their
+Spark integration (multimodal decode/resize stages).
+
+The PNG decode tests build filtered scanline streams FORWARD from the
+spec (filter math written out independently in the test), so the
+decoder's inverse-filter path is checked against the spec, not against
+our own encoder. The encoder is then checked by round-trip through the
+spec-checked decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sahithi_metamorph_etl_spark.llm import codecs
+
+
+def _png(width, height, color_type, scanlines: bytes) -> bytes:
+    """Assemble a PNG container around pre-filtered scanline bytes."""
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_filter0_gray():
+    # 3x2 grayscale, filter 0 (raw) rows
+    px = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    stream = b"\x00" + bytes(px[0]) + b"\x00" + bytes(px[1])
+    out = codecs.decode_png(_png(3, 2, 0, stream))
+    assert out.shape == (2, 3, 1)
+    assert (out[:, :, 0] == px).all()
+
+
+def test_decode_png_sub_filter_rgb():
+    # 3x1 RGB with filter 1 (Sub): filt[x] = raw[x] - raw[x-bpp]
+    raw = np.array([[100, 110, 120], [103, 115, 130], [110, 110, 128]], dtype=np.int16)
+    flat = raw.reshape(-1)
+    filt = flat.copy()
+    filt[3:] = (flat[3:] - flat[:-3]) % 256  # forward Sub, bpp=3, from the spec
+    stream = b"\x01" + bytes(filt.astype(np.uint8))
+    out = codecs.decode_png(_png(3, 1, 2, stream))
+    assert out.shape == (1, 3, 3)
+    assert (out[0] == raw.astype(np.uint8)).all()
+
+
+def test_decode_png_up_average_paeth_filters():
+    # 2x3 grayscale exercising Up (2), Average (3), Paeth (4) rows
+    px = np.array([[7, 200], [9, 210], [15, 90]], dtype=np.int16)
+    row0 = b"\x00" + bytes(px[0].astype(np.uint8))
+    up = (px[1] - px[0]) % 256  # forward Up
+    row1 = b"\x02" + bytes(up.astype(np.uint8))
+    # forward Average for row 2 (prev row = px[1]): avg(left, up)
+    avg0 = (px[2, 0] - (0 + px[1, 0]) // 2) % 256
+    avg1 = (px[2, 1] - (px[2, 0] + px[1, 1]) // 2) % 256
+    row2 = b"\x03" + bytes(np.array([avg0, avg1], dtype=np.uint8))
+    out = codecs.decode_png(_png(2, 3, 0, row0 + row1 + row2))
+    assert (out[:, :, 0] == px.astype(np.uint8)).all()
+
+    # Paeth row: predictor of (a=left, b=up, c=up-left)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    p0 = (px[1, 0] - paeth(0, int(px[0, 0]), 0)) % 256
+    p1 = (px[1, 1] - paeth(int(px[1, 0]), int(px[0, 1]), int(px[0, 0]))) % 256
+    rowp = b"\x04" + bytes(np.array([p0, p1], dtype=np.uint8))
+    out2 = codecs.decode_png(_png(2, 2, 0, row0 + rowp))
+    assert (out2[:, :, 0] == px[:2].astype(np.uint8)).all()
+
+
+def test_png_encode_decode_roundtrip_all_channel_counts():
+    rng = np.random.default_rng(42)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(5, 7, c), dtype=np.uint8)
+        back = codecs.decode_png(codecs.encode_png(px))
+        assert back.shape == (5, 7, c)
+        assert (back == px).all()
+
+
+def test_png_header_without_pixel_decode():
+    px = np.zeros((4, 9, 3), dtype=np.uint8)
+    assert codecs.png_header(codecs.encode_png(px)) == (9, 4, 3)
+
+
+def test_png_unsupported_variants_raise():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_png(payload)
+
+
+def test_decode_bmp_24bit_bottom_up():
+    # 2x2 24-bit BMP, bottom-up, rows padded to 4 bytes (2*3=6 -> 8)
+    # stored bottom row first, BGR order
+    top = [(255, 0, 0), (0, 255, 0)]  # RGB red, green
+    bot = [(0, 0, 255), (10, 20, 30)]  # blue, misc
+    def bgr(row):
+        return b"".join(bytes((b, g, r)) for (r, g, b) in row)
+    pixel_data = bgr(bot) + b"\x00\x00" + bgr(top) + b"\x00\x00"
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    payload = header + pixel_data
+    assert codecs.sniff_format(payload) == "bmp"
+    assert codecs.bmp_header(payload) == (2, 2, 3)
+    out = codecs.decode_bmp(payload)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255) and tuple(out[1, 1]) == (10, 20, 30)
+
+
+def test_jpeg_header_parse():
+    # minimal JPEG: SOI + APP0 + SOF0(8-bit, 480x640, 3 comps) + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 480, 640, 3) + b"\x01\x11\x00"
+    payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert codecs.sniff_format(payload) == "jpeg"
+    assert codecs.jpeg_header(payload) == (640, 480, 3)
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.decode_image(payload)  # pixel decode honestly unsupported
+
+
+def test_gif_header_parse():
+    payload = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert codecs.gif_header(payload) == (320, 200, 3)
+
+
+def test_sniff_rejects_text_lookalikes():
+    assert codecs.sniff_format(b"plain text document") is None
+    # text starting with "BM" must not sniff as BMP (reserved word nonzero)
+    assert codecs.sniff_format(b"BMW is a carmaker, not a bitmap header") is None
+    assert codecs.image_stats(b"BMW is a carmaker, not a bitmap header") is None
+
+
+def test_resize_nearest_known_values():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    half = codecs.resize_nearest(px, 2, 2)
+    # sample points floor((i+0.5)*4/2) = 1, 3
+    assert half[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    up = codecs.resize_nearest(px, 8, 8)
+    assert up.shape == (8, 8, 1)
+    assert up[0, 0, 0] == px[0, 0, 0] and up[7, 7, 0] == px[3, 3, 0]
+
+
+def test_decode_media_stats_real_png_and_text_fallback(spark):
+    from sahithi_metamorph_etl_spark.llm.multimodal import decode_media_stats
+
+    png = codecs.encode_png(np.zeros((17, 23, 3), dtype=np.uint8))
+    txt = b"just some text payload"
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", "t"), (2, bytearray(txt), "text/plain", "t")],
+        "media_id bigint, payload binary, media_type string, source string",
+    )
+    rows = {r.media_id: r for r in decode_media_stats(media).collect()}
+    # real decode: true PNG dimensions
+    assert rows[1].width == 23 and rows[1].height == 17
+    assert rows[1].n_bytes == len(png)
+    # non-image: deterministic length-derived pseudo-stats (total operator)
+    n = len(txt)
+    assert rows[2].width == n % 640 + 16 and rows[2].height == (n * 7) % 480 + 16
+
+
+def test_resize_image_media_end_to_end(spark):
+    from sahithi_metamorph_etl_spark.llm.multimodal import resize_image_media
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(codecs.encode_png(px)), "image/png", "t"),
+            (2, bytearray(b"not an image"), "text/plain", "t"),
+        ],
+        "media_id bigint, payload binary, media_type string, source string",
+    )
+    rows = {r.media_id: r for r in resize_image_media(media, 5, 4).collect()}
+    ok = rows[1]
+    assert ok.ok and ok.orig_width == 20 and ok.orig_height == 12 and ok.channels == 3
+    resized = codecs.decode_png(bytes(ok.payload))
+    assert resized.shape == (4, 5, 3)
+    assert (resized == codecs.resize_nearest(px, 5, 4)).all()
+    bad = rows[2]
+    assert not bad.ok and bad.payload is None
