@@ -320,6 +320,28 @@ def lsh_near_dup_pairs(
     return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
+def _train_centroids(embeddings, vec_col, n_lists, seed, train_sample):
+    """Seeded k-means coarse quantizer: a few Lloyd iterations on cosine
+    (unit vectors -> dot argmax) over a bounded driver sample. Returns a
+    unit-normalized (n_lists, dim) ndarray — small enough to ship into
+    closures by value."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
+    xs = np.array([r[0] for r in sample], dtype=np.float64)
+    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+    cents = xs[rng.choice(len(xs), size=min(n_lists, len(xs)), replace=False)]
+    for _ in range(5):
+        assign = (xs @ cents.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = xs[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -333,31 +355,24 @@ def ivf_topk(
     train_sample: int = 2048,
     max_queries: int | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the coarse-quantizer twin
-    of :func:`hyperplane_lsh_topk`.
+    """IVF (inverted-file) approximate top-k — index-FREE form: one-shot
+    search where the corpus is scanned once and every vector's list
+    assignment is recomputed at score time. Use this when the corpus is
+    not worth materializing; for repeated searches over a large corpus,
+    :func:`ivf_build_index` + :func:`ivf_search` persist the assignment
+    as a physical partition key so a probe READS only ``n_probe /
+    n_lists`` of the data (partition pruning at the scan) instead of
+    scanning everything and discarding non-probed rows.
 
     Train: k-means (a few Lloyd iterations, seeded, on a bounded driver
-    sample) -> ``n_lists`` centroids. Index: every corpus vector is
-    assigned to its nearest centroid — in a real deployment this
-    becomes the table's partition/cluster key, so a probe reads only
-    ``n_probe/n_lists`` of the data. Search: each query scores only the
-    ``n_probe`` nearest inverted lists. All scoring is BLAS matmul in
-    ``mapInPandas``; only centroid training touches the driver.
+    sample) -> ``n_lists`` centroids. Search: each query keeps scores
+    only from its ``n_probe`` nearest inverted lists. All scoring is
+    BLAS matmul in ``mapInPandas``; only centroid training touches the
+    driver.
     """
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
-    xs = np.array([r[0] for r in sample], dtype=np.float64)
-    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
-    cents = xs[rng.choice(len(xs), size=min(n_lists, len(xs)), replace=False)]
-    for _ in range(5):  # Lloyd on cosine (all unit vectors -> dot argmax)
-        assign = (xs @ cents.T).argmax(axis=1)
-        for j in range(len(cents)):
-            members = xs[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
 
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "ivf_topk"
@@ -406,6 +421,174 @@ def ivf_topk(
                         continue
                     item = (float(s[ci]), -nid)
                     if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, cos)
+            for qid, heap in heaps.items()
+            for cos, neg_nid in heap
+        ]
+        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    return top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 2048,
+):
+    """Materialize the IVF physical layout: the corpus written to
+    ``{index_path}/lists`` PARTITIONED BY ``list_id`` (one directory
+    per inverted list), centroids to ``{index_path}/centroids``.
+
+    This is what makes IVF pay at scale: :func:`ivf_search` pushes
+    ``list_id IN (probes)`` into the scan as a partition filter, so a
+    probe reads ``n_probe/n_lists`` of the FILES — the non-probed lists
+    are never opened, not scanned-then-discarded. Assignment is an
+    Arrow-batched argmax over the (tiny) centroid matrix shipped by
+    value — partition-parallel, no shuffle beyond the partitioned
+    write. Returns the centroid matrix for convenience."""
+    import numpy as np
+
+    cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    cents_ship = cents.copy()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "list_id": (m @ cents_ship.T).argmax(axis=1).astype("int32"),
+                }
+            )
+
+    (
+        embeddings.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        .mapInPandas(assign, schema="vec_id bigint, embedding array<double>, list_id int")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(f"{index_path}/lists")
+    )
+    return cents
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Search a materialized IVF index (:func:`ivf_build_index`): the
+    scan is FILTERED to the union of every query's ``n_probe`` nearest
+    lists — ``list_id IN (...)`` is a partition filter, so non-probed
+    list directories are never read (plan-asserted in tests). Each
+    query then keeps scores only from its own probed lists (the row's
+    stored ``list_id`` — no re-assignment at search time).
+
+    ``queries`` is a bounded DataFrame of (id_col, vec_col);
+    ``max_queries`` guards the driver collect the same way the other
+    similarity operators do."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["list_id"]] = r["centroid"]
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_search: query set exceeds max_queries={max_queries}; "
+            "tighten the queries DataFrame or raise the cap deliberately"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    probe_union = sorted({int(p) for row in q_probes for p in row})
+
+    corpus = (
+        spark.read.parquet(f"{index_path}/lists")
+        .filter(F.col("list_id").isin(probe_union))  # partition pruning
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "list_id")
+    )
+    rf = float(10**round_scale)
+    k_ = k
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        probe_sets = [set(map(int, row)) for row in q_probes]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            lids = pdf["list_id"].to_numpy()
+            t = qm @ cm.T
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf  # dround twin
+            nids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                heap = heaps[int(qid)]
+                probes = probe_sets[qi]
+                s = sims[qi]
+                floor = heap[0][0] if len(heap) >= k_ else -2.0
+                for ci in np.nonzero(s >= floor)[0]:
+                    if int(lids[ci]) not in probes:
+                        continue  # another query's probe, not this one's
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    item = (float(s[ci]), -nid)
+                    if len(heap) < k_:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heapreplace(heap, item)

@@ -630,13 +630,23 @@ def emb_lsh_ann_topk(spark, sf_dir):
 
 
 @register("emb_ivf_topk", oracle=None,
-          doc="IVF approximate top-5 (seeded k-means coarse quantizer, 4/16 lists probed) "
-              "vs exact brute force — returns ONE deterministic self-verifying recall "
-              "summary row: (n_queries, n_exact, n_ann, n_hits, recall, floor_ok)")
+          doc="IVF approximate top-5 via the PHYSICAL index path: corpus materialized "
+              "partitioned by list_id (ivf_build_index), probe scan partition-pruned to "
+              "the 4/16 probed lists (ivf_search), vs exact brute force — returns ONE "
+              "deterministic self-verifying recall summary row: (n_queries, n_exact, "
+              "n_ann, n_hits, recall, floor_ok)")
 def emb_ivf_topk(spark, sf_dir):
+    import tempfile
+
+    from ..llm.similarity import ivf_build_index, ivf_search
+
     emb = read_testdata(spark, sf_dir, "embeddings")
     exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
-    ann = ivf_topk(emb, k=5, n_lists=16, n_probe=4, query_filter=F.col("vec_id") < 100)
+    # the index dir must outlive this function (the driver materializes
+    # the returned frame later), so it lives until process exit
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    ivf_build_index(emb, idx, n_lists=16)
+    ann = ivf_search(spark, idx, emb.filter(F.col("vec_id") < 100), k=5, n_probe=4)
     return ann_recall_summary(exact, ann, recall_floor=0.5)
 
 

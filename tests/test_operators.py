@@ -307,6 +307,74 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert hits / total >= 0.5, f"recall@5 = {hits}/{total}"
 
 
+def test_ivf_physical_index_prunes_probe_scan(spark, sf_dir, tmp_path):
+    """The materialized IVF layout must (a) preserve every corpus row
+    across the partitioned write, (b) push the probe set into the scan
+    as a PARTITION filter — non-probed list directories never open —
+    and (c) return exactly what the index-free ivf_topk returns for the
+    same seed/params (the physical layout is a storage optimization,
+    not a semantics change)."""
+    import contextlib
+    import io
+    import os
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ivf_build_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, n_lists=8)
+
+    # (a) physical layout: one directory per non-empty list, rows preserved
+    list_dirs = [d for d in os.listdir(f"{idx}/lists") if d.startswith("list_id=")]
+    assert 1 < len(list_dirs) <= 8
+    assert spark.read.parquet(f"{idx}/lists").count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 50)
+    ann = ivf_search(spark, idx, queries, k=5, n_probe=4)
+
+    # (b) the probe filter reaches the scan as a partition filter
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann.explain(mode="formatted")
+    plan = buf.getvalue()
+    scan = next(s for s in plan.split("\n\n") if "Scan parquet" in s and "lists" in s)
+    assert "PartitionFilters" in scan and "list_id" in scan.split("PartitionFilters")[1]
+
+    # (c) execution-level pruning: only probed list directories are read
+    probed = spark.read.parquet(f"{idx}/lists").filter(
+        F.col("list_id").isin(list(range(8)))
+    )  # recompute the probe union the same way ivf_search does
+    import numpy as np
+
+    cents_rows = spark.read.parquet(f"{idx}/centroids").collect()
+    cents = np.zeros((len(cents_rows), len(cents_rows[0]["centroid"])))
+    for r in cents_rows:
+        cents[r["list_id"]] = r["centroid"]
+    qrows = queries.select("vec_id", "embedding").collect()
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe_union = {int(p) for row in np.argsort(-(qm @ cents.T), axis=1)[:, :4] for p in row}
+    scanned = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in spark.read.parquet(f"{idx}/lists")
+        .filter(F.col("list_id").isin(sorted(probe_union)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert scanned == {str(p) for p in probe_union}
+
+    # (d) same answer as the index-free form (same seed -> same centroids)
+    mem = ivf_topk(emb, k=5, n_lists=8, n_probe=4, query_filter=F.col("vec_id") < 50)
+    got = sorted(tuple(r) for r in ann.collect())
+    want = sorted(tuple(r) for r in mem.collect())
+    assert got == want
+
+
 def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = cosine_topk_bruteforce(emb, k=1, query_filter=F.col("vec_id") < 50)
