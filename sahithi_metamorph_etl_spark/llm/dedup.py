@@ -286,6 +286,18 @@ def minhash_lsh_pairs(
     return candidates.join(exact, ["doc_a", "doc_b"])
 
 
+def _md5_64_le(tok: Column) -> Column:
+    """Little-endian signed int64 of the first 8 md5 bytes — the JVM
+    twin of Python ``int.from_bytes(md5(t).digest()[:8], 'little')`` and
+    DuckDB ``md5_number_upper`` (bit-verified in tests): reverse the
+    first 8 hex byte-pairs, then parse as SIGNED 64-bit via conv's
+    negative target base (a plain bigint cast of the unsigned decimal
+    string would overflow for values >= 2^63)."""
+    h = F.md5(tok)
+    rev = F.concat(*[F.substring(h, i, 2) for i in (15, 13, 11, 9, 7, 5, 3, 1)])
+    return F.conv(rev, 16, -10).cast("bigint")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash signature per document (Charikar): per-token
     64-bit hash, each bit votes +-1, signature bit = sign of the vote
@@ -294,42 +306,46 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     pair generation via 16-bit chunk buckets (any pair within hamming
     distance 3 shares at least one of 4 chunks).
 
-    ZERO-shuffle: the token-hash bit-vote matrix is computed per doc
-    inside one Arrow batch pass (an exploded formulation pushes
-    |tokens| x 64 vote rows through two shuffles — 48M rows at sf0.1)."""
+    ZERO-shuffle AND zero-Python: token hashing (md5), bit votes
+    (getbit over a 64-element fold), and signature assembly all run as
+    whole-stage-codegen higher-order array expressions — no Arrow
+    transfer, and recomputation (e.g. both sides of the pairs
+    self-join) costs a JVM pass, not a Python one. An exploded
+    formulation would push |tokens| x 64 vote rows through two shuffles
+    (48M rows at sf0.1); this stays one narrow projection.
 
-    def signatures(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        shifts = np.arange(64, dtype=np.uint64)
-        for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
-                toks = (text or "").split() or [""]  # text is nullable per contract
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                        for t in toks
-                    ),
-                    dtype=np.uint64,
-                    count=len(toks),
-                )
-                votes = (((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1).sum(axis=0)
-                total = int(((votes > 0).astype(np.uint64) << shifts).sum())
-                ids.append(doc_id)
-                sigs.append(total if total < 1 << 63 else total - (1 << 64))
-            yield pd.DataFrame({"__id": ids, "simhash": sigs}).astype(
-                {"__id": "int64", "simhash": "int64"}
-            )
-
-    return (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .mapInPandas(signatures, schema="__id bigint, simhash bigint")
-        .withColumnRenamed("__id", id_col)
+    Signature assembly is overflow-safe under ANSI mode: bits fold as
+    two 32-bit halves (acc*2+bit never exceeds 2^32) and recombine with
+    the high half sign-adjusted — shiftleft(1, 63) never materializes.
+    """
+    # Python str.split() semantics: split on runs of whitespace after
+    # trimming; empty text yields one empty token (votes once)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    hs = F.transform(toks, _md5_64_le)
+    n_toks = F.size(toks).cast("bigint")
+    # ones[b] = count of tokens with bit b set (one fold, 64-wide rows)
+    zeros64 = F.array_repeat(F.lit(0).cast("bigint"), 64)
+    ones = F.aggregate(
+        hs,
+        zeros64,
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(0), F.lit(63)), lambda a, b: a + F.getbit(h, b)
+        ),
     )
+    # majority vote: bit b set iff 2*ones[b] > n (votes sum = 2*ones - n)
+    bits = F.transform(ones, lambda v: F.when(v * 2 > n_toks, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    two32 = F.lit(1 << 32).cast("bigint")
+
+    def fold_msb_first(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, x: acc * 2 + x
+        )
+
+    lo = fold_msb_first(F.reverse(F.slice(bits, 1, 32)))  # bits 31..0
+    hi = fold_msb_first(F.reverse(F.slice(bits, 33, 32)))  # bits 63..32
+    hi_signed = hi - F.when(hi >= F.lit(1 << 31).cast("bigint"), two32).otherwise(F.lit(0).cast("bigint"))
+    sig = lo + hi_signed * two32
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -350,9 +366,13 @@ def simhash_pairs(
     MinHash band join: one shuffle for the (chunk, key) self-join over
     |docs| x n_chunks tiny rows, hamming recheck JVM-side
     (``bit_count(xor)``), one distinct. Never all-pairs.
-    """
-    from pyspark import StorageLevel
 
+    No persist: simhash64 is a pure JVM projection, so the self-join's
+    two recomputations are narrow codegen passes — cheaper than holding
+    signature cache blocks for the session (the old Python-stage
+    signatures were persisted here, and the persist was never
+    released).
+    """
     if 64 % n_chunks != 0:
         raise ValueError(f"n_chunks ({n_chunks}) must divide 64")
     if max_hamming >= n_chunks:
@@ -364,7 +384,7 @@ def simhash_pairs(
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
 
-    sigs = simhash64(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = simhash64(df, text_col, id_col)
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

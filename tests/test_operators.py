@@ -493,6 +493,36 @@ def test_simhash_pairs_rejects_radius_beyond_guarantee(spark, sf_dir):
         simhash_pairs(docs, n_chunks=5, max_hamming=3)
 
 
+def test_simhash_is_jvm_only_and_leaves_no_cache_blocks(spark, sf_dir):
+    """simhash64 must stay a pure JVM projection (no Python stage in
+    the plan — recompute beats persist) and simhash_pairs must not
+    accumulate storage: no new persistent RDDs after materialization."""
+    import hashlib
+    import io
+    import contextlib
+
+    from sahithi_metamorph_etl_spark.llm.dedup import _md5_64_le, simhash64, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the hash primitive is bit-exact vs the Python/DuckDB mapping
+    row = spark.createDataFrame([("hello",), ("",), ("Ünïcode",)], "t string").select(
+        _md5_64_le(F.col("t")).alias("h")
+    ).collect()
+    for got, tok in zip(row, ["hello", "", "Ünïcode"]):
+        want = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        assert got.h == (want if want < 1 << 63 else want - (1 << 64))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        simhash64(docs).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "InPandas" not in plan and "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert simhash_pairs(docs).count() > 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_dedupe_by_key_keeps_deterministic_survivor(spark):
     from sahithi_metamorph_etl_spark.operators.aggregates import dedupe_by_key
 
