@@ -37,27 +37,69 @@ def o_round(expr: str, scale: int = 2) -> str:
 # A double sum depends on partition/accumulation ORDER, so two engines can
 # disagree by an ulp — which flips a 2dp rounding whenever the true total
 # lands on a .005 boundary (common: prices and discounts are 2dp decimals).
-# Money aggregates therefore sum in DECIMAL(38,6): the per-row double →
-# decimal conversion is a pure function of the double's bits, decimal
-# addition is exact and order-independent, and decimal rounding is
-# half-away-from-zero in both Spark (HALF_UP) and DuckDB.
+# Money aggregates therefore sum in scaled BIGINT micro-units: each double
+# rounds (half-away, pure IEEE ops — a deterministic function of the
+# double's bits, identical in any engine) to an integer count of 1e-6
+# units, and integer addition is exact and order-independent. Unlike a
+# DECIMAL(38,6) sum this stays on the primitive-long whole-stage-codegen
+# path — the decimal form boxes every row through BigDecimal and measured
+# ~35% slower on the fact-table aggregates at sf0.1.
+#
+# Range: exact while |total| < 2^53 micro-units (~9.0e9 money units);
+# above that the final double conversion loses sub-cent precision but
+# stays deterministic (same bigint → same double). The bigint sum itself
+# errors loudly (ANSI overflow) past ~9.2e12 money units — for totals
+# beyond that, aggregate with ``dec_sum`` (exact DECIMAL(38,6), slower).
 
-_DEC = "decimal(38,6)"
+_UNIT_SCALE = 6
+_UNIT_F = float(10**_UNIT_SCALE)
+
+
+def money_units(c: Column) -> Column:
+    """Money double -> exact BIGINT micro-units (half-away rounding with
+    the same IEEE op sequence as :func:`dround`)."""
+    return (F.signum(c) * F.floor(F.abs(c) * _UNIT_F + F.lit(0.5))).cast("bigint")
+
+
+def o_money_units(expr: str) -> str:
+    return f"CAST(sign({expr}) * floor(abs({expr}) * {_UNIT_F} + 0.5) AS BIGINT)"
+
+
+def usum(c: Column) -> Column:
+    """Exact order-independent sum in BIGINT micro-units — the fast-path
+    aggregation representation. Re-aggregate freely (bigint + bigint is
+    exact); convert once at the edge with ``from_units``."""
+    return F.sum(money_units(c))
+
+
+def o_usum(expr: str) -> str:
+    return f"sum({o_money_units(expr)})"
+
+
+def from_units(c: Column) -> Column:
+    """Micro-units BIGINT -> money double."""
+    return c / F.lit(_UNIT_F)
+
+
+def o_from_units(expr: str) -> str:
+    return f"({expr} / {_UNIT_F})"
 
 
 def dec_sum(c: Column) -> Column:
-    """Exact decimal sum of a money expression (keep for reuse/ordering)."""
-    return F.sum(c.cast(_DEC))
+    """Exact decimal sum of a money expression — the wide-range slow
+    path (use when totals can exceed ~9.2e12 money units; see module
+    docstring)."""
+    return F.sum(c.cast("decimal(38,6)"))
 
 
 def dsum(c: Column, scale: int = 2) -> Column:
     """Deterministic rounded sum of a money column, returned as double."""
-    return F.round(dec_sum(c), scale).cast("double")
+    return dround(from_units(usum(c)), scale)
 
 
 def davg(c: Column, scale: int = 2) -> Column:
-    """Deterministic rounded mean: exact decimal sum → double → /count."""
-    return dround(dec_sum(c).cast("double") / F.count(c), scale)
+    """Deterministic rounded mean: exact micro-unit sum → double → /count."""
+    return dround(from_units(usum(c)) / F.count(c), scale)
 
 
 def o_dec_sum(expr: str) -> str:
@@ -65,8 +107,8 @@ def o_dec_sum(expr: str) -> str:
 
 
 def o_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(round({o_dec_sum(expr)}, {scale}) AS double)"
+    return o_round(o_from_units(o_usum(expr)), scale)
 
 
 def o_davg(expr: str, scale: int = 2) -> str:
-    return o_round(f"(CAST({o_dec_sum(expr)} AS double) / count({expr}))", scale)
+    return o_round(f"({o_from_units(o_usum(expr))} / count({expr}))", scale)

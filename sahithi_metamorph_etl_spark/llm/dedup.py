@@ -275,7 +275,15 @@ def minhash_lsh_pairs(
         return candidates
     # exact-verify the candidates ONLY: shingle just the docs appearing
     # in some candidate pair (the sub-quadratic point — verifying
-    # against the full corpus would re-do the O(N^2) work)
+    # against the full corpus would re-do the O(N^2) work).
+    #
+    # Deliberately word_shingles (exploded STRING rows), not a reuse of
+    # _shingle_hash_arrays: exploding the HOF-built hash array inlines
+    # the whole nested transform chain into the Generate node and
+    # re-evaluates it per emitted row — measured 6.5s vs 0.7s for the
+    # plain exploded-shingle projection over the sf0.1 corpus. The
+    # array form exists for the SIGNATURE stage, whose consumer is an
+    # Arrow batch (no explode).
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))

@@ -27,7 +27,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import dec_sum
+from ..functions.money import dround, from_units, usum
 from ..operators.windows import top_k_per_group
 
 
@@ -83,9 +83,12 @@ def build_supplier_performance(
         )
     )
 
+    # revenue carries through BOTH aggregation levels as exact bigint
+    # micro-units (functions.money.usum): the re-agg and the ranking
+    # window below stay order-independent without decimal boxing
     product_level = with_suppliers.groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME").agg(
         F.count("SALE_ID").alias("agg_product_sales_count"),
-        dec_sum(F.col("REVENUE")).alias("agg_product_revenue"),
+        usum(F.col("REVENUE")).alias("agg_product_revenue_u"),
         F.sum("QUANTITY").alias("agg_stock_sold"),
     )
     # consumed by BOTH the supplier re-agg and the top-product window —
@@ -96,7 +99,7 @@ def build_supplier_performance(
     product_level = product_level.persist(StorageLevel.MEMORY_AND_DISK)
 
     supplier_level = product_level.groupBy("SUPPLIER_ID").agg(
-        F.round(F.sum("agg_product_revenue"), 2).cast("double").alias("agg_total_revenue"),
+        dround(from_units(F.sum("agg_product_revenue_u")), 2).cast("double").alias("agg_total_revenue"),
         F.sum("agg_product_sales_count").alias("agg_total_products_sold"),
         F.sum("agg_stock_sold").alias("agg_total_stock_sold"),
     )
@@ -104,7 +107,10 @@ def build_supplier_performance(
     top_selling = top_k_per_group(
         product_level,
         partition_by=["SUPPLIER_ID"],
-        order_by=[F.round(F.col("agg_product_revenue"), 2).desc(), F.col("PRODUCT_ID").asc()],
+        order_by=[
+            dround(from_units(F.col("agg_product_revenue_u")), 2).desc(),
+            F.col("PRODUCT_ID").asc(),
+        ],
         k=1,
     ).select(F.col("SUPPLIER_ID"), F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
 

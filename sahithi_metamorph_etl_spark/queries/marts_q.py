@@ -13,7 +13,7 @@ from ..marts import (
     build_supplier_performance,
     tpch_entities,
 )
-from ..functions.money import o_dec_sum, o_dsum, o_round
+from ..functions.money import o_dsum, o_from_units, o_round, o_usum
 from .catalog import register
 
 _D = RUN_DATE.isoformat()
@@ -36,13 +36,13 @@ jnr2 AS (
 prod_agg AS (
     SELECT SUPPLIER_ID, PRODUCT_ID, PRODUCT_NAME,
            count(SALE_ID) AS agg_product_sales_count,
-           {o_dec_sum('REVENUE')} AS agg_product_revenue,
+           {o_usum('REVENUE')} AS agg_product_revenue_u,
            sum(QUANTITY)  AS agg_stock_sold
     FROM jnr2 GROUP BY 1, 2, 3
 ),
 supp_agg AS (
     SELECT SUPPLIER_ID,
-           CAST(round(sum(agg_product_revenue), 2) AS double)  AS agg_total_revenue,
+           CAST({o_round(o_from_units('sum(agg_product_revenue_u)'), 2)} AS double)  AS agg_total_revenue,
            CAST(sum(agg_product_sales_count) AS bigint)  AS agg_total_products_sold,
            CAST(sum(agg_stock_sold) AS bigint)           AS agg_total_stock_sold
     FROM prod_agg GROUP BY 1
@@ -51,7 +51,7 @@ top_prod AS (
     SELECT SUPPLIER_ID, PRODUCT_NAME AS TOP_SELLING_PRODUCT FROM (
         SELECT SUPPLIER_ID, PRODUCT_NAME,
                row_number() OVER (PARTITION BY SUPPLIER_ID
-                                  ORDER BY round(agg_product_revenue, 2) DESC, PRODUCT_ID) AS rnk
+                                  ORDER BY {o_round(o_from_units('agg_product_revenue_u'), 2)} DESC, PRODUCT_ID) AS rnk
         FROM prod_agg) WHERE rnk = 1
 ),
 supplier_performance AS (

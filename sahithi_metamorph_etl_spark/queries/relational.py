@@ -12,7 +12,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.money import davg, dec_sum, dround, dsum, o_davg, o_dec_sum, o_dsum, o_round
+from ..functions.money import (
+    davg,
+    dround,
+    dsum,
+    from_units,
+    o_davg,
+    o_dsum,
+    o_from_units,
+    o_round,
+    o_usum,
+    usum,
+)
 from ..operators.aggregates import duplicate_keys
 from ..operators.joins import anti_join, semi_join
 from ..operators.windows import top_k_per_group
@@ -63,12 +74,12 @@ def pricing_summary(spark, sf_dir):
 _SUPPLIER_PART_ORACLE = f"""
 WITH fine AS (
     SELECT l_suppkey, l_partkey,
-           {o_dec_sum('l_extendedprice * (1 - l_discount)')} AS part_revenue,
+           {o_usum('l_extendedprice * (1 - l_discount)')} AS part_revenue_u,
            count(*) AS n_lines
     FROM lineitem GROUP BY 1, 2
 )
 SELECT l_suppkey,
-       CAST(round(sum(part_revenue), 2) AS double)   AS total_revenue,
+       CAST({o_round(o_from_units('sum(part_revenue_u)'), 2)} AS double) AS total_revenue,
        CAST(sum(n_lines) AS bigint)  AS total_lines,
        count(*)                      AS n_parts
 FROM fine GROUP BY 1
@@ -76,15 +87,17 @@ FROM fine GROUP BY 1
 
 
 @register("supplier_part_agg", oracle=_SUPPLIER_PART_ORACLE,
-          doc="Two-level re-aggregation cascade (reference A1->A2)")
+          doc="Two-level re-aggregation cascade (reference A1->A2); the partial "
+              "aggregate carries exact bigint micro-units, so the re-agg stays "
+              "order-independent on the primitive codegen path")
 def supplier_part_agg(spark, sf_dir):
     li = read_testdata(spark, sf_dir, "lineitem")
     fine = li.groupBy("l_suppkey", "l_partkey").agg(
-        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_revenue"),
+        usum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_revenue_u"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return fine.groupBy("l_suppkey").agg(
-        F.round(F.sum("part_revenue"), 2).cast("double").alias("total_revenue"),
+        dround(from_units(F.sum("part_revenue_u")), 2).cast("double").alias("total_revenue"),
         F.sum("n_lines").cast("bigint").alias("total_lines"),
         F.count(F.lit(1)).alias("n_parts"),
     )
