@@ -539,6 +539,91 @@ def corpus_near_dup_prune_lsh(spark, sf_dir):
     return prune_near_dups(docs, clusters)
 
 
+# one-row corpus dedup report: the numbers a pipeline owner actually
+# asks for before committing to a dedup pass. The cluster-size histogram
+# is a canonical "size:count,..." string (ascending size) so the value
+# hash-compares across engines without struct/array representation
+# differences.
+_DEDUP_REPORT_ORACLE = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+),
+clus AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+csizes AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY 1),
+hist AS (SELECT sz, count(*) AS n_clusters FROM csizes GROUP BY 1),
+hist_s AS (SELECT coalesce(string_agg(sz || ':' || n_clusters, ',' ORDER BY sz), '') AS h
+           FROM hist),
+ex AS (SELECT coalesce(sum(n - 1), 0) AS n_exact FROM (
+           SELECT count(*) AS n FROM documents
+           GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) g),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+near AS (SELECT count(*) AS n_near FROM clus WHERE doc_id <> cluster_id)
+SELECT tot.n_docs,
+       CAST(ex.n_exact AS bigint) AS n_exact_dup_docs,
+       {o_round('ex.n_exact * 1.0 / tot.n_docs', 6)} AS pct_exact_dups,
+       CAST(near.n_near AS bigint) AS n_near_dup_docs,
+       {o_round('near.n_near * 1.0 / tot.n_docs', 6)} AS pct_near_dups,
+       hist_s.h AS cluster_size_hist
+FROM tot, ex, near, hist_s
+"""
+
+
+@register("corpus_dedup_report", oracle=_DEDUP_REPORT_ORACLE,
+          doc="One-row corpus dedup report: fraction of docs an exact dedup would drop, "
+              "fraction a near-dup (0.8 Jaccard) prune would drop, and the near-dup "
+              "cluster-size histogram as a canonical 'size:count' string — composes "
+              "exact_dedup_groups + dedup_clusters, all aggregates tiny post-shuffle")
+def corpus_dedup_report(spark, sf_dir):
+    from ..functions.money import dround
+    from ..operators.graph import dedup_clusters
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ex = exact_dedup_groups(docs).agg(
+        F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0)).cast("bigint").alias("n_exact_dup_docs")
+    )
+    clusters = dedup_clusters(jaccard_pairs(docs, threshold=0.8))
+    near = clusters.agg(
+        F.coalesce(F.sum((~F.col("keeper")).cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_dup_docs")
+    )
+    hist = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    hist_s = hist.agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sz", "n_clusters"))),
+                lambda s: F.concat_ws(":", s["sz"], s["n_clusters"]),
+            ),
+            ",",
+        ).alias("cluster_size_hist")
+    )
+    return (
+        tot.crossJoin(ex)
+        .crossJoin(near)
+        .crossJoin(hist_s)
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            dround(F.col("n_exact_dup_docs") / F.col("n_docs"), 6).alias("pct_exact_dups"),
+            "n_near_dup_docs",
+            dround(F.col("n_near_dup_docs") / F.col("n_docs"), 6).alias("pct_near_dups"),
+            "cluster_size_hist",
+        )
+    )
+
+
 @register("doc_minhash_lsh_pairs", oracle=_JACCARD_ORACLE,
           doc="MinHash(64)+LSH(16x4) candidates, exact-verified at 0.8 — sub-quadratic "
               "scale path, checked against the SAME oracle as doc_jaccard_pairs. "
