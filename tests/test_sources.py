@@ -184,3 +184,79 @@ def test_jdbc_query_source_wraps_for_pushdown():
         jdbc_query_source("SELECT id, amount FROM sales WHERE day = '2026-01-01';")
         == "(SELECT id, amount FROM sales WHERE day = '2026-01-01') q"
     )
+
+
+# ---- paged-REST Python DataSource (partition-per-page) ---------------------
+
+
+def _write_pages(tmp_path, pages):
+    import json
+
+    d = tmp_path / "api_snapshot"
+    d.mkdir()
+    for i, recs in enumerate(pages):
+        (d / f"page_{i}.json").write_text(json.dumps(recs))
+    return str(d)
+
+
+def test_paged_rest_fans_out_one_partition_per_page(spark, tmp_path):
+    from sahithi_metamorph_etl_spark.sources.paged_rest import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+    fixture = _write_pages(
+        tmp_path,
+        [
+            [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+            [{"id": 3, "name": "c"}],
+            [],  # an empty page is fine
+            [{"id": 4}],  # missing key -> NULL under the contract
+        ],
+    )
+    df = (
+        spark.read.format("paged_rest")
+        .schema("id bigint, name string")
+        .option("fixture_dir", fixture)
+        .option("n_pages", "6")  # generous upper bound: pages 4-5 absent
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6  # the fan-out IS the partitioning
+    rows = {r.id: r.name for r in df.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c", 4: None}
+
+
+def test_paged_rest_records_path_and_coercion(spark, tmp_path):
+    import json
+
+    from sahithi_metamorph_etl_spark.sources.paged_rest import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+    d = tmp_path / "wrapped"
+    d.mkdir()
+    (d / "page_0.json").write_text(json.dumps(
+        {"data": {"items": [{"id": "7", "score": "1.5", "ok": 1, "meta": {"k": 2}}]}}
+    ))
+    df = (
+        spark.read.format("paged_rest")
+        .schema("id bigint, score double, ok boolean, meta string")
+        .option("fixture_dir", str(d))
+        .option("n_pages", "1")
+        .option("records_path", "data.items")
+        .load()
+    )
+    r = df.collect()[0]
+    assert (r.id, r.score, r.ok) == (7, 1.5, True)
+    assert '"k": 2' in r.meta  # nested objects land as JSON text
+
+
+def test_paged_rest_requires_schema_and_pages(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from sahithi_metamorph_etl_spark.sources.paged_rest import PagedRestDataSource, PagedRestReader
+
+    spark.dataSource.register(PagedRestDataSource)
+    with pytest.raises(Exception, match="explicit schema"):
+        spark.read.format("paged_rest").option("n_pages", "1").load()
+    with pytest.raises(ValueError, match="n_pages"):
+        PagedRestReader(None, {"n_pages": "0"})
