@@ -46,24 +46,25 @@ def connected_components(
 
     Adaptive strategy (the broadcast-join move, applied to graphs): the
     pair graph is usually TINY relative to the corpus — only docs with
-    a near-dup at all — so when it has <= ``local_threshold`` edges it
-    is collected (bounded by the threshold, ~16 bytes/edge) and solved
+    a near-dup at all — so when it has <= ``local_threshold`` PAIRS it
+    is collected (bounded by the threshold, ~16 bytes/pair) and solved
     with a driver-side union-find in one pass, avoiding per-round
     join+action overhead. Larger graphs run the distributed hash-min
-    loop. ``local_threshold=0`` forces the distributed path."""
-    # undirected: keep each edge both ways; vertices = all endpoints
-    a = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    edges = a.unionByName(
-        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    loop. ``local_threshold=0`` forces the distributed path.
 
-    # single bounded action: collect at most threshold+1 edges (~16
-    # bytes/edge). If the cap row shows up the graph is "large" and we
-    # fall through to the distributed loop; otherwise the rows in hand ARE
-    # the whole edge list — no second collect pass.
-    rows = edges.limit(local_threshold + 1).collect() if local_threshold else None
+    The local probe collects the RAW pair list (union-find is
+    undirected by construction, so the doubled/distinct edge frame —
+    and its shuffle — is built only if the distributed loop actually
+    runs; same for the edge persist, which would otherwise write cache
+    blocks just to be dropped after one collect)."""
+    a = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+
+    # single bounded action: collect at most threshold+1 pairs. If the
+    # cap row shows up the graph is "large" and we fall through to the
+    # distributed loop; otherwise the rows in hand ARE the whole pair
+    # list — no second collect pass.
+    rows = a.limit(local_threshold + 1).collect() if local_threshold else None
     if rows is not None and len(rows) <= local_threshold:
-        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -87,6 +88,12 @@ def connected_components(
             F.col(src_col).alias("vertex"), F.col(src_col).alias("component")
         ).schema
         return pairs.sparkSession.createDataFrame(out, schema)
+
+    # distributed path: undirected edge frame (each edge both ways),
+    # deduped and persisted — consumed once per hash-min round
+    edges = a.unionByName(
+        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
     labels = (
         edges.select(F.col("src").alias("vertex")).distinct()
