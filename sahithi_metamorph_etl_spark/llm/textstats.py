@@ -259,3 +259,80 @@ def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "do
     lowercased alphanumeric skeleton. The exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def corpus_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Corpus-level vocabulary: (word, term_freq, doc_freq) — the input
+    to tokenizer/vocab construction and stopword discovery.
+
+    Shape: one explode + one hash-agg shuffle keyed on the word; the
+    optional top-k sorts only the already-aggregated vocabulary table.
+    Deterministic order (term_freq DESC, word ASC) so LIMIT is stable
+    cross-engine."""
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("word"))
+    vocab = (
+        toks.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("word"))
+    )
+    return vocab.limit(k) if k is not None else vocab
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_per_doc: int = 3,
+    round_scale: int = 9,
+) -> DataFrame:
+    """Top-k keywords per document by tf-idf:
+    (id, rank, word, tf, score).
+
+    idf is the RATIONAL form (N + 1) / (doc_freq + 1) rather than its
+    logarithm: log() is only ~1-ulp accurate and differs between libm
+    implementations, which would make the ranking engine-dependent on
+    near-ties; the rational form is pure IEEE div/mul, bit-identical in
+    any engine, and induces the same ordering for a single term. Score
+    rounds via the deterministic dround and ties break on the word, so
+    the window top-k is stable cross-engine.
+
+    Shape: explode -> (doc, word) count shuffle -> word-keyed doc_freq
+    agg joined back (shuffle join on the word key; AQE broadcasts the
+    vocabulary side when it fits) -> per-doc ranking window."""
+    from ..operators.windows import top_k_per_group
+
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("word"))
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "word",
+            "tf",
+            dround(
+                F.col("tf") * (F.col("__n") + 1) / (F.col("doc_freq") + 1), round_scale
+            ).alias("score"),
+        )
+    )
+    ranked = top_k_per_group(
+        scored,
+        partition_by=[id_col],
+        order_by=[F.col("score").desc(), F.col("word").asc()],
+        k=k_per_doc,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return ranked.select(
+        F.col(id_col), F.col("rank").cast("int").alias("rank"), "word", "tf", "score"
+    )

@@ -816,6 +816,51 @@ GROUP BY 1
 """
 
 
+_VOCAB_ORACLE = """
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents)
+SELECT word, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+FROM toks GROUP BY 1 ORDER BY term_freq DESC, word LIMIT 50
+"""
+
+
+@register("corpus_vocabulary", oracle=_VOCAB_ORACLE,
+          doc="Corpus vocabulary top-50: (word, term_freq, doc_freq) — tokenizer/vocab "
+              "construction input; one explode + one word-keyed agg shuffle, top-k on "
+              "the aggregated table only, deterministic tie-break")
+def corpus_vocabulary_q(spark, sf_dir):
+    from ..llm.textstats import corpus_vocabulary
+
+    return corpus_vocabulary(read_testdata(spark, sf_dir, "documents"), k=50)
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.word, tf.tf,
+                  {o_round('tf.tf * (n.n_docs + 1) / (dfreq.doc_freq + 1)', 9)} AS score
+           FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, word) AS rnk
+           FROM scored)
+SELECT doc_id, CAST(rnk AS int) AS rank, word, tf, score FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("doc_tfidf_keywords", oracle=_TFIDF_ORACLE,
+          doc="Top-3 tf-idf keywords per document — RATIONAL idf (N+1)/(df+1) instead "
+              "of log so the ranking is bit-deterministic across engines (log is only "
+              "~1-ulp reproducible); tf shuffle + word-keyed doc-freq join + ranking "
+              "window")
+def doc_tfidf_keywords(spark, sf_dir):
+    from ..llm.textstats import tfidf_keywords
+
+    return tfidf_keywords(read_testdata(spark, sf_dir, "documents"), k_per_doc=3)
+
+
 @register("corpus_clean_pipeline", oracle=_CLEAN_ORACLE,
           doc="End-to-end training-data pipeline: quality filter -> exact dedup "
               "(keep min-id per fingerprint) -> per-language corpus token budget; "
