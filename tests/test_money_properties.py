@@ -11,7 +11,16 @@ import duckdb
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from sahithi_metamorph_etl_spark.functions.money import dround, dsum, o_dsum, o_round
+from sahithi_metamorph_etl_spark.functions.money import (
+    davg,
+    dround,
+    dsum,
+    money_units,
+    o_davg,
+    o_dsum,
+    o_money_units,
+    o_round,
+)
 
 # money-like doubles: what price*discount arithmetic actually produces
 _money = st.floats(
@@ -48,9 +57,46 @@ def test_dsum_is_order_independent_and_matches_duckdb(spark, values, rnd):
     b = spark.createDataFrame([(v,) for v in shuffled], "x double")
     ra = a.agg(dsum(F.col("x"), 2).alias("s")).first()["s"]
     rb = b.agg(dsum(F.col("x"), 2).alias("s")).first()["s"]
-    assert ra == rb  # decimal accumulation: order can't move the total
+    assert ra == rb  # integer micro-unit accumulation: order can't move the total
     con = duckdb.connect()
     con.execute("CREATE TABLE t(x double)")
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
     oracle = con.execute(f"SELECT {o_dsum('x', 2)} FROM t").fetchone()[0]
     assert ra == oracle
+
+
+def _py_units(x: float) -> int:
+    # the Python reference of money_units: half-away on x*1e6 with the
+    # same IEEE op sequence (sign/abs/mul/add/floor)
+    return int(math.copysign(1.0, x) * math.floor(abs(x) * 1e6 + 0.5)) if x != 0 else 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_money, min_size=1, max_size=300))
+def test_money_units_matches_python_ref_and_duckdb(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r["u"] for r in df.select(money_units(F.col("x")).alias("u")).collect()]
+    assert got == [_py_units(v) for v in values]
+    con = duckdb.connect()
+    oracle = [
+        con.execute(
+            f"SELECT {o_money_units('x')} FROM (SELECT CAST(? AS double) x)", [v]
+        ).fetchone()[0]
+        for v in values
+    ]
+    assert got == oracle
+    # dsum equals the integer-unit reference end-to-end
+    s = df.agg(dsum(F.col("x"), 2).alias("s")).first()["s"]
+    assert s == _py_dround(sum(_py_units(v) for v in values) / 1e6, 2)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_money, min_size=1, max_size=200))
+def test_davg_matches_duckdb(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = df.agg(davg(F.col("x"), 4).alias("a")).first()["a"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x double)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    oracle = con.execute(f"SELECT {o_davg('x', 4)} FROM t").fetchone()[0]
+    assert got == oracle
