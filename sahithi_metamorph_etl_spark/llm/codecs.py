@@ -45,15 +45,20 @@ def sniff_format(payload: bytes) -> str | None:
 
     The BMP check also requires the header's reserved word (bytes 6-10)
     to be zero, as the spec mandates — plain text starting with "BM"
-    ("BMW…", "BMI…") must not be mistaken for an image."""
+    ("BMW…", "BMI…") must not be mistaken for an image. The GIF check
+    similarly requires nonzero screen dimensions and the mandatory
+    trailer byte (0x3B) after the header, so prose that happens to open
+    with "GIF89a " does not sniff as an image."""
     if payload.startswith(_PNG_SIG):
         return "png"
     if payload.startswith(b"BM") and len(payload) >= 26 and payload[6:10] == b"\x00\x00\x00\x00":
         return "bmp"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return "gif"
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 14:
+        w, h = struct.unpack("<HH", payload[6:10])
+        if w > 0 and h > 0 and b"\x3b" in payload[13:]:
+            return "gif"
     return None
 
 
@@ -228,6 +233,9 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (spec-permitted)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

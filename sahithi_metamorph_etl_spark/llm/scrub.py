@@ -23,10 +23,11 @@ from pyspark.sql import functions as F
 # digit run" — two alternatives, both valid Java regex AND RE2 (DuckDB),
 # so no lookaround:
 #   1. international: '+' then 6-15 DIGITS (bounded by digit count, not
-#      interior chars: each repeated unit is one digit plus at most two
-#      space/()- separators, so '+1-----2' with only 2 digits cannot
-#      match, while '+1 (555) 123-4567' and the E.164 worst case
-#      '+44 (0) 20 7946 0958' redact whole — '+' is a strong phone
+#      interior chars: each repeated unit is one digit plus at most
+#      three space/()- separators, so '+1-----2' with only 2 digits
+#      cannot match, while '+1 (555) 123-4567', '+1 - 555 123 4567'
+#      (3-char separator run) and the E.164 worst case
+#      '+44 (0) 20 7946 0958' all redact whole — '+' is a strong phone
 #      signal; dates/IPs never carry it);
 #   2. NANP-shaped: (ddd) ddd dddd / ddd-ddd-dddd / ddddddddd(d), with \b
 #      guards so it cannot fire inside longer digit runs.
@@ -35,7 +36,7 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\+(?:\d[ ()-]{0,2}){5,14}\d|(?:\(\d{3}\)|\b\d{3})[ -]?\d{3}[ -]?\d{4}\b",
+    "phone": r"\+(?:\d[ ()-]{0,3}){5,14}\d|(?:\(\d{3}\)|\b\d{3})[ -]?\d{3}[ -]?\d{4}\b",
 }
 
 

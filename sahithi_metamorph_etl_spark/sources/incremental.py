@@ -32,8 +32,14 @@ def incremental_slice(df: DataFrame, watermark_col: str, last_value: Any | None)
     # becomes TIMESTAMP (session-tz); casting it to a TIMESTAMP_NTZ
     # column's type round-trips through the same session tz, so the
     # comparison is deterministic regardless of session timezone — and
-    # stays a pushable scalar predicate either way
-    bound = F.lit(last_value).cast(df.schema[watermark_col].dataType)
+    # stays a pushable scalar predicate either way. The lookup is
+    # case-insensitive to match the analyzer's default column
+    # resolution; an unknown name falls through and lets the analyzer
+    # raise its own (clearer) error.
+    types = {f.name.lower(): f.dataType for f in df.schema.fields}
+    bound = F.lit(last_value)
+    if watermark_col.lower() in types:
+        bound = bound.cast(types[watermark_col.lower()])
     return df.filter(F.col(watermark_col) > bound)
 
 

@@ -72,8 +72,14 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The cast interprets
     the naive value in the session timezone — run streaming sessions
     under UTC (the default here) for instants that equal the batch NTZ
-    values. The :func:`nanos_as_long` scope remains available for legacy
-    nanos-generation files and is harmless for micros files."""
+    values.
+
+    Only TIMESTAMP(MICROS) files are supported here: legacy
+    nanos-generation files would surface as INT64 under the
+    :func:`nanos_as_long` escape hatch and mismatch the declared NTZ
+    schema — route those through the batch reader
+    (``sources.readers.read_testdata``), which branches on the file
+    schema."""
     raw = (
         spark.readStream.schema(_EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)

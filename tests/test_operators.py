@@ -345,9 +345,7 @@ def test_ivf_physical_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in scan and "list_id" in scan.split("PartitionFilters")[1]
 
     # (c) execution-level pruning: only probed list directories are read
-    probed = spark.read.parquet(f"{idx}/lists").filter(
-        F.col("list_id").isin(list(range(8)))
-    )  # recompute the probe union the same way ivf_search does
+    # (recompute the probe union the same way ivf_search does)
     import numpy as np
 
     cents_rows = spark.read.parquet(f"{idx}/centroids").collect()
@@ -686,6 +684,7 @@ def test_scrub_pii_phone_shapes_and_negatives(spark):
         "+1 (555) 123-4567",
         "+44 (0) 20 7946 0958",  # E.164 worst case with separators
         "+15551234567",
+        "+1 - 555 123 4567",  # 3-char separator run after the country code
         "(555) 123-4567",
         "555-123-4567",
     ]
