@@ -1,0 +1,89 @@
+"""Physical-plan guards: make plan shape a TESTABLE contract.
+
+At 100 TB the difference between a good and a catastrophic run is plan
+shape — a filter that stopped reaching the scan, a dimension join that
+silently fell back from broadcast to sort-merge, a Python stage that
+crept into a hot path. Those regressions pass every row-level test; the
+only way to catch them in CI is to assert on the plan itself. PLANS.md
+documents the audited shapes; this module makes the same counters
+available programmatically so pipelines (and this repo's tests) can pin
+them.
+
+Counters are string-level over the executed plan — intentionally: the
+physical-node class names (`Exchange`, `BroadcastExchange`,
+`SortMergeJoin`, `PushedFilters: [...`, `...InPandas`,
+`BatchEvalPython`) are the stable public surface Spark prints, and a
+string count survives Spark minor-version node refactors better than
+walking private plan trees.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class PlanSummary:
+    shuffles: int            # hash/range/single-partition exchanges
+    broadcasts: int          # BroadcastExchange nodes
+    sort_merge_joins: int
+    broadcast_hash_joins: int
+    pushed_filter_scans: int  # scans with a NON-empty PushedFilters list
+    python_stages: int       # mapInPandas/applyInPandas/row-UDF stages
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    """Count the scale-relevant physical operators in ``df``'s plan
+    (pre-execution; AQE may further coalesce at runtime, it does not add
+    exchanges or joins)."""
+    plan = _plan_string(df)
+    return PlanSummary(
+        shuffles=len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)),
+        broadcasts=plan.count("BroadcastExchange"),
+        sort_merge_joins=plan.count("SortMergeJoin"),
+        broadcast_hash_joins=plan.count("BroadcastHashJoin"),
+        pushed_filter_scans=len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        python_stages=len(re.findall(r"InPandas|BatchEvalPython|ArrowEvalPython", plan)),
+    )
+
+
+def assert_plan(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    min_pushed_filter_scans: int | None = None,
+    forbid_python: bool = False,
+    forbid_sort_merge_join: bool = False,
+    require_broadcast_joins: int | None = None,
+) -> PlanSummary:
+    """Raise ``AssertionError`` (with the offending counts) when the
+    plan violates the stated shape; returns the summary for further
+    checks. Use in pipeline CI next to row-level tests::
+
+        assert_plan(mart_df, max_shuffles=6, forbid_python=True)
+    """
+    s = plan_summary(df)
+    errs = []
+    if max_shuffles is not None and s.shuffles > max_shuffles:
+        errs.append(f"shuffles {s.shuffles} > max {max_shuffles}")
+    if min_pushed_filter_scans is not None and s.pushed_filter_scans < min_pushed_filter_scans:
+        errs.append(
+            f"pushed-filter scans {s.pushed_filter_scans} < required {min_pushed_filter_scans}"
+        )
+    if forbid_python and s.python_stages:
+        errs.append(f"{s.python_stages} Python stage(s) in a plan declared JVM-only")
+    if forbid_sort_merge_join and s.sort_merge_joins:
+        errs.append(f"{s.sort_merge_joins} sort-merge join(s) in a plan declared broadcast-only")
+    if require_broadcast_joins is not None and s.broadcast_hash_joins < require_broadcast_joins:
+        errs.append(
+            f"broadcast-hash joins {s.broadcast_hash_joins} < required {require_broadcast_joins}"
+        )
+    if errs:
+        raise AssertionError("plan-shape violation: " + "; ".join(errs))
+    return s

@@ -1060,3 +1060,37 @@ def test_equi_width_histogram_edges(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         equi_width_histogram(df, "x", n_buckets=0)
+
+
+def test_plan_guards_pin_headline_shapes(spark, sf_dir):
+    """Plan shape as a contract: the guards must (a) hold for the
+    audited PLANS.md shapes and (b) actually fire when a shape is
+    violated."""
+    import pytest
+
+    from sahithi_metamorph_etl_spark.operators.plancheck import assert_plan, plan_summary
+    from sahithi_metamorph_etl_spark.queries.catalog import all_queries
+
+    qs = all_queries()
+    # single-shuffle aggregate with a pushed filter, JVM-only
+    s = assert_plan(
+        qs["pricing_summary"](spark, sf_dir),
+        max_shuffles=1, min_pushed_filter_scans=1, forbid_python=True,
+        forbid_sort_merge_join=True,
+    )
+    assert s.shuffles == 1
+    # zero-shuffle pure projection
+    assert_plan(qs["doc_token_stats"](spark, sf_dir), max_shuffles=0, forbid_python=True)
+    # dimension joins stay broadcast in the supplier mart (no SMJ)
+    assert_plan(
+        qs["mart_supplier_performance"](spark, sf_dir),
+        forbid_sort_merge_join=True, require_broadcast_joins=3, forbid_python=True,
+    )
+    # an Arrow stage is correctly counted, and forbid_python fires on it
+    mm = qs["multimodal_decode_stats"](spark, sf_dir)
+    assert plan_summary(mm).python_stages >= 1
+    with pytest.raises(AssertionError, match="Python stage"):
+        assert_plan(mm, forbid_python=True)
+    # max_shuffles fires
+    with pytest.raises(AssertionError, match="shuffles"):
+        assert_plan(qs["supplier_part_agg"](spark, sf_dir), max_shuffles=1)
