@@ -822,6 +822,74 @@ GROUP BY 1
 """
 
 
+# per-language corpus profile: the sizing table a curation run starts
+# from (how much data per language, how long are the documents). Built
+# as ONE projection (token count + language vote from the same split)
+# plus one groupBy shuffle — no self-join of per-doc stat frames.
+# Spark percentile(col, p) / DuckDB quantile_cont(col, p) is the proven
+# exact-percentile twin (sketch_price_percentiles).
+_CORPUS_PROFILE_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('the','of','and','is','to'))) AS bigint) AS score_en,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('der','die','das','und','ist'))) AS bigint) AS score_de,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ('el','la','de','y','es'))) AS bigint) AS score_es
+    FROM documents
+),
+lt AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS lang
+    FROM s
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS bigint) AS total_tokens,
+       {o_round('quantile_cont(n_tokens, 0.5)', 2)} AS p50_tokens,
+       {o_round('quantile_cont(n_tokens, 0.9)', 2)} AS p90_tokens,
+       {o_round('sum(n_tokens) * 1.0 / count(*)', 4)} AS avg_tokens
+FROM lt GROUP BY 1
+"""
+
+
+@register("corpus_text_profile", oracle=_CORPUS_PROFILE_ORACLE,
+          doc="Per-language corpus sizing profile: doc counts, total/median/p90/avg "
+              "tokens — the table a curation run starts from; one projection + one "
+              "groupBy shuffle, exact percentiles via the proven percentile/"
+              "quantile_cont twin")
+def corpus_text_profile(spark, sf_dir):
+    from ..functions.money import dround
+    from ..llm.textstats import LANG_LEXICONS
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    docs_w = docs.select(F.col("doc_id"), w.alias("w"))
+
+    def score(lex):
+        return F.size(F.filter(F.col("w"), lambda t: t.isin(*lex))).cast("bigint")
+
+    en, de, es = (score(LANG_LEXICONS[k]) for k in ("en", "de", "es"))
+    lt = docs_w.select(
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.when((en >= de) & (en >= es), "en")
+        .when(de >= es, "de")
+        .otherwise("es")
+        .alias("lang"),
+    )
+    return lt.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        dround(F.percentile("n_tokens", F.lit(0.5)), 2).alias("p50_tokens"),
+        dround(F.percentile("n_tokens", F.lit(0.9)), 2).alias("p90_tokens"),
+        dround(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+    )
+
+
 _VOCAB_ORACLE = """
 WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
               FROM documents)
