@@ -127,3 +127,54 @@ def equi_width_histogram(df: DataFrame, col: str, n_buckets: int = 10) -> DataFr
             "n_rows",
         )
     )
+
+
+def quantile_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10, boundary_scale: int = 6
+) -> DataFrame:
+    """Equi-DEPTH (quantile-bucketed) histogram, in-plan and without a
+    global sort: exact percentile boundaries come from ONE 1-row
+    aggregate, broadcast back onto the rows; each row's bucket is the
+    count of boundaries strictly below its value. Complements
+    :func:`equi_width_histogram` (value-sliced) with population-sliced
+    buckets — the skew view a partitioner cares about.
+
+    Compared to the ntile() formulation this has no single-partition
+    window sort (the 100 TB killer): the only fact-sized operation is
+    the final bucket-keyed aggregate. The cost: ties that straddle a
+    boundary all land in one bucket — bucket populations are n/k only
+    up to tie mass, which is the honest semantics of value-based
+    bucketing. Boundaries are rounded (``boundary_scale``) with the
+    deterministic cross-engine rounding BEFORE comparison, so a 1-ulp
+    interpolation difference between engines cannot flip a row at a
+    boundary.
+
+    Returns (bucket, n_rows, lo, hi) for non-empty buckets, bucket in
+    [1, n_buckets]; lo/hi are the observed min/max within the bucket.
+    NULLs are excluded."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from ..functions.money import dround
+
+    x = F.col(col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[dround(F.percentile(x, F.lit(p)), boundary_scale) for p in probs]
+        ).alias("_bs")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(F.filter(F.col("_bs"), lambda b: b < dround(x, boundary_scale)))
+    ).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), x.alias("_x"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_x").alias("lo"),
+            F.max("_x").alias("hi"),
+        )
+    )

@@ -539,6 +539,37 @@ def orders_price_histogram(spark, sf_dir):
     return equi_width_histogram(o, "o_totalprice", n_buckets=10)
 
 
+_QHIST_PROBS = [i / 8 for i in range(1, 8)]
+_QHIST_ORACLE = f"""
+WITH b AS (
+    SELECT list_transform(quantile_cont(CAST(o_totalprice AS double),
+                                        [{', '.join(str(p) for p in _QHIST_PROBS)}]),
+                          v -> {o_round('v', 6)}) AS bs
+    FROM orders
+),
+r AS (
+    SELECT CAST(o_totalprice AS double) AS x,
+           CAST(1 + len(list_filter(b.bs, v -> v < {o_round('CAST(o_totalprice AS double)', 6)})) AS int) AS bucket
+    FROM orders, b
+)
+SELECT bucket, count(*) AS n_rows, min(x) AS lo, max(x) AS hi
+FROM r GROUP BY 1
+"""
+
+
+@register("orders_price_quantile_hist", oracle=_QHIST_ORACLE,
+          doc="Equi-DEPTH histogram (8 quantile buckets) without a global sort: "
+              "1-row exact-percentile boundary aggregate broadcast back, bucket = "
+              "count of boundaries below the value, one bucket-keyed shuffle — the "
+              "population-sliced skew view; boundaries rounded deterministically "
+              "before comparison so interpolation ulps can't flip a row")
+def orders_price_quantile_hist(spark, sf_dir):
+    from ..operators.profiling import quantile_histogram
+
+    o = read_testdata(spark, sf_dir, "orders")
+    return quantile_histogram(o, "o_totalprice", n_buckets=8)
+
+
 # --- percent_rank tiering (SURVEY W3: the idiomatic A6 replacement) ---------
 
 _PR_TIER_ORACLE = f"""

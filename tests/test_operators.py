@@ -1094,3 +1094,27 @@ def test_plan_guards_pin_headline_shapes(spark, sf_dir):
     # max_shuffles fires
     with pytest.raises(AssertionError, match="shuffles"):
         assert_plan(qs["supplier_part_agg"](spark, sf_dir), max_shuffles=1)
+
+
+def test_quantile_histogram_edges(spark):
+    from sahithi_metamorph_etl_spark.operators.profiling import quantile_histogram
+
+    # constant column: every boundary equals the value, nothing is
+    # strictly below it -> all rows land in bucket 1
+    const = spark.createDataFrame([(5.0,)] * 10, "x double")
+    rows = quantile_histogram(const, "x", n_buckets=4).collect()
+    assert len(rows) == 1 and rows[0].bucket == 1 and rows[0].n_rows == 10
+    assert rows[0].lo == 5.0 and rows[0].hi == 5.0
+
+    # nulls excluded; buckets population-balanced on distinct values
+    vals = [(float(i),) for i in range(1, 9)] + [(None,)]
+    df = spark.createDataFrame(vals, "x double")
+    out = {r.bucket: r for r in quantile_histogram(df, "x", n_buckets=4).collect()}
+    assert sum(r.n_rows for r in out.values()) == 8  # null dropped
+    assert len(out) == 4 and all(out[b].n_rows == 2 for b in out)
+    assert out[1].lo == 1.0 and out[4].hi == 8.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_histogram(df, "x", n_buckets=0)
