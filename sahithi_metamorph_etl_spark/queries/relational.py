@@ -644,6 +644,48 @@ def sketch_distinct_counts(spark, sf_dir):
     ).select("r.metric", "r.exact_distinct", "r.sketch_ok")
 
 
+# mergeable-sketch distinct: the RE-AGGREGATABLE form a layered
+# warehouse needs — per-day HLL sketches (Apache DataSketches via
+# hll_sketch_agg) merge with hll_union_agg into the all-time estimate
+# WITHOUT rescanning history. The oracle pins the exact distinct and a
+# TRUE merge_ok; the Spark side recomputes both, so a broken merge (or
+# an estimate drifting past the documented HLL error envelope) fails
+# the hash compare.
+_MERGE_SKETCH_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS bigint) AS exact_distinct,
+       CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS bigint) AS n_day_sketches,
+       true AS merge_ok
+FROM events
+"""
+
+
+@register("sketch_mergeable_distinct", oracle=_MERGE_SKETCH_ORACLE,
+          doc="Mergeable HLL distinct-count sketches: one sketch per DAY slice "
+              "(hll_sketch_agg), merged via hll_union_agg into the all-time "
+              "user count — the incremental form (yesterday's sketches + today's "
+              "slice, no history rescan); merge_ok asserts the merged estimate "
+              "lands within the HLL error envelope of the exact count")
+def sketch_mergeable_distinct(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    lg_k = 14  # ~0.8% standard error; gate at 5 sigma
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est"),
+        F.count(F.lit(1)).alias("n_day_sketches"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        F.col("exact_distinct").cast("bigint"),
+        F.col("n_day_sketches").cast("bigint"),
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 5 * 0.008 * F.col("exact_distinct")
+        ).alias("merge_ok"),
+    )
+
+
 _PCTL_SKETCH_ORACLE = "\nUNION ALL\n".join(
     f"SELECT 'p{int(p * 100)}' AS pctl, round(quantile_cont(o_totalprice, {p}), 2) "
     "AS exact_value, true AS sketch_ok FROM orders"

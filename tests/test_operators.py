@@ -1118,3 +1118,23 @@ def test_quantile_histogram_edges(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         quantile_histogram(df, "x", n_buckets=0)
+
+
+def test_hll_sketch_merge_equals_full_sketch(spark, sf_dir):
+    """HLL union is register-wise max, so merging per-slice sketches
+    must give EXACTLY the estimate of one sketch over all the data —
+    the property that makes per-day sketch storage sound (no drift as
+    history accumulates)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    full = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est")
+    ).first()["est"]
+    halves = (
+        ev.withColumn("h", (F.col("event_id") % 2).cast("int"))
+        .groupBy("h")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    merged = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
+    ).first()["est"]
+    assert merged == full
