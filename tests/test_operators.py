@@ -1138,3 +1138,30 @@ def test_hll_sketch_merge_equals_full_sketch(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
     ).first()["est"]
     assert merged == full
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """observed_write must land the data AND return the audit metrics
+    from the same job — values match an independent recount, and the
+    write output is complete."""
+    from sahithi_metamorph_etl_spark.core.metrics import observed_write
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k bigint, amount double"
+    )
+    out = str(tmp_path / "observed")
+    stats = observed_write(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(out),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_amounts": F.sum(F.col("amount").isNull().cast("bigint")),
+            "total_amount": F.sum("amount"),
+        },
+    )
+    assert stats == {"n_rows": 3, "null_amounts": 1, "total_amount": 40.0}
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # default metric
+    stats2 = observed_write(df, lambda d: d.write.mode("overwrite").parquet(out))
+    assert stats2 == {"n_rows": 3}
