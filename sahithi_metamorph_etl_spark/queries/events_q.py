@@ -49,6 +49,36 @@ def events_stream_dedup(spark, sf_dir):
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
+_RUNNING_COUNTS_ORACLE = """
+SELECT CAST(user_id AS varchar) AS user_id, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("events_stream_running_counts", oracle=_RUNNING_COUNTS_ORACLE,
+          doc="Custom stateful streaming op (applyInPandasWithState): per-key RUNNING "
+              "event counts maintained online; over a bounded stream the final "
+              "emission per key equals the batch GROUP BY count")
+def events_stream_running_counts(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import events_stream, run_stream_to_memory
+    from ..streaming.stateful import running_counts_stream
+
+    staging = tempfile.mkdtemp(prefix="events_rc_stream_")
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+        stream = running_counts_stream(events_stream(spark, staging), "user_id")
+        out = run_stream_to_memory(stream, "events_rc_mem", output_mode="update")
+        # update mode can emit per micro-batch; counts only grow, so the
+        # max per key is the final total
+        return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 _TUMBLING_ORACLE = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,

@@ -155,3 +155,29 @@ def test_text_profile_runs_unchanged_on_stream(spark, sf_dir, tmp_path):
     batch = document_profile(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     assert out.count() == batch.count()
     assert out.exceptAll(batch).count() == 0
+
+
+def test_running_counts_stream_matches_batch_group_counts(spark, sf_dir, events_dir):
+    """Stateful running counter: the LAST emission per key over a
+    bounded stream must equal the batch GROUP BY count. (Spark 4's
+    transformWithStateInPandas variant was probed and crashes in this
+    runtime — its state-server protocol imports google.protobuf, which
+    is not installed — so the operator rides applyInPandasWithState.)"""
+    from sahithi_metamorph_etl_spark.streaming.events import events_stream, run_stream_to_memory
+    from sahithi_metamorph_etl_spark.streaming.stateful import running_counts_stream
+
+    out = run_stream_to_memory(
+        running_counts_stream(events_stream(spark, events_dir), "user_id"),
+        "running_counts_out",
+        output_mode="update",
+    )
+    # update mode emits a row per key per micro-batch; counts only grow,
+    # so the max per key is the final total
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert final.count() == batch.count()
+    assert final.exceptAll(batch).count() == 0
