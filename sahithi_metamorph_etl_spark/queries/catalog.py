@@ -62,38 +62,67 @@ def _load() -> None:
 # row; remaining entries follow in registration order. Every entry is
 # verified either way (tests/test_oracle_parity.py runs all of them);
 # this only chooses which get the external hard signal first.
+#
+# ROTATION POLICY (since r6): the 50 slots rotate each round so that
+# every oracled entry accumulates at least one historical externally
+# checked row.  Rules:
+#   1. Permanent anchors (marts, pipeline, recon diff family — the
+#      reference's signature capability) never rotate out.
+#   2. Each round, entries that have never had an external row are
+#      swapped in; the swapped-out entries are ones with >=1 round of
+#      green history whose operator family keeps another anchor in the
+#      50 (or stays covered by the full pytest oracle-parity suite).
+#   3. No entry stays out for more than two consecutive rounds.
+# r6 rotation: IN = 5x recon_* + the 11 entries with no prior row
+# (quantile hist, mergeable HLL, hot shingles, exact prune, text
+# profile, vocabulary, tf-idf, resize, frame-sample, stream running
+# counts, as-of forward).  OUT = 16 multi-round-green entries whose
+# families keep coverage (set-op twin, date-fn twin, lag/lead, pivot,
+# dup-lines, interval join, pii scrub, quality score, centroids, LSH
+# prune twin, anti-join twin, CASE twin, percentile sketch, png
+# roundtrip, repetition stats, stream dedup).
 _PRIORITY: tuple[str, ...] = (
-    # marts / full pipeline
+    # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
     "mart_customer_sales_report", "pipeline_customer_sales_report",
-    # events: windows, sessionization, as-of, interval, json, incremental
+    # reconciliation diff family (permanent anchors — ref Raptor's
+    # signature capability: row diff, cell unpivot, summaries,
+    # per-key samples, extra-row anti-join)
+    "recon_row_summary", "recon_mismatched_cells",
+    "recon_column_mismatches", "recon_sample_mismatches",
+    "recon_extra_rows",
+    # events: windows, sessionization, as-of (back+forward), json,
+    # incremental (sliding-window keeps its r1-r4 history + pytest)
     "events_hourly_tumbling", "events_sessionization", "events_asof_join",
-    "events_interval_join", "events_json_extract", "events_incremental_slice",
-    # dedup: exact, jaccard, minhash-lsh, simhash, report
+    "events_asof_join_forward", "events_json_extract",
+    "events_incremental_slice",
+    # dedup: exact, jaccard, minhash-lsh, simhash, report, hot shingles
     "doc_exact_dedup", "doc_jaccard_pairs", "doc_minhash_lsh_pairs",
-    "doc_simhash_pairs", "corpus_dedup_report",
-    # graph clustering + sub-quadratic prune composition
-    "doc_dedup_clusters", "corpus_near_dup_prune_lsh",
+    "doc_simhash_pairs", "corpus_dedup_report", "doc_hot_shingles",
+    # graph clustering + prune composition (exact variant this round)
+    "doc_dedup_clusters", "corpus_near_dup_prune",
     # similarity / embeddings
-    "emb_cosine_topk", "emb_lsh_near_dup", "emb_label_centroids",
-    # multimodal (real codec + decode stage)
-    "multimodal_png_roundtrip", "multimodal_decode_stats",
+    "emb_cosine_topk", "emb_lsh_near_dup",
+    # multimodal (decode stage + resize + frame sampling)
+    "multimodal_decode_stats", "multimodal_resize",
+    "multimodal_frame_sample",
     # text analysis
-    "doc_token_stats", "doc_quality_score", "doc_repetition_stats",
-    "doc_decontaminate", "doc_pii_scrub", "corpus_clean_pipeline",
+    "doc_token_stats", "doc_decontaminate", "corpus_clean_pipeline",
+    "corpus_text_profile", "corpus_vocabulary", "doc_tfidf_keywords",
     # deterministic sampling
     "doc_train_split",
     # relational core
     "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
-    "orders_filter_case", "parts_sales_left_join", "customers_without_orders",
-    "duplicate_order_lines", "top10_orders", "part_price_class",
-    "orders_by_month", "lineitem_union_slices", "customer_segments_setops",
+    "orders_filter_case", "parts_sales_left_join", "top10_orders",
+    "lineitem_union_slices",
     # windows / analytics
-    "customer_running_total", "customer_order_gaps", "orders_status_pivot",
-    "orders_grouping_sets", "customer_tiers_percent_rank",
-    # custom streaming (stateful dedup) + ext joins + sketches
-    "events_stream_dedup", "part_price_band_range_join", "salted_skew_join",
-    "sketch_price_percentiles",
+    "customer_running_total", "orders_grouping_sets",
+    "customer_tiers_percent_rank",
+    # custom streaming (stateful running counts w/ TTL) + ext joins
+    # + sketches/histograms
+    "events_stream_running_counts", "part_price_band_range_join",
+    "salted_skew_join", "sketch_mergeable_distinct",
+    "orders_price_quantile_hist",
 )
 
 

@@ -22,19 +22,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# streaming-source schema for events.parquet: ts is TIMESTAMP(MICROS)
-# with no zone — TIMESTAMP_NTZ, matching sources.readers.read_testdata's
-# batch read, so batch/stream parity tests compare identical types
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.TimestampNTZType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# streaming-source schema for events.parquet. The driver has shipped
+# the ``ts`` column two ways across testdata generations (see
+# sources.readers.read_testdata): TIMESTAMP(MICROS) — read natively as
+# TIMESTAMP_NTZ — and TIMESTAMP(NANOS), which Spark's parquet reader
+# only surfaces as INT64 under the legacy nanosAsLong escape hatch.
+# A streaming source must declare its schema up front, so the right
+# shape is chosen per-path by probing one parquet footer (pyarrow),
+# exactly like the batch reader branches on the actual file schema.
+def _events_raw_schema(ts_is_nanos: bool) -> T.StructType:
+    ts_type: T.DataType = T.LongType() if ts_is_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def _probe_ts_is_nanos(path: str) -> bool:
+    """True iff the parquet file(s) at ``path`` carry ``ts`` as
+    TIMESTAMP(NANOS). Footer-only read (no data pages); a probe failure
+    falls back to the current micros generation rather than refusing to
+    define the stream."""
+    try:
+        import pyarrow.dataset as pads
+
+        field = pads.dataset(path, format="parquet").schema.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
+# kept for callers/tests that reference the module-level micros schema
+_EVENTS_RAW = _events_raw_schema(ts_is_nanos=False)
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -67,25 +92,33 @@ def nanos_as_long(spark: SparkSession):
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of the events table (one file = one batch).
 
-    ``ts`` arrives as TIMESTAMP_NTZ (see ``_EVENTS_RAW``) and is cast to
-    TIMESTAMP: watermarks/event-time windows require the zoned type
-    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The cast interprets
-    the naive value in the session timezone — run streaming sessions
-    under UTC (the default here) for instants that equal the batch NTZ
-    values.
+    ``ts`` is normalized to TIMESTAMP: watermarks/event-time windows
+    require the zoned type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise). The cast interprets the naive value in the session
+    timezone — run streaming sessions under UTC (the default here) for
+    instants that equal the batch NTZ values.
 
-    Only TIMESTAMP(MICROS) files are supported here: legacy
-    nanos-generation files would surface as INT64 under the
-    :func:`nanos_as_long` escape hatch and mismatch the declared NTZ
-    schema — route those through the batch reader
-    (``sources.readers.read_testdata``), which branches on the file
-    schema."""
+    Both testdata generations are supported, keyed on the actual file
+    schema (footer probe, mirroring the batch reader's branch):
+    TIMESTAMP(MICROS) files read natively as NTZ; TIMESTAMP(NANOS)
+    files read as INT64 under ``spark.sql.legacy.parquet.nanosAsLong``
+    (set here for the session — the conf is consulted at every
+    micro-batch scan, so a define-scoped toggle would be unsafe) and
+    truncated to microseconds, the same narrowing the batch reader and
+    DuckDB apply."""
+    ts_is_nanos = _probe_ts_is_nanos(path)
+    if ts_is_nanos:
+        spark.conf.set(_NANOS_CONF, "true")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw_schema(ts_is_nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_is_nanos:
+        ts = F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+    else:
+        ts = F.col("ts")
+    return raw.withColumn("ts", ts.cast("timestamp"))
 
 
 def hourly_tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -181,3 +181,39 @@ def test_running_counts_stream_matches_batch_group_counts(spark, sf_dir, events_
     )
     assert final.count() == batch.count()
     assert final.exceptAll(batch).count() == 0
+
+
+def test_stream_supports_nanos_generation(spark, sf_dir, tmp_path):
+    """The driver has regenerated events.parquet as TIMESTAMP(NANOS) in
+    past rounds (the batch reader branches on the file schema for this);
+    the streaming source must survive the same drift. Rewrite the
+    bounded events table in the nanos shape and assert the tumbling
+    stream still matches the batch twin computed from the micros
+    original."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sahithi_metamorph_etl_spark.streaming.events import _probe_ts_is_nanos
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        idx, pa.field("ts", pa.timestamp("ns")), tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    d = tmp_path / "events_ns"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet", version="2.6")
+    assert _probe_ts_is_nanos(str(d))
+    assert not _probe_ts_is_nanos(f"{sf_dir}/events.parquet")
+
+    stream_res = run_stream_to_memory(
+        hourly_tumbling_stream(events_stream(spark, str(d))),
+        "tumbling_ns_out",
+    ).toPandas()
+    batch = get_query("events_hourly_tumbling").fn(spark, sf_dir).toPandas()
+    key = ["window_start", "event_type"]
+    s = stream_res.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert (s["n_events"].values == b["n_events"].values).all()
+    assert (abs(s["total_value"].values - b["total_value"].values) < 1e-6).all()
