@@ -97,6 +97,24 @@ def dsum(c: Column, scale: int = 2) -> Column:
     return dround(from_units(usum(c)), scale)
 
 
+# The bigint micro-unit accumulator overflows (loud ANSI error, never a
+# silent wrap) when |total| exceeds LONG_MAX micro-units:
+_USUM_MAX_ABS_TOTAL = (2**63 - 1) / _UNIT_F  # ~9.22e12 money units
+
+
+def checked_sum(c: Column, max_abs_total: float, scale: int = 2) -> Column:
+    """Rounded money sum with the representation chosen AT PLAN TIME from
+    a caller-declared worst-case ``|total|`` bound: the codegen-friendly
+    bigint micro-unit path when the bound provably fits the accumulator
+    (with 1000x headroom for skewed partial aggregates), else the exact
+    DECIMAL(38,6) path. Call sites no longer have to remember the
+    ~9.2e12 usum boundary themselves; declaring a loose bound costs only
+    the ~35% decimal-path slowdown, never correctness."""
+    if max_abs_total <= _USUM_MAX_ABS_TOTAL / 1000.0:
+        return dround(from_units(usum(c)), scale)
+    return dround(dec_sum(c).cast("double"), scale)
+
+
 def davg(c: Column, scale: int = 2) -> Column:
     """Deterministic rounded mean: exact micro-unit sum → double → /count."""
     return dround(from_units(usum(c)) / F.count(c), scale)

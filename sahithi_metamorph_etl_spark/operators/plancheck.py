@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 
 @dataclass(frozen=True)
 class PlanSummary:
-    shuffles: int            # hash/range/single-partition exchanges
+    shuffles: int            # every shuffle Exchange (hash/range/round-robin/single-partition)
     broadcasts: int          # BroadcastExchange nodes
     sort_merge_joins: int
     broadcast_hash_joins: int
@@ -44,8 +44,14 @@ def plan_summary(df: DataFrame) -> PlanSummary:
     (pre-execution; AQE may further coalesce at runtime, it does not add
     exchanges or joins)."""
     plan = _plan_string(df)
+    # count every shuffle Exchange variant: a guard that missed
+    # RoundRobinPartitioning (df.repartition(n) / REBALANCE hints) would
+    # pass while a full-data round-robin shuffle crept into a pinned
+    # plan. "Exchange" at a node boundary excludes BroadcastExchange,
+    # which is tracked separately (broadcasting a dim is the GOOD case).
+    shuffle_exchanges = len(re.findall(r"(?<![A-Za-z])Exchange ", plan))
     return PlanSummary(
-        shuffles=len(re.findall(r"Exchange (hash|range|SinglePartition)", plan)),
+        shuffles=shuffle_exchanges,
         broadcasts=plan.count("BroadcastExchange"),
         sort_merge_joins=plan.count("SortMergeJoin"),
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),

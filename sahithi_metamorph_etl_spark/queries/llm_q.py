@@ -721,24 +721,27 @@ def emb_lsh_ann_topk(spark, sf_dir):
               "deterministic self-verifying recall summary row: (n_queries, n_exact, "
               "n_ann, n_hits, recall, floor_ok)")
 def emb_ivf_topk(spark, sf_dir):
-    import hashlib
-    import os
+    import shutil
     import tempfile
 
     from ..llm.similarity import ivf_build_index, ivf_search
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
-    # deterministic per-sf index root (same pattern as the pipeline
-    # warehouse): the build writes with mode=overwrite, so repeated
-    # invocations REPLACE the index instead of leaking a fresh temp copy
-    # per call; the dir must outlive this function because the driver
-    # materializes the returned frame later
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
-    ivf_build_index(emb, idx, n_lists=16)
-    ann = ivf_search(spark, idx, emb.filter(F.col("vec_id") < 100), k=5, n_probe=4)
-    return ann_recall_summary(exact, ann, recall_floor=0.5)
+    # unique per-invocation index dir, and the one-row recall summary is
+    # materialized before the dir is deleted: parquet file listings are
+    # captured eagerly, so returning a frame that still references the
+    # index would break if a later rebuild (or a concurrent driver on
+    # the same sf_dir) replaced the files. Localizing one bounded row
+    # makes the returned frame independent of the index files entirely.
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        ivf_build_index(emb, idx, n_lists=16)
+        ann = ivf_search(spark, idx, emb.filter(F.col("vec_id") < 100), k=5, n_probe=4)
+        summary = ann_recall_summary(exact, ann, recall_floor=0.5)
+        return spark.createDataFrame(summary.collect(), schema=summary.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 _NEAR_DUP_ORACLE = f"""

@@ -53,23 +53,42 @@ class PagePartition(InputPartition):
         self.page = page
 
 
-def _coerce(record: dict, fields) -> tuple:
+class PagedRestCoercionError(ValueError):
+    """A JSON value that cannot represent its schema type, with the
+    page/field context a per-task stack trace otherwise loses."""
+
+
+def _coerce(record: dict, fields, page: int | None = None) -> tuple:
     """Project a JSON record onto the schema's column order; missing
     keys become NULL (the explicit-contract discipline of
-    sources.readers.read_csv — no inference, no reordering surprises)."""
+    sources.readers.read_csv — no inference, no reordering surprises).
+
+    Coercion is strict, never lossy: a non-integral number in an
+    integer-typed field (1.9), or a non-numeric string in a numeric
+    field, raises :class:`PagedRestCoercionError` naming the page and
+    field instead of silently truncating or failing mid-partition with
+    a bare ValueError."""
     out = []
     for f in fields:
         v = record.get(f.name)
         if v is not None:
             t = f.dataType.typeName()
-            if t in ("long", "integer", "short", "byte"):
-                v = int(v)
-            elif t in ("double", "float"):
-                v = float(v)
-            elif t == "string" and not isinstance(v, str):
-                v = json.dumps(v)  # nested objects land as JSON text
-            elif t == "boolean":
-                v = bool(v)
+            try:
+                if t in ("long", "integer", "short", "byte"):
+                    iv = int(v)  # raises for non-numeric strings
+                    if isinstance(v, float) and iv != v:
+                        raise ValueError(f"non-integral value {v!r}")  # 1.9 -> 1 loses data
+                    v = iv
+                elif t in ("double", "float"):
+                    v = float(v)
+                elif t == "string" and not isinstance(v, str):
+                    v = json.dumps(v)  # nested objects land as JSON text
+                elif t == "boolean":
+                    v = bool(v)
+            except (TypeError, ValueError) as e:
+                raise PagedRestCoercionError(
+                    f"page {page}: field {f.name!r} ({t}): cannot coerce {v!r}: {e}"
+                ) from e
         out.append(v)
     return tuple(out)
 
@@ -133,7 +152,7 @@ class PagedRestReader(DataSourceReader):
             )
         fields = self.schema_.fields
         for rec in payload:
-            yield _coerce(rec, fields)
+            yield _coerce(rec, fields, page=page)
 
 
 class PagedRestDataSource(DataSource):

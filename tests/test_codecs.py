@@ -210,3 +210,34 @@ def test_resize_image_media_end_to_end(spark):
     assert (resized == codecs.resize_nearest(px, 5, 4)).all()
     bad = rows[2]
     assert not bad.ok and bad.payload is None
+
+
+def test_codecs_module_is_executor_shippable():
+    """codecs.py ships into mapInPandas closures as exec'd source text
+    (module_source); that silently breaks the moment the file gains a
+    package-relative import, because the exec namespace has no package
+    context. Pin the seam: no relative imports, no intra-package
+    absolute imports."""
+    import ast
+    import inspect
+
+    from sahithi_metamorph_etl_spark.llm import codecs
+
+    tree = ast.parse(inspect.getsource(codecs))
+    offenders = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level > 0 or (node.module or "").startswith("sahithi_metamorph_etl_spark"):
+                offenders.append(ast.dump(node))
+        elif isinstance(node, ast.Import):
+            offenders.extend(
+                a.name for a in node.names if a.name.startswith("sahithi_metamorph_etl_spark")
+            )
+    assert not offenders, (
+        f"codecs.py must stay package-import-free to remain exec-shippable: {offenders}"
+    )
+
+    # and the shipped namespace must actually evaluate standalone
+    ns = {}
+    exec(codecs.module_source(), ns)
+    assert "decode_png" in ns and "resize_nearest" in ns

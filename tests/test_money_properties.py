@@ -100,3 +100,34 @@ def test_davg_matches_duckdb(spark, values):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
     oracle = con.execute(f"SELECT {o_davg('x', 4)} FROM t").fetchone()[0]
     assert got == oracle
+
+
+def test_usum_overflow_boundary_is_loud_and_checked_sum_routes(spark):
+    """Pin the documented usum boundary: past ~9.2e12 money units the
+    bigint micro-unit accumulator must FAIL LOUDLY (ANSI overflow — the
+    DuckDB oracle silently promotes to HUGEINT there, so a silent Spark
+    wrap would be a cross-engine divergence), and checked_sum must route
+    such a declared bound onto the exact decimal path and keep going."""
+    import pytest
+
+    from sahithi_metamorph_etl_spark.functions.money import (
+        _USUM_MAX_ABS_TOTAL,
+        checked_sum,
+        dec_sum,
+        usum,
+    )
+
+    big = 9.0e12  # each row near the single-row ceiling
+    df = spark.createDataFrame([(big,), (big,), (big,)], "v double")
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        df.agg(usum(F.col("v")).alias("s")).collect()
+
+    routed = df.agg(checked_sum(F.col("v"), max_abs_total=3 * big).alias("s")).collect()[0]["s"]
+    exact = df.agg(dec_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    assert routed == float(round(exact, 2))
+
+    # below the (headroomed) boundary the fast path is taken and agrees
+    small = spark.createDataFrame([(1.25,), (2.50,), (-0.75,)], "v double")
+    fast = small.agg(checked_sum(F.col("v"), max_abs_total=1e6).alias("s")).collect()[0]["s"]
+    assert fast == 3.0
+    assert _USUM_MAX_ABS_TOTAL > 9.2e12

@@ -260,3 +260,38 @@ def test_paged_rest_requires_schema_and_pages(spark, tmp_path):
         spark.read.format("paged_rest").option("n_pages", "1").load()
     with pytest.raises(ValueError, match="n_pages"):
         PagedRestReader(None, {"n_pages": "0"})
+
+
+def test_paged_rest_coercion_is_strict_with_context():
+    """Non-integral numbers in integer fields and non-numeric strings in
+    numeric fields must raise PagedRestCoercionError naming the page and
+    field — never silently truncate (1.9 -> 1) or surface a bare
+    mid-partition ValueError with no record context."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from sahithi_metamorph_etl_spark.sources.paged_rest import (
+        PagedRestCoercionError,
+        _coerce,
+    )
+
+    fields = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+        ]
+    ).fields
+
+    # valid coercions, including numeric strings and nested objects
+    assert _coerce({"id": "12", "score": "3.5", "name": {"a": 1}}, fields, page=0) == (
+        12,
+        3.5,
+        '{"a": 1}',
+    )
+    assert _coerce({"id": 7.0, "score": 1, "name": None}, fields, page=0) == (7, 1.0, None)
+
+    with pytest.raises(PagedRestCoercionError, match=r"page 3: field 'id'.*1\.9"):
+        _coerce({"id": 1.9}, fields, page=3)
+    with pytest.raises(PagedRestCoercionError, match=r"page 5: field 'score'.*'abc'"):
+        _coerce({"score": "abc"}, fields, page=5)
