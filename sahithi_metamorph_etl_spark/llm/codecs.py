@@ -8,9 +8,13 @@ stdlib (``zlib``, ``struct``) and numpy:
   non-interlaced; all five scanline filters per the PNG spec) and a
   filter-0 encoder for the resize write-back path.
 - BMP  — full pixel decode (uncompressed 24/32-bit BITMAPINFOHEADER).
-- JPEG — header decode (width/height/channels from the SOF segment;
-  pixel-level JPEG entropy decode genuinely needs a codec library and
-  raises ``UnsupportedImageError`` rather than faking it).
+- JPEG — baseline sequential (SOF0/SOF1) FULL pixel decode from spec
+  (DQT/DHT read from the stream, Huffman entropy decode, dequant,
+  IDCT, 4:4:4/4:2:2/4:2:0 upsampling, YCbCr->RGB, DRI/RSTn), plus a
+  baseline encoder (Annex K tables, 4:4:4 or 4:2:0) for round-trip
+  tests and the resize write-back path. Progressive (SOF2) and
+  arithmetic coding raise ``UnsupportedImageError`` rather than faking
+  pixels.
 - GIF  — header decode (logical screen descriptor).
 
 If PIL is importable (not in this container, but in a production image)
@@ -247,6 +251,567 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     raise ValueError("JPEG payload has no SOF segment")
 
 
+# ------------------------------------------------- baseline JPEG codec
+#
+# Full pixel decode for baseline sequential (SOF0/SOF1, Huffman) JPEG —
+# the dominant format of real image corpora — plus a from-spec baseline
+# encoder (4:4:4 or 4:2:0, Annex K tables) used by the round-trip tests
+# and the resize write-back path. Progressive (SOF2) and arithmetic
+# coding stay an honest UnsupportedImageError.
+#
+# Decoder correctness does NOT depend on this module's table constants:
+# quantization and Huffman tables are read from the payload's own
+# DQT/DHT segments, per spec. The Annex K constants below only shape
+# what the ENCODER emits (and it emits them in its own DQT/DHT, so any
+# spec-compliant decoder agrees).
+
+# zigzag scan: _JPEG_ZIGZAG[i] = natural-order index of the i-th
+# coefficient in zigzag order
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# ITU-T T.81 Annex K quantization tables (quality-50 reference)
+_JPEG_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_JPEG_Q_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K Huffman table specs: (bits[1..16], values)
+_JPEG_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_JPEG_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis M: forward F = M @ f @ M.T equals
+    the T.81 FDCT normalization; inverse f = M.T @ F @ M."""
+    x = np.arange(8, dtype=np.float64)
+    u = np.arange(8, dtype=np.float64)[:, None]
+    m = np.cos((2.0 * x + 1.0) * u * np.pi / 16.0) * np.sqrt(2.0 / 8.0)
+    m[0] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+def _jpeg_build_codes(bits, vals) -> dict:
+    """Canonical Huffman codes per T.81 C.2: symbol -> (code, length)."""
+    codes: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_scale_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of an Annex K base table (1..100)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _jpeg_encode_block(
+    writer: _JpegBitWriter,
+    block: np.ndarray,
+    qtable: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+    dct_m: np.ndarray,
+) -> int:
+    """FDCT + quantize + entropy-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = dct_m @ block @ dct_m.T
+    quant = np.round(coef / qtable).astype(np.int64)
+    zz = quant.flatten()[_JPEG_ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _jpeg_magnitude(dc - pred)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _jpeg_dht_segment(tc: int, th: int, spec) -> bytes:
+    bits, vals = spec
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> baseline sequential JFIF bytes.
+
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + box-mean-downsampled chroma per 16x16 MCU).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    if not gray and arr.shape[2] != 3:
+        raise ValueError("JPEG encoder takes grayscale or RGB pixels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    dct_m = _jpeg_dct_matrix()
+    q_lum = _jpeg_scale_qtable(_JPEG_Q_LUM, quality)
+    q_chrom = _jpeg_scale_qtable(_JPEG_Q_CHROM, quality)
+    dc_lum = _jpeg_build_codes(*_JPEG_DC_LUM)
+    ac_lum = _jpeg_build_codes(*_JPEG_AC_LUM)
+    dc_chrom = _jpeg_build_codes(*_JPEG_DC_CHROM)
+    ac_chrom = _jpeg_build_codes(*_JPEG_AC_CHROM)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # pad to even dims, then 2x2 box mean for chroma
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    padded = []
+    for plane, (sh, sv) in zip(planes, samp):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        ph, pw = plane.shape
+        padded.append(
+            np.pad(plane, ((0, th - ph), (0, tw - pw)), mode="edge") - 128.0
+        )
+
+    writer = _JpegBitWriter()
+    preds = [0] * len(planes)
+    qtables = [q_lum] + [q_chrom] * (len(planes) - 1)
+    dc_tbls = [dc_lum] + [dc_chrom] * (len(planes) - 1)
+    ac_tbls = [ac_lum] + [ac_chrom] * (len(planes) - 1)
+    entropy = bytearray()
+    rst = 0
+    n_mcus = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcus and n_mcus % restart_interval == 0:
+                writer.flush()
+                entropy += writer.out
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _JpegBitWriter()
+                preds = [0] * len(planes)
+            for ci, (plane, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        preds[ci] = _jpeg_encode_block(
+                            writer,
+                            plane[y0 : y0 + 8, x0 : x0 + 8],
+                            qtables[ci],
+                            dc_tbls[ci],
+                            ac_tbls[ci],
+                            preds[ci],
+                            dct_m,
+                        )
+            n_mcus += 1
+    writer.flush()
+    entropy += writer.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(q_lum.flatten()[_JPEG_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(q_chrom.flatten()[_JPEG_ZIGZAG].astype(np.uint8)))
+    ncomp = len(planes)
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+    out += _jpeg_dht_segment(0, 0, _JPEG_DC_LUM)
+    out += _jpeg_dht_segment(1, 0, _JPEG_AC_LUM)
+    if not gray:
+        out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROM)
+        out += _jpeg_dht_segment(1, 1, _JPEG_AC_CHROM)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, pads with 1-bits at
+    a marker boundary (T.81 F.2.2.5), and consumes RSTn on request."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._d = data
+        self._pos = pos
+        self._cur = 0
+        self._n = 0
+
+    def _advance(self) -> None:
+        d = self._d
+        if self._pos >= len(d):
+            self._cur, self._n = 0xFF, 8  # 1-fill past the end
+            return
+        b = d[self._pos]
+        if b != 0xFF:
+            self._pos += 1
+            self._cur, self._n = b, 8
+            return
+        nxt = d[self._pos + 1] if self._pos + 1 < len(d) else 0xD9
+        if nxt == 0x00:
+            self._pos += 2
+            self._cur, self._n = 0xFF, 8
+            return
+        # a real marker (RST/EOI): leave it unconsumed, emit 1-fill
+        self._cur, self._n = 0xFF, 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._advance()
+        self._n -= 1
+        return (self._cur >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self._n = 0
+        d = self._d
+        while self._pos + 1 < len(d):
+            if d[self._pos] == 0xFF and 0xD0 <= d[self._pos + 1] <= 0xD7:
+                self._pos += 2
+                return
+            self._pos += 1
+        raise UnsupportedImageError("JPEG stream missing expected restart marker")
+
+
+def _jpeg_decode_table(table: dict) -> dict:
+    """symbol -> (code, length) table to (length, code) -> symbol."""
+    return {(length, code): sym for sym, (code, length) in table.items()}
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise UnsupportedImageError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def _jpeg_decode_block(
+    reader: _JpegBitReader, dc_tbl: dict, ac_tbl: dict, pred: int
+) -> tuple[np.ndarray, int]:
+    """One block of zigzag coefficients (still quantized) + DC pred."""
+    size = _jpeg_huff_decode(reader, dc_tbl)
+    dc = pred + _jpeg_extend(reader.read_bits(size), size)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(reader, ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise UnsupportedImageError("JPEG AC coefficient index overflow")
+        zz[k] = _jpeg_extend(reader.read_bits(size), size)
+        k += 1
+    return zz, dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG bytes -> (H, W, C) uint8 (C=1 gray,
+    C=3 RGB). Quant/Huffman tables come from the payload's own DQT/DHT
+    segments; sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0) with
+    replicated-sample upsampling; DRI/RSTn honored. Progressive (SOF2)
+    and arithmetic-coded streams raise UnsupportedImageError."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (tc, th) -> (length, code)->sym
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.int64)
+                    bp += 64
+                else:
+                    vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.int64)
+                    bp += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = vals
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nvals = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nvals])
+                huff[(tc, th)] = _jpeg_decode_table(_jpeg_build_codes(bits, vals))
+                bp += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedImageError(f"JPEG precision {prec} (only 8-bit)")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF segment")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise UnsupportedImageError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedImageError(f"JPEG SOF marker 0x{marker:02x} not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            pos = pos + 2 + seg_len  # entropy data starts here
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG payload missing SOF/SOS")
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    h, w = frame["h"], frame["w"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise UnsupportedImageError("JPEG sampling factors beyond 2 not supported")
+    mcus_x = (w + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (h + 8 * max_v - 1) // (8 * max_v)
+    dct_m = _jpeg_dct_matrix()
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    reader = _JpegBitReader(payload, pos)
+    n_mcus = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcus and n_mcus % restart_interval == 0:
+                reader.sync_restart()
+                preds = {c["id"]: 0 for c in comps}
+            for sc in scan:
+                comp = by_id[sc["cs"]]
+                qt = qtables.get(comp["tq"])
+                dc_tbl = huff.get((0, sc["td"]))
+                ac_tbl = huff.get((1, sc["ta"]))
+                if qt is None or dc_tbl is None or ac_tbl is None:
+                    raise UnsupportedImageError("JPEG scan references missing table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz, preds[comp["id"]] = _jpeg_decode_block(
+                            reader, dc_tbl, ac_tbl, preds[comp["id"]]
+                        )
+                        nat = np.zeros(64, dtype=np.int64)
+                        nat[_JPEG_ZIGZAG] = zz
+                        block = nat.reshape(8, 8) * qt
+                        px = dct_m.T @ block.astype(np.float64) @ dct_m + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+            n_mcus += 1
+
+    full = []
+    for c in comps:
+        plane = planes[c["id"]]
+        ry, rx = max_v // c["v"], max_h // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def gif_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from the GIF logical screen descriptor."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -285,9 +850,10 @@ def image_stats(payload: bytes) -> tuple[int, int, int] | None:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Pixel decode for any supported image payload -> (H, W, C) uint8.
-    PNG and BMP decode here without any library; JPEG/GIF pixel decode
-    requires a codec library (PIL path) and otherwise raises
-    ``UnsupportedImageError`` — never fake pixels."""
+    PNG, BMP and baseline JPEG decode here without any library; GIF
+    pixel decode (and progressive JPEG) requires a codec library (PIL
+    path) and otherwise raises ``UnsupportedImageError`` — never fake
+    pixels."""
     fmt = sniff_format(payload)
     if fmt is None:
         raise ValueError("payload is not a recognized image format")
@@ -303,6 +869,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     raise UnsupportedImageError(f"{fmt} pixel decode requires a codec library (PIL)")
 
 

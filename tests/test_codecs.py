@@ -146,8 +146,10 @@ def test_jpeg_header_parse():
     payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     assert codecs.sniff_format(payload) == "jpeg"
     assert codecs.jpeg_header(payload) == (640, 480, 3)
-    with pytest.raises(codecs.UnsupportedImageError):
-        codecs.decode_image(payload)  # pixel decode honestly unsupported
+    # headers-only payload (no SOS/entropy data, truncated SOF comp
+    # specs): pixel decode must refuse loudly, never fake pixels
+    with pytest.raises((ValueError, codecs.UnsupportedImageError)):
+        codecs.decode_image(payload)
 
 
 def test_gif_header_parse():
@@ -241,3 +243,95 @@ def test_codecs_module_is_executor_shippable():
     ns = {}
     exec(codecs.module_source(), ns)
     assert "decode_png" in ns and "resize_nearest" in ns
+
+
+def _gradient_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_known_pixels():
+    """Baseline JPEG decode to known pixels: a smooth gradient encoded
+    at q=95 must come back within a few quantization steps, and a solid
+    color must round-trip EXACTLY (its blocks are pure DC)."""
+    img = _gradient_rgb(40, 56)
+    enc = codecs.encode_jpeg_baseline(img, quality=95, subsampling="444")
+    assert codecs.sniff_format(enc) == "jpeg"
+    assert codecs.jpeg_header(enc) == (56, 40, 3)
+    dec = codecs.decode_jpeg(enc)
+    assert dec.shape == (40, 56, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+
+    solid = np.full((17, 19, 3), [200, 30, 90], dtype=np.uint8)
+    assert np.array_equal(codecs.decode_jpeg(codecs.encode_jpeg_baseline(solid, 90)), solid)
+
+
+def test_jpeg_roundtrip_420_subsampling_and_gray():
+    img = _gradient_rgb(33, 41)  # non-multiple-of-16 dims exercise padding
+    dec = codecs.decode_jpeg(codecs.encode_jpeg_baseline(img, quality=95, subsampling="420"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12  # chroma is 2x2-averaged
+
+    gray = (np.mgrid[0:24, 0:24][0] * 10).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg_baseline(gray, quality=90))
+    assert dec.shape == (24, 24, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers_honored():
+    img = _gradient_rgb(40, 40)
+    enc = codecs.encode_jpeg_baseline(img, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in enc  # DRI segment present
+    dec = codecs.decode_jpeg(enc)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_noise_stays_within_quant_error():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg_baseline(noise, quality=95))
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    assert err.max() <= 30 and err.mean() < 6
+
+
+def test_jpeg_progressive_still_raises():
+    """Progressive (SOF2) stays an honest refusal: flip the encoder's
+    SOF0 marker to SOF2 and the decoder must refuse, not emit garbage."""
+    enc = bytearray(codecs.encode_jpeg_baseline(_gradient_rgb(16, 16), 90))
+    idx = bytes(enc).find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(codecs.UnsupportedImageError, match="progressive"):
+        codecs.decode_jpeg(bytes(enc))
+
+
+def test_decode_image_facade_decodes_jpeg():
+    img = _gradient_rgb(20, 20)
+    dec = codecs.decode_image(codecs.encode_jpeg_baseline(img, quality=95))
+    assert dec.shape == (20, 20, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_resize_image_media_handles_jpeg_payloads(spark):
+    """The resize stage now really decodes baseline JPEG — the dominant
+    corpus format — in the library-free environment (ok=true, pixels
+    from the JPEG decode path, PNG write-back)."""
+    from sahithi_metamorph_etl_spark.llm.multimodal import resize_image_media
+
+    px = _gradient_rgb(12, 20)
+    media = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_jpeg_baseline(px, quality=95)), "image/jpeg", "t")],
+        "media_id bigint, payload binary, media_type string, source string",
+    )
+    row = resize_image_media(media, 5, 4).collect()[0]
+    assert row.ok and row.orig_width == 20 and row.orig_height == 12 and row.channels == 3
+    resized = codecs.decode_png(bytes(row.payload))
+    expected = codecs.resize_nearest(codecs.decode_jpeg(codecs.encode_jpeg_baseline(px, quality=95)), 5, 4)
+    assert (resized == expected).all()
