@@ -48,3 +48,75 @@ def salted_join(
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL)
     replicated_small = small.select("*", salts)
     return salted_large.join(replicated_small, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def adaptive_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_source_col: str,
+    *,
+    sample_fraction: float = 0.05,
+    hot_ratio: float = 4.0,
+    max_salts: int = 64,
+    max_hot_keys: int = 1000,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Measure -> decide -> salt, as one operator: sample the large
+    side's key distribution, find the hot keys, pick a salt factor from
+    the measured skew, and salt ONLY the hot keys — cold keys take the
+    plain shuffle join untouched. Composes the two halves that exist
+    separately as ``profiling.key_skew_profile`` (measure) and
+    :func:`salted_join` (mitigate).
+
+    Decision rule: a key is hot when its sampled row count exceeds
+    ``hot_ratio`` x the mean sampled key count; ``n_salts`` is the
+    hottest key's multiple of the mean (clamped to [2, max_salts]), so
+    each hot-key slice lands near mean-key size. No hot keys -> returns
+    the plain join (zero overhead beyond the sample job).
+
+    Driver actions are bounded by construction: one 1-row mean
+    aggregate and one ``limit(max_hot_keys)`` hot-key collect — the
+    same bounded-collect policy as the centroid/query-set reads. The
+    fact side is read twice (hot semi-probe + cold anti-probe, both
+    against a BROADCAST hot-key list, so neither adds a shuffle); at
+    scale that second scan is the price of removing the single-task
+    straggler, which dominates it by orders of magnitude. Result ==
+    ``large.join(small, on, how)`` regardless of what the sample saw —
+    sampling only steers the plan, never the semantics.
+    """
+    import math
+
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"adaptive_salted_join supports inner/left joins, not {how!r}")
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    key_cols = list(on)
+    sampled = large if sample_fraction >= 1.0 else large.sample(fraction=sample_fraction, seed=seed)
+    counts = sampled.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__cnt"))
+    mean_row = counts.agg(F.avg("__cnt").alias("m")).collect()
+    mean_cnt = mean_row[0]["m"] if mean_row else None
+    if not mean_cnt:
+        return large.join(small, on, how)
+    hot = (
+        counts.filter(F.col("__cnt") > F.lit(hot_ratio * mean_cnt))
+        .orderBy(F.desc("__cnt"), *key_cols)
+        .limit(max_hot_keys)
+        .collect()
+    )
+    if not hot:
+        return large.join(small, on, how)
+    n_salts = int(min(max_salts, max(2, math.ceil(hot[0]["__cnt"] / mean_cnt))))
+    spark = large.sparkSession
+    hot_keys = spark.createDataFrame(
+        [tuple(r[c] for c in key_cols) for r in hot], schema=large.select(*key_cols).schema
+    )
+    hot_large = large.join(F.broadcast(hot_keys), key_cols, "left_semi")
+    cold_large = large.join(F.broadcast(hot_keys), key_cols, "left_anti")
+    # replicate ONLY the hot slice of the small side n_salts times; the
+    # cold branch joins the full small side through the normal shuffle
+    hot_small = small.join(F.broadcast(hot_keys), key_cols, "left_semi")
+    salted = salted_join(hot_large, hot_small, key_cols, salt_source_col, n_salts, how)
+    plain = cold_large.join(small, key_cols, how)
+    return salted.unionByName(plain)

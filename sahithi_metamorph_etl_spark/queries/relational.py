@@ -792,6 +792,54 @@ def salted_skew_join(spark, sf_dir):
     )
 
 
+_ADAPTIVE_SALTED_ORACLE = f"""
+WITH li AS (
+    SELECT CASE WHEN l_partkey % 50 = 0 THEN 0 ELSE l_partkey END AS skew_key,
+           l_quantity
+    FROM lineitem
+), dim AS (
+    SELECT p_partkey AS skew_key, p_brand FROM part
+)
+SELECT coalesce(p_brand, 'UNMATCHED') AS brand,
+       count(*) AS n_lines,
+       {o_round('sum(l_quantity)', 2)} AS total_qty
+FROM li LEFT JOIN dim USING (skew_key)
+GROUP BY 1
+"""
+
+
+@register("adaptive_salted_skew_join", oracle=_ADAPTIVE_SALTED_ORACLE,
+          doc="Adaptive skew join: sampled key profile picks the hot keys and salt "
+              "factor, only hot keys are salted (cold keys join plain). The l_partkey "
+              "%50 remap plants a genuinely hot key (~2% of the fact on one key, "
+              "~40x the mean); result is identical to the plain join — sampling "
+              "steers the plan, never the semantics")
+def adaptive_salted_skew_join(spark, sf_dir):
+    from ..operators.skew import adaptive_salted_join
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 50 == 0, F.lit(0))
+        .otherwise(F.col("l_partkey"))
+        .cast("long")
+        .alias("skew_key"),
+        "l_quantity",
+        "l_orderkey",
+    )
+    dim = read_testdata(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("skew_key"), "p_brand"
+    )
+    joined = adaptive_salted_join(
+        li, dim, on=["skew_key"], salt_source_col="l_orderkey",
+        sample_fraction=0.5, how="left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("p_brand"), F.lit("UNMATCHED")).alias("brand")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dround(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
 # --- rollup ----------------------------------------------------------------
 
 _ROLLUP_ORACLE = f"""

@@ -1165,3 +1165,73 @@ def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     # default metric
     stats2 = observed_write(df, lambda d: d.write.mode("overwrite").parquet(out))
     assert stats2 == {"n_rows": 3}
+
+
+def test_adaptive_salted_join_equals_plain_and_spreads_hot_key(spark, sf_dir):
+    """The adaptive composition must (a) produce exactly the plain-join
+    result, (b) actually detect the planted hot key and spread its rows
+    over multiple shuffle partitions (no 1-partition straggler), and
+    (c) keep a plain-join branch for the cold keys (union in the plan)."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.skew import adaptive_salted_join
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            F.when(F.col("l_partkey") % 50 == 0, F.lit(0))
+            .otherwise(F.col("l_partkey"))
+            .cast("long")
+            .alias("skew_key"),
+            "l_quantity",
+            "l_orderkey",
+        )
+    )
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("long").alias("skew_key"), "p_brand"
+    )
+    adaptive = adaptive_salted_join(
+        li, dim, on=["skew_key"], salt_source_col="l_orderkey",
+        sample_fraction=1.0, how="left",
+    )
+    plain = li.join(dim, ["skew_key"], "left")
+    assert adaptive.count() == plain.count()
+    assert (
+        adaptive.groupBy("skew_key").count()
+        .exceptAll(plain.groupBy("skew_key").count()).count() == 0
+    )
+    # the hot key's joined rows must occupy >1 shuffle partition — the
+    # straggler a plain hash join would put on a single task. Salting
+    # matters exactly when the small side CANNOT broadcast, so the probe
+    # forces the shuffle-join scenario (autoBroadcast off; at this toy
+    # scale the dim would otherwise broadcast and nothing shuffles) and
+    # disables AQE's small-partition coalescing (which would merge all
+    # the tiny test partitions back into one — at real scale the salted
+    # partitions are too big to coalesce).
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        shuffled = adaptive_salted_join(
+            li, dim, on=["skew_key"], salt_source_col="l_orderkey",
+            sample_fraction=1.0, how="left",
+        )
+        n_parts = (
+            shuffled.filter(F.col("skew_key") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_co)
+    assert n_parts > 1, "hot key still lands in a single partition"
+    assert "Union" in adaptive._jdf.queryExecution().executedPlan().toString()
+
+    # no hot keys (uniform data) -> decision falls through to plain join
+    uniform = adaptive_salted_join(
+        li.filter(F.col("skew_key") > 0), dim, on=["skew_key"],
+        salt_source_col="l_orderkey", sample_fraction=1.0, how="left",
+    )
+    assert "Union" not in uniform._jdf.queryExecution().executedPlan().toString()
