@@ -56,6 +56,15 @@ HEADLINE = [
     "doc_chunks",
     "doc_train_split",
     "doc_dedup_clusters",
+    # round-5/6 surface (kept AFTER the shared-23 so r3/r5 per-query
+    # comparisons stay apples-to-apples): corpus stats, mergeable
+    # sketches, quantile histogram, dedup report, adaptive skew join
+    "corpus_vocabulary",
+    "doc_tfidf_keywords",
+    "corpus_dedup_report",
+    "sketch_mergeable_distinct",
+    "orders_price_quantile_hist",
+    "adaptive_salted_skew_join",
 ]
 
 

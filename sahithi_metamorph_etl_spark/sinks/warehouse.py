@@ -122,18 +122,33 @@ class LayeredWarehouse:
         run_date: dt.date,
         checkpoint_dir: str,
     ):
-        """Land a stream into the legacy layer via ``foreachBatch``:
-        each micro-batch appends into the day's partition, offsets are
-        tracked in ``checkpoint_dir`` so a restart resumes where it
-        stopped. Delivery is at-least-once (a batch that wrote but
-        failed before the checkpoint commits is re-appended on
-        restart) — downstream readers dedup on a natural key when
-        exactly-once matters. Returns the StreamingQuery; caller owns
-        its lifecycle."""
+        """Land a stream into the legacy layer via ``foreachBatch``;
+        offsets are tracked in ``checkpoint_dir`` so a restart resumes
+        where it stopped. Delivery is EFFECTIVELY EXACTLY-ONCE: each
+        micro-batch writes under its own ``__BATCH_ID`` partition with
+        dynamic partition overwrite, so when a crash lands between the
+        sink write and the checkpoint commit, the replayed batch (same
+        deterministic batch id, per the foreachBatch contract)
+        REPLACES its own earlier files instead of appending duplicates.
+        ``read_legacy`` hides the batch column. Returns the
+        StreamingQuery; caller owns its lifecycle."""
+        path = self._path("legacy", name)
+        day = F.lit(run_date.isoformat()).cast("date")
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            out = batch_df if "DAY_DT" in batch_df.columns else batch_df.withColumn("DAY_DT", day)
+            (
+                out.withColumn("__BATCH_ID", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("DAY_DT", "__BATCH_ID")
+                .parquet(path)
+            )
+
         return (
             stream_df.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(lambda batch_df, _id: self.append_legacy(batch_df, name, run_date))
+            .foreachBatch(write_batch)
             .start()
         )
 
@@ -175,6 +190,8 @@ class LayeredWarehouse:
 
     def read_legacy(self, spark: SparkSession, name: str, run_date: dt.date | None = None) -> DataFrame:
         df = spark.read.parquet(self._path("legacy", name))
+        if "__BATCH_ID" in df.columns:  # streaming-landed: implementation detail
+            df = df.drop("__BATCH_ID")
         if run_date is not None:
             # partition-pruned: DAY_DT is the physical partition column
             df = df.filter(F.col("DAY_DT") == F.lit(run_date.isoformat()).cast("date"))

@@ -217,3 +217,67 @@ def test_stream_supports_nanos_generation(spark, sf_dir, tmp_path):
     assert len(s) == len(b)
     assert (s["n_events"].values == b["n_events"].values).all()
     assert (abs(s["total_value"].values - b["total_value"].values) < 1e-6).all()
+
+
+def test_stream_to_legacy_crash_mid_batch_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Kill/crash-resume proof for the legacy streaming sink: simulate a
+    crash AFTER a micro-batch's files landed but BEFORE its checkpoint
+    commit (delete the commit marker — the exact window where a plain
+    append sink duplicates), restart from the checkpoint, and assert the
+    legacy layer has every row exactly once."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    # two input files -> two micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "events_2files")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(2).write.parquet(src)
+    n_rows = spark.read.parquet(src).count()
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    run_date = dt.date(2025, 7, 7)
+
+    def start():
+        return wh.stream_to_legacy(
+            events_stream(spark, src).select("event_id", "user_id", "event_type"),
+            "events",
+            run_date,
+            checkpoint_dir=ckpt,
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert wh.read_legacy(spark, "events", run_date=run_date).count() == n_rows
+
+    # crash simulation: batch 1's data files are on disk, but its commit
+    # marker never landed — on restart Spark MUST re-run batch 1 (same
+    # batch id), and the idempotent per-batch overwrite must replace,
+    # not duplicate
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local ChecksumFileSystem shadow file: a
+        os.remove(crc)  # stale crc makes the commit rewrite look like
+        # a concurrent writer ("Multiple streaming queries" error)
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    back = wh.read_legacy(spark, "events", run_date=run_date)
+    assert back.count() == n_rows, "crash-replayed batch duplicated or lost rows"
+    assert back.select("event_id").distinct().count() == n_rows
+    assert "__BATCH_ID" not in back.columns
+    # the batch really was re-executed: its partition dir was rewritten
+    legacy_root = os.path.join(str(tmp_path / "wh"), "legacy", "events")
+    day_dir = os.path.join(legacy_root, "DAY_DT=2025-07-07")
+    assert sorted(d for d in os.listdir(day_dir) if d.startswith("__BATCH_ID=")) == [
+        "__BATCH_ID=0",
+        "__BATCH_ID=1",
+    ]
