@@ -15,7 +15,9 @@ stdlib (``zlib``, ``struct``) and numpy:
   tests and the resize write-back path. Progressive (SOF2) and
   arithmetic coding raise ``UnsupportedImageError`` rather than faking
   pixels.
-- GIF  — header decode (logical screen descriptor).
+- GIF  — first-frame FULL pixel decode from spec (variable-width LZW,
+  global/local color tables, interlace, screen composition) and a
+  single-frame GIF89a encoder (<=256-color input) for fixtures.
 
 If PIL is importable (not in this container, but in a production image)
 it is preferred automatically for both decode and resize; everything
@@ -820,6 +822,277 @@ def gif_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, 3
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min_code_size+1, clear/end codes, dictionary capped at
+    12-bit codes. Returns the color-index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh_dict():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh_dict()
+    next_code = end + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits  # LSB-first packing
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh_dict()
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                raise UnsupportedImageError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 via a from-spec LZW decode of the
+    FIRST image frame composed onto the logical screen (background
+    color fill). Interlaced frames are de-interlaced (4-pass order);
+    animation beyond frame one and transparency compositing are out of
+    scope for corpus feature-extraction (the first frame is the
+    thumbnail/statistics frame)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed, bg_index = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise UnsupportedImageError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 ** ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise UnsupportedImageError("GIF frame has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            size = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1  # block terminator
+        indices = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < w * h:
+            raise UnsupportedImageError("GIF LZW stream shorter than frame")
+        idx = np.array(indices[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            deint = np.zeros_like(idx)
+            deint[order] = idx
+            idx = deint
+        if np.any(idx >= len(ct)):
+            raise UnsupportedImageError("GIF index outside color table")
+        frame = ct[idx]
+        # compose onto the logical screen (background fill)
+        if (left, top, w, h) == (0, 0, sw, sh):
+            return np.ascontiguousarray(frame)
+        screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+        if gct is not None and bg_index < len(gct):
+            screen[:, :] = gct[bg_index]
+        screen[top : top + h, left : left + w] = frame[: sh - top, : sw - left]
+        return screen
+    raise ValueError("GIF payload has no image frame")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(H, W) palette-index or (H, W, 3) uint8 array -> single-frame
+    GIF89a. RGB input is quantized to its distinct colors (<=256
+    required — fixture/write-back use, not general photography; use
+    JPEG/PNG for continuous-tone images). Emits clear codes per the
+    spec whenever the dictionary fills."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF encoder needs <=256 distinct colors, got {len(colors)}")
+    ct_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    ct_size = 1 << ct_bits
+    table = np.zeros((ct_size, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    indices = inverse.astype(np.int64)
+
+    min_code_size = max(2, ct_bits)
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes: list[tuple[int, int]] = [(clear, min_code_size + 1)]
+    dictionary: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    prev: tuple[int, ...] = ()
+    for sym in indices:
+        cur = prev + (int(sym),)
+        if cur in dictionary:
+            prev = cur
+            continue
+        codes.append((dictionary[prev], width))
+        dictionary[cur] = next_code
+        next_code += 1
+        # the decoder's dictionary lags this one by exactly one entry
+        # (it adds an entry only when reading the NEXT code), so its
+        # width bump — at ITS next_code == 1<<width — maps to ours at
+        # next_code == (1<<width) + 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # dictionary full: reset per spec
+            codes.append((clear, width))
+            dictionary = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = (int(sym),)
+    if prev:
+        codes.append((dictionary[prev], width))
+    codes.append((end, width))
+
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code_size])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ------------------------------------------------------- WAV (audio)
+
+
+def wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits_per_sample, n_frames) from a RIFF
+    WAVE header — chunk walk, PCM (format 1) only."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = channels = bits = None
+    n_data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            if fmt != 1:
+                raise UnsupportedImageError(f"WAV format {fmt} (only PCM=1 supported)")
+        elif cid == b"data":
+            n_data = size
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if rate is None or n_data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    n_frames = n_data // (channels * (bits // 8))
+    return rate, channels, bits, n_frames
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> ((n_frames, channels) int32 samples, rate).
+    8-bit (unsigned, re-centered), 16-bit and 32-bit PCM."""
+    rate, channels, bits, n_frames = wav_header(payload)
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            raw = payload[pos + 8 : pos + 8 + size]
+            if bits == 16:
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+            elif bits == 8:
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+            elif bits == 32:
+                arr = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+            else:
+                raise UnsupportedImageError(f"WAV bit depth {bits} not supported")
+            return arr[: n_frames * channels].reshape(n_frames, channels), rate
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV payload missing data chunk")
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n,) or (n, channels) int16 samples -> PCM WAV bytes."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"  # chunks pad to even
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
 # ------------------------------------------------------------ facade
 
 
@@ -850,10 +1123,10 @@ def image_stats(payload: bytes) -> tuple[int, int, int] | None:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Pixel decode for any supported image payload -> (H, W, C) uint8.
-    PNG, BMP and baseline JPEG decode here without any library; GIF
-    pixel decode (and progressive JPEG) requires a codec library (PIL
-    path) and otherwise raises ``UnsupportedImageError`` — never fake
-    pixels."""
+    PNG, BMP, baseline JPEG and GIF (first frame, LZW) decode here
+    without any library; progressive JPEG requires a codec library
+    (PIL path) and otherwise raises ``UnsupportedImageError`` — never
+    fake pixels."""
     fmt = sniff_format(payload)
     if fmt is None:
         raise ValueError("payload is not a recognized image format")
@@ -871,6 +1144,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     raise UnsupportedImageError(f"{fmt} pixel decode requires a codec library (PIL)")
 
 

@@ -158,9 +158,14 @@ def quantile_histogram(
 
     x = F.col(col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE percentile aggregate for all k-1 boundaries (array form shares
+    # a single value buffer; k-1 separate percentile() calls each build
+    # their own copy of the value map — measured ~2x slower at sf0.1,
+    # and the duplicated buffers grow with the data)
     bounds = df.agg(
-        F.array(
-            *[dround(F.percentile(x, F.lit(p)), boundary_scale) for p in probs]
+        F.transform(
+            F.percentile(x, F.array(*[F.lit(p) for p in probs])),
+            lambda b: dround(b, boundary_scale),
         ).alias("_bs")
     )
     bucket = (

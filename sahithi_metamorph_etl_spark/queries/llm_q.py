@@ -1111,3 +1111,142 @@ def multimodal_png_roundtrip(spark, sf_dir):
         work,
         schema="media_id bigint, width bigint, height bigint, channels bigint, pixel_sum bigint",
     )
+
+
+_JPEG_RT_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 8 AS bigint) AS width,
+       CAST(doc_id % 7 + 8 AS bigint) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS bigint) AS channels,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
+@register("multimodal_jpeg_roundtrip", oracle=_JPEG_RT_ORACLE,
+          doc="REAL baseline-JPEG codec end-to-end: encode a deterministic gradient "
+              "per document (dims from doc_id), entropy-decode it with the "
+              "library-free JPEG codec (Huffman+dequant+IDCT), report decoded "
+              "dims + a within-quantization-tolerance flag. Dims are exact "
+              "oracle arithmetic; pixel error is bounded (<=6/255 at q95), not "
+              "SQL-predictable, so it lands as a boolean that flips the hash on "
+              "any codec defect")
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ..llm.codecs import module_source
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    codecs_src = module_source()  # shipped by value; see codecs.module_source
+
+    def work(batches):
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        decode_jpeg, encode_jpeg = ns["decode_jpeg"], ns["encode_jpeg_baseline"]
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "channels": [], "within_tol": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 13 + 8, d % 7 + 8
+                c = 3 if d % 2 == 0 else 1
+                yy = np.arange(h, dtype=np.int64)[:, None, None]
+                xx = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(c, dtype=np.int64)[None, None, :]
+                # smooth gradient (JPEG-friendly), offset per doc
+                px = ((d % 97) + 2 * xx + 3 * yy + 11 * ch).astype(np.float64)
+                px = np.clip(px % 200 // 1, 0, 255).astype(np.uint8)
+                px = np.broadcast_to(px, (h, w, c)).astype(np.uint8)
+                src = px if c == 3 else px[:, :, 0]
+                back = decode_jpeg(encode_jpeg(src, quality=95))
+                err = int(np.abs(back.astype(np.int64) - px.astype(np.int64)).max())
+                out["media_id"].append(d)
+                out["width"].append(back.shape[1])
+                out["height"].append(back.shape[0])
+                out["channels"].append(back.shape[2])
+                out["within_tol"].append(err <= 10)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        work,
+        schema="media_id bigint, width bigint, height bigint, channels bigint, within_tol boolean",
+    )
+
+
+_WAV_RT_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           n_chars % 1000 + 100 AS nf,
+           CAST(round((n_chars % 100) / 100.0 * 32767) AS bigint) AS amp
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(44 + 2 * nf AS bigint) AS n_bytes,
+       8000 AS sample_rate,
+       1 AS channels,
+       CAST(nf AS bigint) AS n_frames,
+       {o_round('nf / 8.0', 4)} AS duration_ms,
+       {o_round('CAST(amp AS double)', 4)} AS rms
+FROM b
+"""
+
+
+@register("multimodal_wav_roundtrip", oracle=_WAV_RT_ORACLE,
+          doc="REAL audio codec end-to-end: encode a deterministic square wave per "
+              "document as PCM WAV (length/amplitude are arithmetic on n_chars), "
+              "decode it back with the library-free RIFF parser, report byte size, "
+              "rate, channels, frames, duration and RMS — a square wave's RMS is "
+              "its amplitude exactly, so every column is exact oracle arithmetic "
+              "(any header/layout/sample defect hash-mismatches)")
+def multimodal_wav_roundtrip(spark, sf_dir):
+    import pandas as pd
+
+    from ..llm.codecs import module_source
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    codecs_src = module_source()
+
+    def work(batches):
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        decode_wav, encode_wav = ns["decode_wav"], ns["encode_wav"]
+
+        def _r4(v: float) -> float:
+            # dround's IEEE half-away sequence, python-side
+            return float(np.sign(v) * np.floor(abs(v) * 1e4 + 0.5) / 1e4)
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_bytes": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "duration_ms": [], "rms": [],
+            }
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                nf = n % 1000 + 100
+                amp = int(round((n % 100) / 100.0 * 32767))
+                wave = np.full(nf, amp, dtype=np.int64)
+                wave[1::2] *= -1  # square wave: |sample| == amp everywhere
+                payload = encode_wav(wave.astype(np.int16), rate=8000)
+                samples, rate = decode_wav(payload)  # the real decode under test
+                s = samples.astype(np.float64)
+                rms = float(np.sqrt((s * s).mean())) if s.size else 0.0
+                out["media_id"].append(d)
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(rate)
+                out["channels"].append(samples.shape[1])
+                out["n_frames"].append(samples.shape[0])
+                out["duration_ms"].append(_r4(1000.0 * samples.shape[0] / rate))
+                out["rms"].append(_r4(rms))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        work,
+        schema=(
+            "media_id bigint, n_bytes bigint, sample_rate int, channels int, "
+            "n_frames bigint, duration_ms double, rms double"
+        ),
+    )

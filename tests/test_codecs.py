@@ -335,3 +335,50 @@ def test_resize_image_media_handles_jpeg_payloads(spark):
     resized = codecs.decode_png(bytes(row.payload))
     expected = codecs.resize_nearest(codecs.decode_jpeg(codecs.encode_jpeg_baseline(px, quality=95)), 5, 4)
     assert (resized == expected).all()
+
+
+def test_gif_roundtrip_known_pixels():
+    """From-spec GIF LZW: an indexed image must round-trip EXACTLY
+    (LZW + palette are lossless), including codes that force the
+    variable code width to grow (>= 200 distinct colors)."""
+    rng = np.random.default_rng(3)
+    # 200 distinct colors -> 8-bit color table, code widths up to 9+
+    palette = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, (37, 53), dtype=np.int64)
+    px = palette[idx]
+    enc = codecs.encode_gif(px)
+    assert codecs.sniff_format(enc) == "gif"
+    assert codecs.gif_header(enc) == (53, 37, 3)
+    assert np.array_equal(codecs.decode_gif(enc), px)
+    assert np.array_equal(codecs.decode_image(enc), px)
+
+
+def test_gif_dictionary_reset_path():
+    """A frame long enough to fill the 4096-code dictionary forces the
+    encoder's mid-stream clear code; the decoder must resync exactly."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (120, 130), dtype=np.uint8)  # grayscale -> 256 colors
+    enc = codecs.encode_gif(px)
+    out = codecs.decode_gif(enc)
+    assert np.array_equal(out, np.stack([px] * 3, axis=2))
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (4-pass row order per spec) and
+    check the decoder restores natural row order."""
+    h, w = 11, 4
+    rows = np.arange(h, dtype=np.uint8)[:, None].repeat(w, axis=1)  # row i = color i
+    # spec pass order: rows 0,8 / 4 / 2,6,10 / 1,3,5,7,9
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = rows[order]  # what an interlaced encoder writes, in pass order
+    enc = bytearray(codecs.encode_gif(stored))
+    # flip the image descriptor's interlace flag (descriptor follows the
+    # 13-byte header + 3*2^k GCT; find 0x2C introducer)
+    pos = bytes(enc).index(b"\x2c", 13)
+    enc[pos + 9] |= 0x40
+    out = codecs.decode_gif(bytes(enc))
+    expected = np.stack([rows] * 3, axis=2)
+    assert np.array_equal(out, expected)
