@@ -103,8 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     "doc_dedup_clusters", "corpus_near_dup_prune",
     # similarity / embeddings
     "emb_cosine_topk", "emb_lsh_near_dup",
-    # multimodal (decode stage + resize + frame sampling)
-    "multimodal_decode_stats", "multimodal_resize",
+    # multimodal (wav codec roundtrip + resize + frame sampling;
+    # decode_stats has r1-r5 green history, jpeg_roundtrip queued for r7)
+    "multimodal_wav_roundtrip", "multimodal_resize",
     "multimodal_frame_sample",
     # text analysis
     "doc_token_stats", "doc_decontaminate", "corpus_clean_pipeline",
@@ -119,9 +120,11 @@ _PRIORITY: tuple[str, ...] = (
     "customer_running_total", "orders_grouping_sets",
     "customer_tiers_percent_rank",
     # custom streaming (stateful running counts w/ TTL) + ext joins
-    # + sketches/histograms
+    # + sketches/histograms. adaptive_salted_skew_join supersedes the
+    # fixed-salt twin's slot (same family, runs salted_join internally
+    # PLUS the sampled decision logic; the twin keeps r1-r5 history)
     "events_stream_running_counts", "part_price_band_range_join",
-    "salted_skew_join", "sketch_mergeable_distinct",
+    "adaptive_salted_skew_join", "sketch_mergeable_distinct",
     "orders_price_quantile_hist",
 )
 

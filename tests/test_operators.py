@@ -1235,3 +1235,56 @@ def test_adaptive_salted_join_equals_plain_and_spreads_hot_key(spark, sf_dir):
         salt_source_col="l_orderkey", sample_fraction=1.0, how="left",
     )
     assert "Union" not in uniform._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir):
+    """Z-order clustering must make selective range predicates prunable
+    on BOTH participating columns from parquet min/max stats, where a
+    single-column sort only serves its own column. Checked from the
+    written footers (no Spark job in the assertion), plus row fidelity."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.layout import (
+        parquet_pruning_stats,
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lo_p, hi_p = 1, 50  # ~2.5% of l_partkey's range
+    lo_o, hi_o = 1, 150
+    with tempfile.TemporaryDirectory(prefix="zorder_") as root:
+        zpath = write_zordered(
+            li, f"{root}/z", ["l_partkey", "l_orderkey"], n_files=8,
+            block_size_bytes=64 * 1024,
+        )
+        spath = (
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(f"{root}/s")
+            or f"{root}/s"
+        )
+
+        # row fidelity: the layout is a permutation, never a filter
+        z = spark.read.parquet(zpath)
+        assert z.count() == li.count()
+        assert z.exceptAll(li).count() == 0
+
+        zp = parquet_pruning_stats(zpath, "l_partkey", lo_p, hi_p)
+        zo = parquet_pruning_stats(zpath, "l_orderkey", lo_o, hi_o)
+        sp = parquet_pruning_stats(f"{root}/s", "l_partkey", lo_p, hi_p)
+
+        # z-order prunes row groups on BOTH columns...
+        assert zp["admitted_groups"] < zp["n_groups"], zp
+        assert zo["admitted_groups"] < zo["n_groups"], zo
+        # ...and beats the orderkey-sorted layout on the OTHER column,
+        # where that layout admits everything (partkey uncorrelated
+        # with orderkey order)
+        assert sp["admitted_groups"] == sp["n_groups"], sp
+        z_frac = zp["admitted_groups"] / zp["n_groups"]
+        assert z_frac < 0.7, f"z-order admitted {z_frac:.0%} of groups"
