@@ -65,6 +65,7 @@ HEADLINE = [
     "sketch_mergeable_distinct",
     "orders_price_quantile_hist",
     "adaptive_salted_skew_join",
+    "events_funnel",
 ]
 
 

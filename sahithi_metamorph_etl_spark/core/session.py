@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime semi-join reduction: inject a bloom filter built from
+        # the filtered small side of a shuffle join into the large
+        # side's scan, so non-matching fact rows never shuffle. This is
+        # the engine-level form of a hand-rolled bloom-prefilter join
+        # (bloom_filter_agg is not in the public function registry) —
+        # let Catalyst own it rather than reimplementing it in the API
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

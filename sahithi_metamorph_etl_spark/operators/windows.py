@@ -58,3 +58,69 @@ def sessionize(
     ).otherwise(F.lit(0))
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("session_id", F.sum(new_session).over(running))
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed stage 1, then
+    stage 2 STRICTLY AFTER their stage-1 event, and so on — the greedy
+    earliest-completion semantics every funnel product uses (equivalent
+    to the cascade ``t_k = min(ts WHERE type=stage_k AND ts > t_{k-1})``).
+
+    One pass, one shuffle: per-user events collapse to a sorted
+    (ts, type) array and a JVM higher-order ``aggregate`` folds the
+    sequence through the stage machine — no self-join per stage (the
+    k-cascade SQL form joins the fact k times), no window sort over the
+    whole fact. Ties are handled identically to the cascade form:
+    advancing always requires a STRICTLY later timestamp, so same-ts
+    events can never complete two stages regardless of sort order.
+
+    Returns one row per stage: (stage 1-based, event_type, n_users).
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    k = len(stages)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    evs = events.filter(F.col(type_col).isin(stages)).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+    )
+    per_user = evs.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("__ts", "__ty"))).alias("__seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast(evs.schema["__ts"].dataType).alias("last")
+    )
+    folded = per_user.select(
+        F.aggregate(
+            "__seq",
+            init,
+            lambda acc, x: F.when(
+                (acc["stage"] < k)
+                & (x["__ty"] == F.element_at(stage_arr, acc["stage"] + 1))
+                & ((acc["stage"] == 0) | (x["__ts"] > acc["last"])),
+                F.struct(
+                    (acc["stage"] + 1).alias("stage"), x["__ts"].alias("last")
+                ),
+            ).otherwise(acc),
+        )["stage"].alias("reached")
+    )
+    stages_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage int, event_type string"
+    )
+    counts = (
+        folded.crossJoin(F.broadcast(stages_df))
+        .filter(F.col("reached") >= F.col("stage"))
+        .groupBy("stage", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    # a stage nobody reached still gets its row (n_users = 0)
+    return stages_df.join(counts, ["stage", "event_type"], "left").select(
+        "stage", "event_type", F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users")
+    )

@@ -335,3 +335,39 @@ def events_incremental_slice(spark, sf_dir):
     # a real subset — non-empty AND smaller than the table
     hwm = dt.datetime(2024, 1, 20)
     return incremental_slice(ev, "ts", hwm).select("event_id", "user_id", "ts", "event_type")
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+    FROM events GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS event_type,
+       CAST((SELECT count(t1) FROM s1) AS bigint) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS bigint)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS bigint)
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE,
+          doc="Ordered funnel (view -> click -> purchase, strictly increasing ts): "
+              "single-pass sorted-array fold per user (one shuffle) vs the oracle's "
+              "k-cascade of conditional mins (k fact joins) — same greedy "
+              "earliest-completion semantics, including the same-ts tie rule")
+def events_funnel(spark, sf_dir):
+    from ..operators.windows import funnel
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])

@@ -1288,3 +1288,36 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir):
         assert sp["admitted_groups"] == sp["n_groups"], sp
         z_frac = zp["admitted_groups"] / zp["n_groups"]
         assert z_frac < 0.7, f"z-order admitted {z_frac:.0%} of groups"
+
+
+def test_funnel_matches_cascade_and_handles_empty_stage(spark, sf_dir):
+    """The single-pass fold must equal the k-cascade of conditional mins
+    computed independently in Spark, and a stage nobody reached must
+    still emit its row with n_users=0."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.windows import funnel
+
+    ev = read_testdata(spark, sf_dir, "events")
+    got = {r["stage"]: r["n_users"] for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+
+    t1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & F.col("t1").isNotNull() & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    assert got[1] == t1.filter(F.col("t1").isNotNull()).count()
+    assert got[2] == t2.count()
+    assert got[3] == t3.count()
+    assert got[1] >= got[2] >= got[3] > 0
+
+    rows = {r["stage"]: r["n_users"] for r in funnel(ev, ["view", "click", "__never"]).collect()}
+    assert rows[3] == 0 and rows[1] > 0
