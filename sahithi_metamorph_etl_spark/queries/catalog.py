@@ -104,7 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     # similarity / embeddings
     "emb_cosine_topk", "emb_lsh_near_dup",
     # multimodal (wav codec roundtrip + resize + frame sampling;
-    # decode_stats has r1-r5 green history, jpeg_roundtrip queued for r7)
+    # decode_stats has r1-r5 green history; queued for the r7 rotation:
+    # multimodal_jpeg_roundtrip and events_funnel, both born in r6
+    # beyond the cap)
     "multimodal_wav_roundtrip", "multimodal_resize",
     "multimodal_frame_sample",
     # text analysis
