@@ -336,3 +336,52 @@ def tfidf_keywords(
     return ranked.select(
         F.col(id_col), F.col("rank").cast("int").alias("rank"), "word", "tf", "score"
     )
+
+
+def rarity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    term_scale: int = 6,
+    out_scale: int = 4,
+) -> DataFrame:
+    """Per-document unigram rarity: the mean and max over a document's
+    tokens of ``corpus_total_tokens / corpus_term_freq(word)`` —
+    (id, n_tokens, mean_rarity, max_rarity). Common-word documents
+    score near 1x the corpus base rate; documents of rare terms score
+    high. This is the surprisal-style quality/novelty signal of a
+    unigram LM with the logarithm REMOVED: the rational form induces
+    the same per-term ordering as -log p, is pure IEEE division
+    (bit-identical in any engine, where log() is only ~1-ulp
+    reproducible — same determinism decision as tfidf_keywords), and
+    still sums meaningfully (it is the inverse-probability mean).
+
+    Determinism of the MEAN: each per-token term rounds (dround) at
+    ``term_scale`` then sums in exact micro-unit bigints
+    (functions.money machinery), so the aggregate is
+    order-independent — a double sum over shuffled addends would not
+    be.
+
+    Shape: explode -> word-keyed term-freq agg (one fact shuffle) ->
+    tokens join vocabulary on the word (AQE broadcasts the vocab side
+    when it fits) -> per-doc exact agg. No window, no driver action.
+    """
+    from ..functions.money import dround, money_units
+
+    toks = df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("word"))
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    term = dround(F.col("__total") / F.col("__tf"), term_scale)
+    scored = (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), money_units(term).alias("__units"), term.alias("__term"))
+    )
+    unit_f = float(10**6)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        dround(F.sum("__units") / F.lit(unit_f) / F.count(F.lit(1)), out_scale).alias(
+            "mean_rarity"
+        ),
+        dround(F.max("__term"), out_scale).alias("max_rarity"),
+    )

@@ -105,8 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "emb_cosine_topk", "emb_lsh_near_dup",
     # multimodal (wav codec roundtrip + resize + frame sampling;
     # decode_stats has r1-r5 green history; queued for the r7 rotation:
-    # multimodal_jpeg_roundtrip and events_funnel, both born in r6
-    # beyond the cap)
+    # multimodal_jpeg_roundtrip, events_funnel, doc_rarity_score —
+    # all born in r6 beyond the cap)
     "multimodal_wav_roundtrip", "multimodal_resize",
     "multimodal_frame_sample",
     # text analysis

@@ -1250,3 +1250,36 @@ def multimodal_wav_roundtrip(spark, sf_dir):
             "n_frames bigint, duration_ms double, rms double"
         ),
     )
+
+
+def _rarity_oracle() -> str:
+    from ..functions.money import o_money_units, o_round
+
+    term = o_round("t.total * 1.0 / v.tf", 6)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM documents),
+v AS (SELECT word, CAST(count(*) AS bigint) AS tf FROM toks GROUP BY 1),
+t AS (SELECT CAST(count(*) AS bigint) AS total FROM toks),
+scored AS (SELECT toks.doc_id,
+                  {o_money_units(term)} AS units,
+                  {term} AS term
+           FROM toks JOIN v USING (word) CROSS JOIN t)
+SELECT doc_id,
+       CAST(count(*) AS bigint) AS n_tokens,
+       {o_round('sum(units) / 1000000.0 / count(*)', 4)} AS mean_rarity,
+       {o_round('max(term)', 4)} AS max_rarity
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("doc_rarity_score", oracle=_rarity_oracle(),
+          doc="Unigram rarity (mean/max inverse corpus term frequency) per document — "
+              "the surprisal-style novelty/quality signal with the log removed for "
+              "bit-determinism (same rational-form decision as tfidf); per-term "
+              "fixed-point rounding + exact micro-unit summation keeps the mean "
+              "order-independent across engines")
+def doc_rarity_score(spark, sf_dir):
+    from ..llm.textstats import rarity_score
+
+    return rarity_score(read_testdata(spark, sf_dir, "documents"))

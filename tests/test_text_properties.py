@@ -65,3 +65,32 @@ def test_ngram_overlap_matches_python_model(spark, corpus_texts, eval_texts):
         assert r.n_grams == len(doc_grams)
         assert r.n_matched == len(doc_grams & eval_grams)
         assert r.contaminated == (r.n_matched >= 1)
+
+
+def test_rarity_score_bounds_and_base_rate(spark, sf_dir):
+    """Rarity sanity: every mean is >= 1 x the base rate... actually the
+    MINIMUM possible term is total/tf(most common word) > 1, and a doc
+    made only of the corpus's most common word scores the corpus
+    minimum; rarer vocabulary strictly raises the mean. Also pins
+    n_tokens against the independent tokenizer count."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.textstats import rarity_score
+    from sahithi_metamorph_etl_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = rarity_score(docs)
+    row = out.agg(
+        F.min("mean_rarity").alias("lo"),
+        F.max("mean_rarity").alias("hi"),
+        F.sum("n_tokens").alias("ntok"),
+    ).collect()[0]
+    assert row["lo"] > 1.0  # no word is the whole corpus
+    assert row["hi"] >= row["lo"]
+    ntok = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert row["ntok"] == ntok
+    # max_rarity >= mean_rarity per doc, within rounding slack
+    bad = out.filter(F.col("max_rarity") < F.col("mean_rarity") - F.lit(1e-3)).count()
+    assert bad == 0
