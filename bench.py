@@ -66,6 +66,7 @@ HEADLINE = [
     "orders_price_quantile_hist",
     "adaptive_salted_skew_join",
     "events_funnel",
+    "doc_rarity_score",
 ]
 
 
