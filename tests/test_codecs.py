@@ -382,3 +382,35 @@ def test_gif_interlaced_decode():
     out = codecs.decode_gif(bytes(enc))
     expected = np.stack([rows] * 3, axis=2)
     assert np.array_equal(out, expected)
+
+
+def test_wav_roundtrip_properties():
+    """WAV PCM round-trip across rates/channels/lengths: decode must
+    return the exact samples, frame count, and rate the encoder wrote
+    (PCM is lossless), including odd frame counts and stereo layout."""
+    rng = np.random.default_rng(11)
+    for rate in (8000, 16000, 44100):
+        for channels in (1, 2):
+            n = int(rng.integers(1, 500))
+            samples = rng.integers(-32768, 32768, (n, channels), dtype=np.int64).astype(np.int16)
+            payload = codecs.encode_wav(samples if channels > 1 else samples[:, 0], rate)
+            hdr = codecs.wav_header(payload)
+            assert hdr == (rate, channels, 16, n), hdr
+            back, back_rate = codecs.decode_wav(payload)
+            assert back_rate == rate
+            assert back.shape == (n, channels)
+            assert np.array_equal(back, samples.astype(np.int32))
+
+
+def test_wav_rejects_non_pcm_and_truncated():
+    import struct as _struct
+
+    # format 3 (IEEE float) must refuse, not misparse
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    with pytest.raises(codecs.UnsupportedImageError):
+        codecs.wav_header(payload)
+    with pytest.raises(ValueError):
+        codecs.wav_header(b"RIFFxxxxNOPE")
