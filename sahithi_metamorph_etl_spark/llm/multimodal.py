@@ -96,6 +96,55 @@ def decode_media_stats(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(decode, schema="media_id bigint, n_bytes bigint, width bigint, height bigint")
 
 
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode stage: (media_id, n_bytes,
+    sample_rate, channels, n_frames, duration_ms, rms) — REAL RIFF/PCM
+    WAV decode via ``llm.codecs``; non-audio or unsupported payloads
+    yield nulls for the audio columns instead of failing the stage
+    (total over arbitrary binary, like decode_media_stats). Same
+    executor-shipping pattern: the codec travels as source text."""
+    from .codecs import module_source
+
+    codecs_src = module_source()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        decode_wav = ns["decode_wav"]
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_bytes": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "duration_ms": [], "rms": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                out["media_id"].append(int(media_id))
+                out["n_bytes"].append(len(b))
+                try:
+                    samples, rate = decode_wav(b)
+                    s = samples.astype(np.float64)
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(samples.shape[1])
+                    out["n_frames"].append(samples.shape[0])
+                    out["duration_ms"].append(1000.0 * samples.shape[0] / rate)
+                    out["rms"].append(float(np.sqrt((s * s).mean())) if s.size else 0.0)
+                except Exception:
+                    for c in ("sample_rate", "channels", "n_frames", "duration_ms", "rms"):
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "media_id bigint, n_bytes bigint, sample_rate int, channels int, "
+            "n_frames bigint, duration_ms double, rms double"
+        ),
+    )
+
+
 def resize_image_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL image resize: decode pixels (PNG/BMP via llm.codecs — PIL
     when available), nearest-neighbor resample to ``out_w`` x ``out_h``,

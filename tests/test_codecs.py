@@ -414,3 +414,22 @@ def test_wav_rejects_non_pcm_and_truncated():
         codecs.wav_header(payload)
     with pytest.raises(ValueError):
         codecs.wav_header(b"RIFFxxxxNOPE")
+
+
+def test_decode_audio_stats_real_wav_and_fallback(spark):
+    from sahithi_metamorph_etl_spark.llm.multimodal import decode_audio_stats
+
+    wave = np.full(400, 1000, dtype=np.int16)
+    wave[1::2] *= -1
+    wav = codecs.encode_wav(wave, rate=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", "t"), (2, bytearray(b"not audio"), "text/plain", "t")],
+        "media_id bigint, payload binary, media_type string, source string",
+    )
+    rows = {r.media_id: r for r in decode_audio_stats(media).collect()}
+    ok = rows[1]
+    assert ok.sample_rate == 8000 and ok.channels == 1 and ok.n_frames == 400
+    assert abs(ok.duration_ms - 50.0) < 1e-9
+    assert abs(ok.rms - 1000.0) < 1e-9  # square wave: rms == amplitude
+    bad = rows[2]
+    assert bad.n_bytes == 9 and bad.sample_rate is None and bad.rms is None
