@@ -753,6 +753,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if frame is None or scan is None:
         raise ValueError("JPEG payload missing SOF/SOS")
+    if len(scan) != len(frame["comps"]):
+        # a scan covering fewer components than the frame means a
+        # non-interleaved multi-scan file: decoding only the first scan
+        # would leave the other planes zero and misread the MCU layout.
+        # Refuse honestly (same policy as progressive/arithmetic) —
+        # never fake pixels.
+        raise UnsupportedImageError(
+            "non-interleaved JPEG (scan covers "
+            f"{len(scan)}/{len(frame['comps'])} frame components)"
+        )
 
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
@@ -796,6 +806,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             n_mcus += 1
+    # belt and braces for the same hazard: any FURTHER SOS after the
+    # decoded scan means a multi-scan stream (spec-valid sequential JPEG
+    # permits it; this decoder only handles one interleaved scan). Within
+    # entropy data 0xFF is always stuffed (0xFF00) or an RSTn, so a raw
+    # 0xFFDA past the reader can only be a real second scan header.
+    if payload.find(b"\xff\xda", reader._pos) != -1:
+        raise UnsupportedImageError("multi-scan sequential JPEG not supported")
 
     full = []
     for c in comps:

@@ -86,7 +86,13 @@ def funnel(
         raise ValueError("funnel needs at least one stage")
     k = len(stages)
     stage_arr = F.array(*[F.lit(s) for s in stages])
-    evs = events.filter(F.col(type_col).isin(stages)).select(
+    # null event times are ignored entirely (the cascade-SQL oracle's
+    # min(CASE ...) skips nulls); without this a null-ts stage-1 event
+    # would advance stage 0 with last=null and `ts > null` then blocks
+    # every later stage permanently.
+    evs = events.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isin(stages)
+    ).select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__ts"),
         F.col(type_col).alias("__ty"),

@@ -40,6 +40,7 @@ class LayeredWarehouse:
         replaces just that day's partition (dynamic partition overwrite),
         which the reference's plain JDBC append cannot do."""
         path = self._path("legacy", name)
+        self._assert_legacy_layout(df.sparkSession, name, batched=False)
         out = df.withColumn("DAY_DT", F.lit(run_date.isoformat()).cast("date")) if "DAY_DT" not in df.columns else df
         (
             out.write.mode("overwrite")
@@ -105,12 +106,43 @@ class LayeredWarehouse:
             )
         write_jdbc(df, url, table, mode=mode, **options)
 
+    def _assert_legacy_layout(self, spark: SparkSession, name: str, batched: bool) -> None:
+        """A legacy table is partitioned either DAY_DT-only (batch
+        writers) or DAY_DT/__BATCH_ID (stream_to_legacy). Mixing the two
+        under one table name corrupts partition discovery (Spark raises
+        on conflicting directory depths, or worse mis-reads), so refuse
+        up front when the existing layout disagrees with the writer."""
+        path = self._path("legacy", name)
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        for status in fs.listStatus(root):
+            if not (status.isDirectory() and status.getPath().getName().startswith("DAY_DT=")):
+                continue
+            has_batch_dirs = any(
+                s.isDirectory() and s.getPath().getName().startswith("__BATCH_ID=")
+                for s in fs.listStatus(status.getPath())
+            )
+            if has_batch_dirs != batched:
+                want = "DAY_DT/__BATCH_ID" if batched else "DAY_DT-only"
+                have = "DAY_DT/__BATCH_ID" if has_batch_dirs else "DAY_DT-only"
+                raise ValueError(
+                    f"legacy table {name!r} at {path} has a {have} layout; this "
+                    f"writer produces {want}. Batch writers (write_legacy/"
+                    "append_legacy) and stream_to_legacy cannot share a table "
+                    "name — land the stream under its own name."
+                )
+            return  # one partition dir is representative
+
     def append_legacy(self, df: DataFrame, name: str, run_date: dt.date) -> str:
         """Plain append into the DAY_DT-partitioned history — the
         micro-batch form (streaming foreachBatch appends each batch;
         the dynamic-overwrite write_legacy would clobber earlier
         batches of the same day)."""
         path = self._path("legacy", name)
+        self._assert_legacy_layout(df.sparkSession, name, batched=False)
         out = df.withColumn("DAY_DT", F.lit(run_date.isoformat()).cast("date")) if "DAY_DT" not in df.columns else df
         out.write.mode("append").partitionBy("DAY_DT").parquet(path)
         return path
@@ -131,8 +163,13 @@ class LayeredWarehouse:
         deterministic batch id, per the foreachBatch contract)
         REPLACES its own earlier files instead of appending duplicates.
         ``read_legacy`` hides the batch column. Returns the
-        StreamingQuery; caller owns its lifecycle."""
+        StreamingQuery; caller owns its lifecycle.
+
+        The DAY_DT/__BATCH_ID layout is INCOMPATIBLE with the DAY_DT-only
+        layout of write_legacy/append_legacy — a stream must own its
+        table name (guarded by _assert_legacy_layout)."""
         path = self._path("legacy", name)
+        self._assert_legacy_layout(stream_df.sparkSession, name, batched=True)
         day = F.lit(run_date.isoformat()).cast("date")
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:

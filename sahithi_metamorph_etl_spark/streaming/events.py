@@ -105,7 +105,17 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
     (set here for the session — the conf is consulted at every
     micro-batch scan, so a define-scoped toggle would be unsafe) and
     truncated to microseconds, the same narrowing the batch reader and
-    DuckDB apply."""
+    DuckDB apply.
+
+    SESSION MUTATION WARNING: when the probe finds nanos files, the
+    nanosAsLong conf stays set for the SESSION LIFETIME (it must cover
+    every future micro-batch of the returned stream, whose stop time
+    this function cannot know). While set, unrelated *batch* reads of
+    nanos-timestamp parquet in the same session surface INT64 instead
+    of raising. Long-lived mixed batch/stream sessions that need the
+    strict behavior back should wrap bounded streams in the
+    :func:`nanos_as_long` scope instead, or restore the conf explicitly
+    once the stream stops (``spark.conf.unset`` of ``_NANOS_CONF``)."""
     ts_is_nanos = _probe_ts_is_nanos(path)
     if ts_is_nanos:
         spark.conf.set(_NANOS_CONF, "true")

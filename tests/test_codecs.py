@@ -312,6 +312,35 @@ def test_jpeg_progressive_still_raises():
         codecs.decode_jpeg(bytes(enc))
 
 
+def test_jpeg_non_interleaved_scan_raises():
+    """A scan covering fewer components than the frame (non-interleaved
+    multi-scan baseline) must refuse, not decode only one plane: rewrite
+    the encoder's 3-component SOS to a spec-shaped 1-component SOS."""
+    import struct as _struct
+
+    enc = bytes(codecs.encode_jpeg_baseline(_gradient_rgb(16, 16), 90))
+    idx = enc.find(b"\xff\xda")
+    (seg_len,) = _struct.unpack(">H", enc[idx + 2 : idx + 4])
+    body = enc[idx + 4 : idx + 2 + seg_len]
+    assert body[0] == 3  # encoder writes one interleaved 3-comp scan
+    new_body = bytes([1]) + body[1:3] + body[-3:]  # first comp only
+    new_sos = b"\xff\xda" + _struct.pack(">H", 2 + len(new_body)) + new_body
+    tampered = enc[:idx] + new_sos + enc[idx + 2 + seg_len :]
+    with pytest.raises(codecs.UnsupportedImageError, match="non-interleaved"):
+        codecs.decode_jpeg(tampered)
+
+
+def test_jpeg_second_sos_raises():
+    """A second SOS after the decoded scan (multi-scan sequential) is an
+    honest refusal even when the first scan looks complete."""
+    enc = bytes(codecs.encode_jpeg_baseline(_gradient_rgb(16, 16), 90))
+    assert enc.endswith(b"\xff\xd9")
+    # splice a minimal second scan header before EOI
+    tampered = enc[:-2] + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00" + b"\xff\xd9"
+    with pytest.raises(codecs.UnsupportedImageError, match="multi-scan"):
+        codecs.decode_jpeg(tampered)
+
+
 def test_decode_image_facade_decodes_jpeg():
     img = _gradient_rgb(20, 20)
     dec = codecs.decode_image(codecs.encode_jpeg_baseline(img, quality=95))

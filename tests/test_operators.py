@@ -1321,3 +1321,29 @@ def test_funnel_matches_cascade_and_handles_empty_stage(spark, sf_dir):
 
     rows = {r["stage"]: r["n_users"] for r in funnel(ev, ["view", "click", "__never"]).collect()}
     assert rows[3] == 0 and rows[1] > 0
+
+
+def test_funnel_ignores_null_timestamps(spark):
+    """Null event times must be invisible to the funnel (the cascade
+    oracle's min(CASE...) skips nulls): a null-ts stage-1 event must
+    neither advance the funnel nor block later stages by poisoning the
+    strictly-after comparison with last=null."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.operators.windows import funnel
+
+    t = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: null-ts view first, then a real view -> click chain
+        (1, None, "view"),
+        (1, t, "view"),
+        (1, t + dt.timedelta(minutes=1), "click"),
+        # user 2: ONLY a null-ts view -> reaches nothing
+        (2, None, "view"),
+        # user 3: clean two-stage completion
+        (3, t, "view"),
+        (3, t + dt.timedelta(minutes=2), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in funnel(ev, ["view", "click"]).collect()}
+    assert got == {1: 2, 2: 2}

@@ -281,3 +281,51 @@ def test_stream_to_legacy_crash_mid_batch_resumes_exactly_once(spark, sf_dir, tm
         "__BATCH_ID=0",
         "__BATCH_ID=1",
     ]
+
+
+def test_legacy_layout_conflict_guard(spark, sf_dir, tmp_path):
+    """append_legacy (DAY_DT-only) and stream_to_legacy
+    (DAY_DT/__BATCH_ID) cannot share a table name: the mixed directory
+    depths corrupt partition discovery. Both directions must refuse
+    loudly BEFORE writing anything."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+    from sahithi_metamorph_etl_spark.streaming.events import events_stream
+
+    run_date = dt.date(2025, 7, 8)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "events_src")  # file stream source needs a dir
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(50).coalesce(1).write.parquet(src)
+
+    # batch-first table: a later stream writer must refuse
+    wh = LayeredWarehouse(str(tmp_path / "wh_batch_first"))
+    wh.append_legacy(batch.limit(5), "events", run_date)
+    with _pytest.raises(ValueError, match="DAY_DT-only"):
+        wh.stream_to_legacy(
+            events_stream(spark, src).select("event_id"),
+            "events",
+            run_date,
+            checkpoint_dir=str(tmp_path / "ckpt_a"),
+        )
+
+    # stream-first table: later batch writers must refuse
+    wh2 = LayeredWarehouse(str(tmp_path / "wh_stream_first"))
+    q = wh2.stream_to_legacy(
+        events_stream(spark, src).select("event_id"),
+        "events",
+        run_date,
+        checkpoint_dir=str(tmp_path / "ckpt_b"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    with _pytest.raises(ValueError, match="__BATCH_ID"):
+        wh2.append_legacy(batch.limit(5), "events", run_date)
+    with _pytest.raises(ValueError, match="__BATCH_ID"):
+        wh2.write_legacy(batch.limit(5), "events", run_date)
+    # same-kind writers still compose
+    wh.append_legacy(batch.limit(5), "events", run_date)
