@@ -33,6 +33,7 @@ class PlanSummary:
     broadcast_hash_joins: int
     pushed_filter_scans: int  # scans with a NON-empty PushedFilters list
     python_stages: int       # mapInPandas/applyInPandas/row-UDF stages
+    file_scans: int          # FileScan/BatchScan source nodes (re-scan detector)
 
 
 def _plan_string(df: DataFrame) -> str:
@@ -57,6 +58,9 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         broadcast_hash_joins=plan.count("BroadcastHashJoin"),
         pushed_filter_scans=len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         python_stages=len(re.findall(r"InPandas|BatchEvalPython|ArrowEvalPython", plan)),
+        # every source scan node: N scans of the same table = N reads of
+        # it (how an operator that "only" adds probe passes shows up)
+        file_scans=len(re.findall(r"FileScan|BatchScan", plan)),
     )
 
 

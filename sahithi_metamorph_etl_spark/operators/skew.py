@@ -78,13 +78,17 @@ def adaptive_salted_join(
 
     Driver actions are bounded by construction: one 1-row mean
     aggregate and one ``limit(max_hot_keys)`` hot-key collect — the
-    same bounded-collect policy as the centroid/query-set reads. The
-    fact side is read twice (hot semi-probe + cold anti-probe, both
-    against a BROADCAST hot-key list, so neither adds a shuffle); at
-    scale that second scan is the price of removing the single-task
-    straggler, which dominates it by orders of magnitude. Result ==
-    ``large.join(small, on, how)`` regardless of what the sample saw —
-    sampling only steers the plan, never the semantics.
+    same bounded-collect policy as the centroid/query-set reads.
+
+    SINGLE-PASS plan: each side is tagged hot/cold by a BROADCAST join
+    against the collected hot-key list (map-side, no shuffle), then ONE
+    join on (key, salt) does all the work — hot large rows salt by
+    hashing ``salt_source_col`` mod ``n_salts``, cold rows take salt 0;
+    hot small rows explode over all salts, cold small rows carry just
+    salt 0. One fact scan, one fact-sized shuffle (the r6 form scanned
+    the fact three times: sample + hot semi-probe + cold anti-probe).
+    Result == ``large.join(small, on, how)`` regardless of what the
+    sample saw — sampling only steers the plan, never the semantics.
     """
     import math
 
@@ -111,12 +115,28 @@ def adaptive_salted_join(
     spark = large.sparkSession
     hot_keys = spark.createDataFrame(
         [tuple(r[c] for c in key_cols) for r in hot], schema=large.select(*key_cols).schema
+    ).withColumn("__is_hot", F.lit(True))
+    salted_large = (
+        large.join(F.broadcast(hot_keys), key_cols, "left")
+        .withColumn(
+            SALT_COL,
+            F.when(
+                F.col("__is_hot"),
+                F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__is_hot")
     )
-    hot_large = large.join(F.broadcast(hot_keys), key_cols, "left_semi")
-    cold_large = large.join(F.broadcast(hot_keys), key_cols, "left_anti")
-    # replicate ONLY the hot slice of the small side n_salts times; the
-    # cold branch joins the full small side through the normal shuffle
-    hot_small = small.join(F.broadcast(hot_keys), key_cols, "left_semi")
-    salted = salted_join(hot_large, hot_small, key_cols, salt_source_col, n_salts, how)
-    plain = cold_large.join(small, key_cols, how)
-    return salted.unionByName(plain)
+    replicated_small = (
+        small.join(F.broadcast(hot_keys), key_cols, "left")
+        .withColumn(
+            "__salts",
+            F.when(F.col("__is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0))),
+        )
+        .withColumn(SALT_COL, F.explode("__salts"))  # int elements already
+        .drop("__is_hot", "__salts")
+    )
+    return salted_large.join(replicated_small, [*key_cols, SALT_COL], how).drop(SALT_COL)

@@ -1227,7 +1227,17 @@ def test_adaptive_salted_join_equals_plain_and_spreads_hot_key(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_co)
     assert n_parts > 1, "hot key still lands in a single partition"
-    assert "Union" in adaptive._jdf.queryExecution().executedPlan().toString()
+    # single-pass contract: the fact table is scanned exactly ONCE (the
+    # r6 form scanned it three times: sample + hot semi + cold anti; the
+    # hot/cold split is now a broadcast tag + conditional salt, so there
+    # is no Union of per-temperature joins and no extra fact pass)
+    plan = adaptive._jdf.queryExecution().executedPlan().toString()
+    fact_scans = sum(
+        1 for ln in plan.splitlines()
+        if ("FileScan" in ln or "BatchScan" in ln) and "lineitem" in ln
+    )
+    assert fact_scans == 1, f"expected 1 fact scan, plan has {fact_scans}"
+    assert "Union" not in plan
 
     # no hot keys (uniform data) -> decision falls through to plain join
     uniform = adaptive_salted_join(
