@@ -103,13 +103,21 @@ def parquet_pruning_stats(path: str, col: str, lo: float, hi: float) -> dict:
     """How much of the parquet layout a [lo, hi] predicate on ``col``
     could prune, from footer min/max stats alone (no Spark job): returns
     {n_files, n_groups, admitted_files, admitted_groups}. A row group is
-    ADMITTED when its [min, max] intersects the predicate range."""
+    ADMITTED when its [min, max] intersects the predicate range.
+
+    Recurses into partitioned layouts (``part=.../x.parquet``) so the
+    warehouse's partitionBy output audits the same way as flat dirs; an
+    empty glob raises instead of returning silent zero-counts (a typo'd
+    path must never read as "perfectly pruned")."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    files = sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
     n_files = n_groups = admitted_files = admitted_groups = 0
-    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if col not in idx:

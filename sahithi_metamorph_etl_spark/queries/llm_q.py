@@ -1283,3 +1283,73 @@ def doc_rarity_score(spark, sf_dir):
     from ..llm.textstats import rarity_score
 
     return rarity_score(read_testdata(spark, sf_dir, "documents"))
+
+
+_AUDIO_STATS_ORACLE = """
+WITH b AS (SELECT doc_id,
+                  n_chars % 1000 + 100 AS nf,
+                  CAST(round((n_chars % 100) / 100.0 * 32767) AS bigint) AS amp,
+                  CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate,
+                  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
+           FROM documents)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(4 + length(CAST(doc_id AS VARCHAR)) AS bigint)
+            ELSE CAST(44 + 2 * ch * nf AS bigint) END AS n_bytes,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE rate END AS sample_rate,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE ch END AS channels,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE CAST(nf AS bigint) END AS n_frames,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 1000.0 * nf / rate END AS duration_ms,
+       CASE WHEN doc_id % 4 = 0 THEN NULL ELSE CAST(amp AS double) END AS rms
+FROM b
+"""
+
+
+@register("multimodal_audio_stats", oracle=_AUDIO_STATS_ORACLE,
+          doc="The production audio ingest stage (llm.multimodal.decode_audio_stats) "
+              "over a mixed corpus: per document a deterministic square-wave PCM WAV "
+              "(frames/amplitude/rate/channels all arithmetic on doc_id/n_chars; "
+              "doc_id%4==0 rows carry NON-audio bytes instead). The stage must "
+              "report exact rate/channels/frames/duration and rms == amplitude "
+              "(square wave) for audio rows and all-null audio columns for the "
+              "rest — totality over arbitrary binary is the contract under test, "
+              "which the wav-roundtrip entry (payloads all valid) cannot see")
+def multimodal_audio_stats(spark, sf_dir):
+    import pandas as pd
+
+    from ..llm.codecs import module_source
+    from ..llm.multimodal import decode_audio_stats
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    codecs_src = module_source()  # shipped by value; see codecs.module_source
+
+    def synth(batches):
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        encode_wav = ns["encode_wav"]
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "media_type": [], "source": []}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                if d % 4 == 0:  # non-audio payload: the stage must yield nulls
+                    payload, mtype = f"doc-{d}".encode(), "text/plain"
+                else:
+                    nf = n % 1000 + 100
+                    amp = int(round((n % 100) / 100.0 * 32767))
+                    rate = 16000 if d % 2 == 0 else 8000
+                    ch = 2 if d % 3 == 0 else 1
+                    wave = np.full((nf, ch), amp, dtype=np.int64)
+                    wave[1::2, :] *= -1  # |sample| == amp everywhere
+                    payload, mtype = encode_wav(wave.astype(np.int16), rate=rate), "audio/wav"
+                out["media_id"].append(d)
+                out["payload"].append(payload)
+                out["media_type"].append(mtype)
+                out["source"].append("synth")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary, media_type string, source string"
+    )
+    return decode_audio_stats(media)

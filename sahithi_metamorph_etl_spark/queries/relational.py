@@ -949,3 +949,77 @@ def orders_expectations(spark, sf_dir):
         expect_between("o_totalprice", 0, 10_000_000),
         expect_matches("o_orderpriority", "^[1-5]-"),
     ])
+
+
+# --- physical layout: z-order clustering ------------------------------------
+
+_ZORDER_ORACLE = """
+WITH ck AS (SELECT min(o_custkey) AS lo, max(o_custkey) AS hi FROM orders),
+     tp AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+     n  AS (SELECT CAST(count(*) AS bigint) AS n_rows FROM orders)
+SELECT 'o_custkey' AS pred_col,
+       n.n_rows AS n_rows_total,
+       (SELECT CAST(count(*) AS bigint) FROM orders, ck
+        WHERE o_custkey <= ck.lo + 0.05 * (ck.hi - ck.lo)) AS n_rows_matching,
+       TRUE AS layout_pruned
+FROM n
+UNION ALL
+SELECT 'o_totalprice', n.n_rows,
+       (SELECT CAST(count(*) AS bigint) FROM orders, tp
+        WHERE o_totalprice <= tp.lo + 0.05 * (tp.hi - tp.lo)),
+       TRUE
+FROM n
+"""
+
+
+@register("orders_zorder_pruning", oracle=_ZORDER_ORACLE,
+          doc="Z-order clustered layout end-to-end (operators.layout.write_zordered): "
+              "orders written range-partitioned+sorted on the Morton key of "
+              "(o_custkey, o_totalprice), then for a bottom-5%-of-range predicate "
+              "on EACH clustered column the entry reports the matching row count "
+              "read back THROUGH the written layout (exact oracle arithmetic) and "
+              "a layout_pruned flag from the parquet footers (admitted row groups "
+              "< total). The counts prove write/read fidelity; the flags flip the "
+              "hash if the clustering ever stops pruning on either column")
+def orders_zorder_pruning(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators.layout import parquet_pruning_stats, write_zordered
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # same bounded-driver-action policy as the centroid reads: one 1-row
+    # min/max aggregate steers the predicate ranges (the footer audit is
+    # a driver-side read anyway)
+    b = orders.agg(
+        F.min("o_custkey").alias("ck_lo"), F.max("o_custkey").alias("ck_hi"),
+        F.min("o_totalprice").alias("tp_lo"), F.max("o_totalprice").alias("tp_hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).collect()[0]
+    preds = [
+        ("o_custkey", float(b["ck_lo"]), b["ck_lo"] + 0.05 * (b["ck_hi"] - b["ck_lo"])),
+        ("o_totalprice", float(b["tp_lo"]), b["tp_lo"] + 0.05 * (b["tp_hi"] - b["tp_lo"])),
+    ]
+    # like emb_ivf_topk's temp index: the written layout only backs the
+    # eagerly-computed audit rows, so it is deleted before returning and
+    # the result frame stays independent of the temp files
+    root = tempfile.mkdtemp(prefix="zorder_orders_")
+    try:
+        zpath = write_zordered(
+            orders, f"{root}/orders_z", ["o_custkey", "o_totalprice"],
+            n_files=4, block_size_bytes=64 * 1024,
+        )
+        back = spark.read.parquet(zpath)
+        rows = []
+        for col, lo, hi in preds:
+            n_match = back.filter(F.col(col) <= hi).count()
+            st = parquet_pruning_stats(zpath, col, lo, hi)
+            rows.append((col, int(b["n_rows"]), n_match, st["admitted_groups"] < st["n_groups"]))
+        return spark.createDataFrame(
+            rows,
+            "pred_col string, n_rows_total bigint, n_rows_matching bigint, layout_pruned boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1357,3 +1357,27 @@ def test_funnel_ignores_null_timestamps(spark):
     ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
     got = {r["stage"]: r["n_users"] for r in funnel(ev, ["view", "click"]).collect()}
     assert got == {1: 2, 2: 2}
+
+
+def test_pruning_stats_recurses_partitions_and_rejects_empty(spark, sf_dir, tmp_path):
+    """parquet_pruning_stats must see files inside partitioned layouts
+    (partitionBy subdirectories) and must raise on an empty/typo'd path
+    rather than silently reporting zero groups."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.layout import parquet_pruning_stats
+
+    part_path = str(tmp_path / "orders_by_status")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.partitionBy("o_orderstatus")
+        .parquet(part_path)
+    )
+    stats = parquet_pruning_stats(part_path, "o_totalprice", 0.0, 1e12)
+    assert stats["n_files"] > 0 and stats["n_groups"] > 0
+    assert stats["admitted_groups"] == stats["n_groups"]  # full-range admits all
+
+    with _pytest.raises(FileNotFoundError, match="no parquet files"):
+        parquet_pruning_stats(str(tmp_path / "nope"), "o_totalprice", 0.0, 1.0)
