@@ -55,7 +55,15 @@ def get_spark(
         # side's scan, so non-matching fact rows never shuffle. This is
         # the engine-level form of a hand-rolled bloom-prefilter join
         # (bloom_filter_agg is not in the public function registry) —
-        # let Catalyst own it rather than reimplementing it in the API
+        # let Catalyst own it rather than reimplementing it in the API.
+        # Measured at sf0.1 (r7): ZERO filters are injected into any
+        # headline plan — every scan is far below the 10 GB
+        # application-side threshold — so the conf is a no-op locally
+        # (r6's bench deltas attributed to it, the mart wins AND the
+        # doc_jaccard_pairs "+14%", were shared-machine noise; an
+        # interleaved A/B at sf0.1 shows no difference). It stays on
+        # because injection begins exactly at cluster-scale scans,
+        # which is the regime this engine targets.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -33,7 +33,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import dround, dsum
+from ..functions.money import checked_sum, dround
 from ..operators.quantiles import approx_quantiles, inplan_quantiles, tier_by_cutoffs
 
 
@@ -96,8 +96,12 @@ def build_customer_sales_report(
     # needs), once for the detail projection — and only the SMALL
     # per-customer aggregate (|customers| rows x 2 cols) is persisted,
     # since both the cutoff aggregate and the tier projection consume it.
+    # PER-CUSTOMER totals are scale-invariant (orders per customer is a
+    # fixed ratio in this data model, ~10 x <=6e5 each ⇒ <=~1e7), so the
+    # declared 1e8 bound holds at ANY corpus SF and checked_sum provably
+    # keeps the codegen-friendly bigint micro-unit path
     per_customer = metrics.groupBy("CUSTOMER_ID").agg(
-        dsum(F.col("SALE_AMOUNT"), 2).alias("AGG_SALES_AMOUNT")
+        checked_sum(F.col("SALE_AMOUNT"), max_abs_total=1e8, scale=2).alias("AGG_SALES_AMOUNT")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     if exact_tiers:

@@ -25,7 +25,7 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import dround, dsum
+from ..functions.money import checked_sum, dround
 
 
 def build_product_performance(
@@ -52,10 +52,14 @@ def build_product_performance(
         "PROFIT", (discounted - F.col("COST_PRICE")) * F.col("QUANTITY")
     )
 
+    # PER-PRODUCT totals are scale-invariant (sale lines per product is
+    # a fixed ratio, ~30 x <=1e5 each ⇒ <=~3e6), so the declared 1e8
+    # bound holds at any SF and checked_sum provably keeps the bigint
+    # micro-unit fast path
     sold_agg = metrics.groupBy("PRODUCT_ID").agg(
-        dsum(F.col("REVENUE"), 2).alias("TOTAL_SALES_AMOUNT"),
+        checked_sum(F.col("REVENUE"), max_abs_total=1e8, scale=2).alias("TOTAL_SALES_AMOUNT"),
         F.sum("QUANTITY").alias("TOTAL_QUANTITY_SOLD"),
-        dsum(F.col("PROFIT"), 2).alias("PROFIT"),
+        checked_sum(F.col("PROFIT"), max_abs_total=1e8, scale=2).alias("PROFIT"),
     )
 
     # join the small per-product aggregate back onto the full dimension:

@@ -85,7 +85,12 @@ def build_supplier_performance(
 
     # revenue carries through BOTH aggregation levels as exact bigint
     # micro-units (functions.money.usum): the re-agg and the ranking
-    # window below stay order-independent without decimal boxing
+    # window below stay order-independent without decimal boxing.
+    # Overflow-safety of the raw usum (checked_sum's ~9.2e9 auto-route
+    # bound, with 1000x headroom): both levels are per-supplier(-product)
+    # totals, scale-invariant in this data model (~600 sale lines per
+    # supplier x <=6e5 each ⇒ <=~4e8 money units) — provably inside the
+    # bigint micro-unit accumulator at any corpus SF
     product_level = with_suppliers.groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME").agg(
         F.count("SALE_ID").alias("agg_product_sales_count"),
         usum(F.col("REVENUE")).alias("agg_product_revenue_u"),

@@ -11,6 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+# usum overflow note: the hourly/session dsum groups grow with the event
+# volume, not with an entity dimension — testdata-bounded (<~1e6 units per
+# window); a 100 TB stream should route them through
+# functions.money.checked_sum with a per-window deployment bound
 from ..functions.money import dsum, o_dsum
 from ..operators.windows import sessionize
 from ..sources.readers import read_testdata

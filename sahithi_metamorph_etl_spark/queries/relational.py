@@ -5,6 +5,16 @@ filters, joins incl. semi/anti, hash aggregates, two-level re-agg,
 windows, top-k, set ops, pivot, rollup, date/conditional scalar
 functions). Money aggregates are rounded (2dp) on BOTH sides so float
 summation order can't flip a hash bit.
+
+usum overflow policy (the ~9.2e12-money-unit bigint accumulator bound,
+see functions.money): per-entity groups (supplier, part, customer,
+order) are scale-invariant in this data model and provably stay under
+~1e9 units at any corpus SF. CORPUS-SCALE groups (returnflag slices,
+region rollups, price bands — flagged at their call sites) grow with
+the data: the testdata bound at sf<=1 is <~3e9 units, three orders of
+magnitude inside the accumulator; a 100 TB deployment should route
+those sites through checked_sum with its own declared bound (which
+auto-picks the exact DECIMAL path past ~9.2e9).
 """
 
 from __future__ import annotations
@@ -58,6 +68,8 @@ def pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # CORPUS-SCALE groups (6 flag/status slices): see module
+            # usum-overflow note — testdata-bounded, checked_sum at 100 TB
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
             dsum(disc_price, 2).alias("sum_disc_price"),
             dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
@@ -330,6 +342,7 @@ def lineitem_union_slices(spark, sf_dir):
     return (
         early.unionByName(late)
         .groupBy("l_returnflag")
+        # CORPUS-SCALE groups (returnflag slices): see module usum-overflow note
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum(F.col("l_extendedprice"), 2).alias("total"))
     )
 
@@ -756,6 +769,7 @@ def part_price_band_range_join(spark, sf_dir):
     joined = range_join_bucketed(p, bands, "p_retailprice", "lo", "hi", bucket_width=5.0)
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_parts"),
+        # CORPUS-SCALE groups (price bands): see module usum-overflow note
         dsum(F.col("p_retailprice"), 2).alias("total_price"),
     )
 
@@ -862,6 +876,7 @@ def supplier_region_rollup(spark, sf_dir):
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
+        # CORPUS-SCALE groups (region/nation rollup): see module usum-overflow note
         dsum(F.col("s_acctbal"), 2).alias("total_acctbal"),
     )
 
