@@ -67,6 +67,12 @@ HEADLINE = [
     "adaptive_salted_skew_join",
     "events_funnel",
     "doc_rarity_score",
+    # round-7: codec / mapInPandas surface (Arrow-batched Python
+    # stages regress invisibly to the JVM-only rows above) + the
+    # z-ordered layout write+audit
+    "multimodal_wav_roundtrip",
+    "multimodal_audio_stats",
+    "orders_zorder_pruning",
 ]
 
 

@@ -73,14 +73,21 @@ def _load() -> None:
 #      green history whose operator family keeps another anchor in the
 #      50 (or stays covered by the full pytest oracle-parity suite).
 #   3. No entry stays out for more than two consecutive rounds.
-# r6 rotation: IN = 5x recon_* + the 11 entries with no prior row
-# (quantile hist, mergeable HLL, hot shingles, exact prune, text
-# profile, vocabulary, tf-idf, resize, frame-sample, stream running
-# counts, as-of forward).  OUT = 16 multi-round-green entries whose
-# families keep coverage (set-op twin, date-fn twin, lag/lead, pivot,
-# dup-lines, interval join, pii scrub, quality score, centroids, LSH
-# prune twin, anti-join twin, CASE twin, percentile sketch, png
-# roundtrip, repetition stats, stream dedup).
+# r6 rotation: IN = 5x recon_* + the 11 entries with no prior row.
+# OUT = 16 multi-round-green entries whose families kept coverage.
+# r7 rotation: IN = the 3 entries born in r6 with no driver row yet
+# (events_funnel, doc_rarity_score, multimodal_jpeg_roundtrip), the 2
+# entries born in r7 (orders_zorder_pruning, multimodal_audio_stats),
+# the 5 entries whose only row predates the oracle harness (r1
+# rows-only: doc_simhash, emb_lsh_ann_topk, emb_ivf_topk,
+# emb_cosine_near_dup, events_sliding_window), and every entry at
+# out-streak 2 after r6 (rule 3 binds: 14 entries, customers_with_orders
+# ... doc_stratified_sample), plus 17 of the 18 streak-1 entries.
+# OUT = the 41 non-anchor r6-green entries (fresh history, streak 1)
+# and multimodal_decode_stats (the one streak-1 holdover — its family
+# keeps jpeg/png roundtrips + audio stats in the set; MUST return in
+# r8).  After this round every catalog entry has >=1 externally
+# hash-checked row.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -91,43 +98,27 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # events: windows, sessionization, as-of (back+forward), json,
-    # incremental (sliding-window keeps its r1-r4 history + pytest)
-    "events_hourly_tumbling", "events_sessionization", "events_asof_join",
-    "events_asof_join_forward", "events_json_extract",
-    "events_incremental_slice",
-    # dedup: exact, jaccard, minhash-lsh, simhash, report, hot shingles
-    "doc_exact_dedup", "doc_jaccard_pairs", "doc_minhash_lsh_pairs",
-    "doc_simhash_pairs", "corpus_dedup_report", "doc_hot_shingles",
-    # graph clustering + prune composition (exact variant this round)
-    "doc_dedup_clusters", "corpus_near_dup_prune",
-    # similarity / embeddings
-    "emb_cosine_topk", "emb_lsh_near_dup",
-    # multimodal (wav codec roundtrip + resize + frame sampling;
-    # decode_stats has r1-r5 green history; queued for the r7 rotation:
-    # multimodal_jpeg_roundtrip, events_funnel, doc_rarity_score —
-    # all born in r6 beyond the cap)
-    "multimodal_wav_roundtrip", "multimodal_resize",
-    "multimodal_frame_sample",
-    # text analysis
-    "doc_token_stats", "doc_decontaminate", "corpus_clean_pipeline",
-    "corpus_text_profile", "corpus_vocabulary", "doc_tfidf_keywords",
-    # deterministic sampling
-    "doc_train_split",
-    # relational core
-    "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
-    "orders_filter_case", "parts_sales_left_join", "top10_orders",
-    "lineitem_union_slices",
-    # windows / analytics
-    "customer_running_total", "orders_grouping_sets",
-    "customer_tiers_percent_rank",
-    # custom streaming (stateful running counts w/ TTL) + ext joins
-    # + sketches/histograms. adaptive_salted_skew_join supersedes the
-    # fixed-salt twin's slot (same family, runs salted_join internally
-    # PLUS the sampled decision logic; the twin keeps r1-r5 history)
-    "events_stream_running_counts", "part_price_band_range_join",
-    "adaptive_salted_skew_join", "sketch_mergeable_distinct",
-    "orders_price_quantile_hist",
+    # first driver rows: born r6 / born r7
+    "events_funnel", "doc_rarity_score", "multimodal_jpeg_roundtrip",
+    "orders_zorder_pruning", "multimodal_audio_stats",
+    # only-row-predates-oracle-harness (r1 rows-only; streak 5)
+    "doc_simhash", "emb_lsh_ann_topk", "emb_ivf_topk",
+    "emb_cosine_near_dup", "events_sliding_window",
+    # rule-3 must-returns (out since r4)
+    "customers_with_orders", "orders_cube", "lineitem_key_skew",
+    "orders_price_histogram", "sketch_distinct_counts",
+    "supplier_region_rollup", "orders_column_profile",
+    "orders_expectations", "doc_language_guess", "doc_fingerprint",
+    "doc_bpe_tokens", "doc_chunks", "doc_token_budget",
+    "doc_stratified_sample",
+    # streak-1 returns (out since r5)
+    "customers_without_orders", "duplicate_order_lines",
+    "part_price_class", "orders_by_month", "customer_segments_setops",
+    "customer_order_gaps", "orders_status_pivot",
+    "sketch_price_percentiles", "salted_skew_join", "doc_quality_score",
+    "doc_repetition_stats", "emb_label_centroids", "doc_pii_scrub",
+    "corpus_near_dup_prune_lsh", "multimodal_png_roundtrip",
+    "events_stream_dedup", "events_interval_join",
 )
 
 
