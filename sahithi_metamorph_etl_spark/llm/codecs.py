@@ -8,13 +8,17 @@ stdlib (``zlib``, ``struct``) and numpy:
   non-interlaced; all five scanline filters per the PNG spec) and a
   filter-0 encoder for the resize write-back path.
 - BMP  — full pixel decode (uncompressed 24/32-bit BITMAPINFOHEADER).
-- JPEG — baseline sequential (SOF0/SOF1) FULL pixel decode from spec
-  (DQT/DHT read from the stream, Huffman entropy decode, dequant,
-  IDCT, 4:4:4/4:2:2/4:2:0 upsampling, YCbCr->RGB, DRI/RSTn), plus a
-  baseline encoder (Annex K tables, 4:4:4 or 4:2:0) for round-trip
-  tests and the resize write-back path. Progressive (SOF2) and
-  arithmetic coding raise ``UnsupportedImageError`` rather than faking
-  pixels.
+- JPEG — FULL pixel decode from spec for baseline sequential
+  (SOF0/SOF1: DQT/DHT read from the stream, Huffman entropy decode,
+  dequant, IDCT, 4:4:4/4:2:2/4:2:0 upsampling, YCbCr->RGB, DRI/RSTn)
+  AND progressive (SOF2: T.81 Annex G spectral selection + successive
+  approximation — DC/AC first and refinement scans, EOB runs,
+  coefficient accumulation across scans). Encoders for both modes
+  (Annex K tables; baseline 4:4:4/4:2:0, progressive 4:4:4 with a
+  configurable successive-approximation depth) power the round-trip
+  tests and the resize write-back path. Arithmetic coding and
+  non-interleaved *sequential* multi-scan raise
+  ``UnsupportedImageError`` rather than faking pixels.
 - GIF  — first-frame FULL pixel decode from spec (variable-width LZW,
   global/local color tables, interlace, screen composition) and a
   single-frame GIF89a encoder (<=256-color input) for fixtures.
@@ -255,11 +259,11 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
 
 # ------------------------------------------------- baseline JPEG codec
 #
-# Full pixel decode for baseline sequential (SOF0/SOF1, Huffman) JPEG —
-# the dominant format of real image corpora — plus a from-spec baseline
-# encoder (4:4:4 or 4:2:0, Annex K tables) used by the round-trip tests
-# and the resize write-back path. Progressive (SOF2) and arithmetic
-# coding stay an honest UnsupportedImageError.
+# Full pixel decode for baseline sequential (SOF0/SOF1, Huffman) AND
+# progressive (SOF2, Annex G) JPEG — together the two modes cover
+# essentially every real-web Huffman JPEG — plus from-spec encoders for
+# both, used by the round-trip tests and the resize write-back path.
+# Arithmetic coding stays an honest UnsupportedImageError.
 #
 # Decoder correctness does NOT depend on this module's table constants:
 # quantization and Huffman tables are read from the payload's own
@@ -673,12 +677,570 @@ def _jpeg_decode_block(
     return zz, dc
 
 
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG bytes -> (H, W, C) uint8. Coefficients
+    accumulate across scans (spectral selection + successive
+    approximation, T.81 Annex G); dequant+IDCT run once at the end."""
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # comp id -> (by, bx, 64) int32
+    comp_qt: dict[int, int] = {}
+    pos = 2
+    saw_eoi = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if pos + 4 > len(payload):
+            break
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.int64)
+                    bp += 64
+                else:
+                    vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.int64)
+                    bp += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = vals
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nvals = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nvals])
+                huff[(tc, th)] = _jpeg_decode_table(_jpeg_build_codes(bits, vals))
+                bp += 17 + nvals
+        elif marker == 0xC2:
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedImageError(f"JPEG precision {prec} (only 8-bit)")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+                raise UnsupportedImageError("JPEG sampling factors beyond 2 not supported")
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            mcus_x = (fw + 8 * max_h - 1) // (8 * max_h)
+            mcus_y = (fh + 8 * max_v - 1) // (8 * max_v)
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "max_h": max_h, "max_v": max_v,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+            }
+            for c in comps:
+                # coefficient grid padded to full MCUs (interleaved DC
+                # scans address padding blocks too)
+                coefs[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                comp_qt[c["id"]] = c["tq"]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not a progressive JPEG frame")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0x0F})
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seg_len, frame, scan, ss, se, ah, al,
+                huff, coefs, restart_interval,
+            )
+            continue
+        pos += 2 + seg_len
+    if frame is None:
+        raise ValueError("JPEG payload missing SOF2/SOS")
+    del saw_eoi  # tolerated either way, like the baseline path
+
+    # dequantize + IDCT + assemble (same tail as the baseline decoder)
+    dct_m = _jpeg_dct_matrix()
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    max_h, max_v = frame["max_h"], frame["max_v"]
+    planes = {}
+    for c in comps:
+        qt = qtables.get(comp_qt[c["id"]])
+        if qt is None:
+            raise UnsupportedImageError("JPEG component references missing quant table")
+        grid = coefs[c["id"]]
+        by, bx = grid.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for yb in range(by):
+            for xb in range(bx):
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = grid[yb, xb]
+                block = nat.reshape(8, 8) * qt
+                plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    dct_m.T @ block.astype(np.float64) @ dct_m + 128.0
+                )
+        planes[c["id"]] = plane
+    full = []
+    for c in comps:
+        plane = planes[c["id"]]
+        ry, rx = max_v // c["v"], max_h // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    frame: dict,
+    scan: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    coefs: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan's entropy data starting at ``pos``;
+    returns the byte offset just past it (at the next marker)."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    reader = _JpegBitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise UnsupportedImageError("progressive scan mixes DC and AC bands")
+        _decode_dc_scan(reader, frame, scan, by_id, ah, al, huff, coefs, restart_interval)
+    else:
+        if len(scan) != 1:
+            raise UnsupportedImageError("progressive AC scan must be non-interleaved")
+        _decode_ac_scan(reader, frame, scan[0], by_id, ss, se, ah, al, huff, coefs,
+                        restart_interval)
+    # skip to the next marker (reader stops mid-byte; entropy data never
+    # contains a bare 0xFF followed by a non-stuffing, non-RST byte)
+    p = reader._pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            if 0xD0 <= payload[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(payload)
+
+
+def _decode_dc_scan(reader, frame, scan, by_id, ah, al, huff, coefs, restart_interval):
+    preds = {sc["cs"]: 0 for sc in scan}
+    n_mcus_total = frame["mcus_x"] * frame["mcus_y"]
+    interleaved = len(scan) > 1
+    n_units = 0
+    if interleaved:
+        units = n_mcus_total
+    else:
+        c = by_id[scan[0]["cs"]]
+        units = _comp_blocks(frame, c)[0] * _comp_blocks(frame, c)[1]
+    for u in range(units):
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            reader.sync_restart()
+            preds = {sc["cs"]: 0 for sc in scan}
+        for sc in scan:
+            comp = by_id[sc["cs"]]
+            if interleaved:
+                mx, my = u % frame["mcus_x"], u // frame["mcus_x"]
+                blocks = [
+                    (my * comp["v"] + byy, mx * comp["h"] + bxx)
+                    for byy in range(comp["v"])
+                    for bxx in range(comp["h"])
+                ]
+            else:
+                bw = _comp_blocks(frame, comp)[1]
+                blocks = [(u // bw, u % bw)]
+            for yb, xb in blocks:
+                cell = coefs[sc["cs"]][yb, xb]
+                if ah == 0:
+                    tbl = huff.get((0, sc["td"]))
+                    if tbl is None:
+                        raise UnsupportedImageError("JPEG scan references missing table")
+                    size = _jpeg_huff_decode(reader, tbl)
+                    diff = _jpeg_extend(reader.read_bits(size), size)
+                    preds[sc["cs"]] += diff
+                    cell[0] = preds[sc["cs"]] << al
+                else:
+                    if reader.read_bit():
+                        cell[0] = int(cell[0]) | (1 << al)
+        n_units += 1
+
+
+def _comp_blocks(frame, comp) -> tuple[int, int]:
+    """(blocks_y, blocks_x) of the NON-interleaved data-unit grid for a
+    component (ceil of the scaled dimensions, T.81 A.2.2)."""
+    cw = -(-(frame["w"] * comp["h"]) // frame["max_h"])
+    ch = -(-(frame["h"] * comp["v"]) // frame["max_v"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_ac_scan(reader, frame, sc, by_id, ss, se, ah, al, huff, coefs,
+                    restart_interval):
+    comp = by_id[sc["cs"]]
+    tbl = huff.get((1, sc["ta"]))
+    if tbl is None:
+        raise UnsupportedImageError("JPEG scan references missing table")
+    bh, bw = _comp_blocks(frame, comp)
+    grid = coefs[sc["cs"]]
+    eobrun = 0
+    n_units = 0
+    for u in range(bh * bw):
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            reader.sync_restart()
+            eobrun = 0
+        yb, xb = u // bw, u % bw
+        cell = grid[yb, xb]
+        if ah == 0:
+            eobrun = _ac_first_block(reader, tbl, cell, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, tbl, cell, ss, se, al, eobrun)
+        n_units += 1
+
+
+def _ac_first_block(reader, tbl, cell, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(reader, tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise UnsupportedImageError("JPEG AC coefficient index overflow")
+        cell[k] = _jpeg_extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, tbl, cell, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise UnsupportedImageError("invalid JPEG refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                v = int(cell[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        cell[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cell[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(cell[k])
+            if v != 0 and reader.read_bit() and (v & p1) == 0:
+                cell[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# ---------------------------------------------------------------- encode
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, al_levels: int = 1
+) -> bytes:
+    """(H, W) or (H, W, 3) uint8 -> progressive (SOF2) JFIF bytes.
+
+    Scan script (exercises every Annex G decode mode): interleaved DC
+    first at Al=``al_levels`` + DC refinements down to Al=0, then per
+    component AC first (Ss=1..63) at Al=``al_levels`` + AC refinements
+    down to Al=0. Coefficients are identical to the baseline encoder at
+    the same quality, so decode(progressive) == decode(baseline)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    gray = arr.ndim == 2
+    if not gray and arr.shape[2] != 3:
+        raise ValueError("JPEG encoder takes grayscale or RGB pixels")
+    if not 0 <= al_levels <= 3:
+        raise ValueError("al_levels must be in 0..3")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    dct_m = _jpeg_dct_matrix()
+    q_lum = _jpeg_scale_qtable(_JPEG_Q_LUM, quality)
+    q_chrom = _jpeg_scale_qtable(_JPEG_Q_CHROM, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ncomp = len(planes)
+    qtables = [q_lum] + [q_chrom] * (ncomp - 1)
+    mcus_x, mcus_y = -(-w // 8), -(-h // 8)  # 4:4:4 only: 1 block/comp/MCU
+
+    # quantized zigzag coefficients per component: (by, bx, 64)
+    comps_zz = []
+    for plane, qt in zip(planes, qtables):
+        padded = np.pad(
+            plane, ((0, mcus_y * 8 - h), (0, mcus_x * 8 - w)), mode="edge"
+        ) - 128.0
+        zz = np.zeros((mcus_y, mcus_x, 64), dtype=np.int64)
+        for yb in range(mcus_y):
+            for xb in range(mcus_x):
+                block = padded[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coef = dct_m @ block @ dct_m.T
+                zz[yb, xb] = np.round(coef / qt).astype(np.int64).flatten()[_JPEG_ZIGZAG]
+        comps_zz.append(zz)
+
+    dc_specs = [_JPEG_DC_LUM] + [_JPEG_DC_CHROM] * (ncomp > 1)
+    ac_specs = [_JPEG_AC_LUM] + [_JPEG_AC_CHROM] * (ncomp > 1)
+    dc_codes = [_jpeg_build_codes(*s) for s in dc_specs]
+    ac_codes = [_jpeg_build_codes(*s) for s in ac_specs]
+    comp_dc = [0] + [1] * (ncomp - 1)
+    comp_ac = [0] + [1] * (ncomp - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comp_ids: list[int], tds: list[int], tas: list[int],
+                   ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytearray([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, bytes(body))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(q_lum.flatten()[_JPEG_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(q_chrom.flatten()[_JPEG_ZIGZAG].astype(np.uint8)))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC2, bytes(sof))
+    out += _jpeg_dht_segment(0, 0, _JPEG_DC_LUM)
+    out += _jpeg_dht_segment(1, 0, _JPEG_AC_LUM)
+    if not gray:
+        out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROM)
+        out += _jpeg_dht_segment(1, 1, _JPEG_AC_CHROM)
+
+    # scan 1: interleaved DC first, Al=al_levels
+    out += sos_header(
+        list(range(1, ncomp + 1)), comp_dc, [0] * ncomp, 0, 0, 0, al_levels
+    )
+    writer = _JpegBitWriter()
+    preds = [0] * ncomp
+    for u in range(mcus_x * mcus_y):
+        yb, xb = u // mcus_x, u % mcus_x
+        for ci in range(ncomp):
+            dc = int(comps_zz[ci][yb, xb, 0]) >> al_levels
+            size, bits = _jpeg_magnitude(dc - preds[ci])
+            code, length = dc_codes[comp_dc[ci]][size]
+            writer.write(code, length)
+            if size:
+                writer.write(bits, size)
+            preds[ci] = dc
+    writer.flush()
+    out += writer.out
+
+    # DC refinements down to Al=0
+    for al in range(al_levels - 1, -1, -1):
+        out += sos_header(
+            list(range(1, ncomp + 1)), comp_dc, [0] * ncomp, 0, 0, al + 1, al
+        )
+        writer = _JpegBitWriter()
+        for u in range(mcus_x * mcus_y):
+            yb, xb = u // mcus_x, u % mcus_x
+            for ci in range(ncomp):
+                writer.write((int(comps_zz[ci][yb, xb, 0]) >> al) & 1, 1)
+        writer.flush()
+        out += writer.out
+
+    # AC scans per component: first at Al=al_levels, then refinements
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], [0], [comp_ac[ci]], 1, 63, 0, al_levels)
+        out += _encode_ac_first(comps_zz[ci], ac_codes[comp_ac[ci]], al_levels)
+        for al in range(al_levels - 1, -1, -1):
+            out += sos_header([ci + 1], [0], [comp_ac[ci]], 1, 63, al + 1, al)
+            out += _encode_ac_refine(comps_zz[ci], ac_codes[comp_ac[ci]], al)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_ac_first(zz: np.ndarray, ac: dict, al: int) -> bytes:
+    """AC first scan (Ss=1..63, Ah=0): per-block EOB0 (no cross-block
+    EOB runs — valid, slightly less compressed)."""
+    writer = _JpegBitWriter()
+    by, bx = zz.shape[:2]
+    for u in range(by * bx):
+        cell = zz[u // bx, u % bx]
+        run = 0
+        emitted_any = False
+        last_nz = 0
+        vals = [int(v) >> al if int(v) >= 0 else -((-int(v)) >> al) for v in cell]
+        for k in range(1, 64):
+            if vals[k]:
+                last_nz = k
+        for k in range(1, 64):
+            v = vals[k]
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac[0xF0]
+                writer.write(code, length)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            code, length = ac[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+            emitted_any = True
+        if last_nz < 63 or not emitted_any:
+            code, length = ac[0x00]  # EOB0
+            writer.write(code, length)
+    writer.flush()
+    return bytes(writer.out)
+
+
+def _encode_ac_refine(zz: np.ndarray, ac: dict, al: int) -> bytes:
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    (run, 1) + sign, correction bits for already-significant ones
+    buffered and flushed after the owning code word; per-block EOB0."""
+    writer = _JpegBitWriter()
+    by, bx = zz.shape[:2]
+    for u in range(by * bx):
+        cell = zz[u // bx, u % bx]
+        absv = [abs(int(v)) >> al for v in cell]
+        # last newly-significant index (== 1 at this precision)
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        run = 0
+        buffered: list[int] = []
+        for k in range(1, 64):
+            if k > eob:
+                break
+            a = absv[k]
+            if a == 0:
+                run += 1
+                continue
+            # emit pending ZRLs at ANY nonzero magnitude (not just the
+            # newly-significant ones): this keeps run <= 15 whenever a
+            # correction bit is buffered, so every buffered bit belongs
+            # to the immediately-following code word — the positional
+            # invariant the decoder's interleaved read depends on
+            while run > 15:
+                code, length = ac[0xF0]
+                writer.write(code, length)
+                for bit in buffered:
+                    writer.write(bit, 1)
+                buffered = []
+                run -= 16
+            if a > 1:
+                # already significant: buffer its correction bit
+                buffered.append((abs(int(cell[k])) >> al) & 1)
+                continue
+            code, length = ac[(run << 4) | 1]
+            writer.write(code, length)
+            writer.write(1 if int(cell[k]) > 0 else 0, 1)
+            for bit in buffered:
+                writer.write(bit, 1)
+            buffered = []
+            run = 0
+        # end of block: EOB0 + correction bits for the remaining
+        # already-significant coefficients — but ONLY when positions
+        # remain past the last newly-significant one. When that one sat
+        # at k=63 the decoder's band loop has already ended; a spurious
+        # EOB here would be consumed as the NEXT block's first code.
+        if eob < 63:
+            tail_bits = [
+                (abs(int(cell[k])) >> al) & 1
+                for k in range(max(eob + 1, 1), 64)
+                if absv[k] > 1
+            ]
+            code, length = ac[0x00]
+            writer.write(code, length)
+            for bit in buffered + tail_bits:
+                writer.write(bit, 1)
+    writer.flush()
+    return bytes(writer.out)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG bytes -> (H, W, C) uint8 (C=1 gray,
-    C=3 RGB). Quant/Huffman tables come from the payload's own DQT/DHT
-    segments; sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0) with
-    replicated-sample upsampling; DRI/RSTn honored. Progressive (SOF2)
-    and arithmetic-coded streams raise UnsupportedImageError."""
+    """JPEG bytes -> (H, W, C) uint8 (C=1 gray, C=3 RGB): baseline
+    sequential decoded inline; progressive (SOF2) dispatched to the
+    Annex G coefficient-accumulation path. Quant/Huffman tables come
+    from the payload's own DQT/DHT segments; sampling factors 1-2 per
+    axis (4:4:4, 4:2:2, 4:2:0) with replicated-sample upsampling;
+    DRI/RSTn honored. Arithmetic-coded streams raise
+    UnsupportedImageError."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
@@ -736,8 +1298,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise UnsupportedImageError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xC2:  # progressive: Annex G coefficient-accumulation path
+            return _decode_jpeg_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(f"JPEG SOF marker 0x{marker:02x} not supported")
         elif marker == 0xDD:  # DRI

@@ -5,10 +5,10 @@ column plus typed metadata; decode / feature-extraction runs as an
 Arrow-batched ``mapInPandas`` stage so heavy per-item work scales with
 partitions, never through the driver.
 
-The image decode path is REAL: ``llm.codecs`` implements PNG/BMP pixel
-decode and JPEG/GIF header decode from the public specs with
-stdlib+numpy only (PIL is preferred automatically when the environment
-has it). ``decode_media_stats`` uses it for any payload whose magic
+The image decode path is REAL: ``llm.codecs`` implements full
+PNG/BMP/GIF pixel decode and full JPEG pixel decode (baseline
+sequential AND progressive) from the public specs with stdlib+numpy
+only (PIL is preferred automatically when the environment has it). ``decode_media_stats`` uses it for any payload whose magic
 bytes identify an image; payloads that are not images (e.g. text packed
 as binary for plumbing tests) fall through to a deterministic
 length-derived pseudo-stat so the operator is total — no crash, and

@@ -1124,13 +1124,14 @@ FROM documents
 
 
 @register("multimodal_jpeg_roundtrip", oracle=_JPEG_RT_ORACLE,
-          doc="REAL baseline-JPEG codec end-to-end: encode a deterministic gradient "
-              "per document (dims from doc_id), entropy-decode it with the "
-              "library-free JPEG codec (Huffman+dequant+IDCT), report decoded "
+          doc="REAL JPEG codec end-to-end: encode a deterministic gradient per "
+              "document (dims from doc_id) — BASELINE sequential for doc_id%3!=0, "
+              "PROGRESSIVE (SOF2, successive approximation) for doc_id%3==0 — then "
+              "entropy-decode with the library-free JPEG codec and report decoded "
               "dims + a within-quantization-tolerance flag. Dims are exact "
               "oracle arithmetic; pixel error is bounded (<=6/255 at q95), not "
               "SQL-predictable, so it lands as a boolean that flips the hash on "
-              "any codec defect")
+              "any codec defect in either mode")
 def multimodal_jpeg_roundtrip(spark, sf_dir):
     import pandas as pd
 
@@ -1145,6 +1146,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         ns: dict = {}
         exec(codecs_src, ns)
         decode_jpeg, encode_jpeg = ns["decode_jpeg"], ns["encode_jpeg_baseline"]
+        encode_prog = ns["encode_jpeg_progressive"]
 
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "channels": [], "within_tol": []}
@@ -1160,7 +1162,11 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
                 px = np.clip(px % 200 // 1, 0, 255).astype(np.uint8)
                 px = np.broadcast_to(px, (h, w, c)).astype(np.uint8)
                 src = px if c == 3 else px[:, :, 0]
-                back = decode_jpeg(encode_jpeg(src, quality=95))
+                if d % 3 == 0:  # progressive path (SOF2, SA depth 1)
+                    enc = encode_prog(src, quality=95, al_levels=1)
+                else:
+                    enc = encode_jpeg(src, quality=95)
+                back = decode_jpeg(enc)
                 err = int(np.abs(back.astype(np.int64) - px.astype(np.int64)).max())
                 out["media_id"].append(d)
                 out["width"].append(back.shape[1])

@@ -302,14 +302,62 @@ def test_jpeg_noise_stays_within_quant_error():
     assert err.max() <= 30 and err.mean() < 6
 
 
-def test_jpeg_progressive_still_raises():
-    """Progressive (SOF2) stays an honest refusal: flip the encoder's
-    SOF0 marker to SOF2 and the decoder must refuse, not emit garbage."""
+def test_jpeg_invalid_progressive_scan_script_raises():
+    """A SOF2 frame whose scan violates Annex G (baseline-style
+    Ss=0..Se=63 band) must refuse, not decode garbage — this is the old
+    'progressive raises' fixture, now caught by scan-script validation
+    instead of a blanket SOF2 refusal."""
     enc = bytearray(codecs.encode_jpeg_baseline(_gradient_rgb(16, 16), 90))
     idx = bytes(enc).find(b"\xff\xc0")
     enc[idx + 1] = 0xC2
-    with pytest.raises(codecs.UnsupportedImageError, match="progressive"):
+    with pytest.raises(codecs.UnsupportedImageError, match="DC and AC"):
         codecs.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_equals_baseline_rgb_and_gray():
+    """Progressive decode is bit-identical to baseline decode of the
+    same pixels at the same quality: both encoders quantize to the SAME
+    coefficients, so any defect in scan assembly (spectral bands,
+    successive approximation, EOB runs) breaks exact equality."""
+    for shape, q, al in [((16, 16, 3), 90, 1), ((24, 17, 3), 85, 2),
+                         ((21, 21), 90, 3), ((8, 8), 95, 0)]:
+        if len(shape) == 3:
+            yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+            px = np.stack(
+                [(2 * xx + 3 * yy) % 200, (xx * yy) % 151, (5 * xx) % 97], axis=2
+            ).astype(np.uint8)
+        else:
+            yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+            px = ((3 * xx + 7 * yy) % 211).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg_baseline(px, quality=q))
+        prog_bytes = codecs.encode_jpeg_progressive(px, quality=q, al_levels=al)
+        assert prog_bytes[:2] == b"\xff\xd8" and b"\xff\xc2" in prog_bytes
+        prog = codecs.decode_jpeg(prog_bytes)  # dispatches on SOF2
+        assert np.array_equal(base, prog), (shape, q, al)
+
+
+def test_jpeg_progressive_randomized_sweep():
+    """Noise images at random sizes/qualities/SA depths exercise ZRL
+    spans, EOB handling, refinement correction bits and padding blocks;
+    every one must equal its baseline twin exactly."""
+    rng = np.random.default_rng(99)
+    for _ in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        color = bool(rng.integers(0, 2))
+        al = int(rng.integers(0, 4))
+        q = int(rng.choice([50, 75, 95]))
+        px = rng.integers(0, 256, size=(h, w, 3) if color else (h, w)).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg_baseline(px, quality=q))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg_progressive(px, quality=q, al_levels=al))
+        assert np.array_equal(base, prog), (h, w, color, al, q)
+
+
+def test_jpeg_progressive_facade_and_header():
+    px = _gradient_rgb(20, 15)
+    enc = codecs.encode_jpeg_progressive(px, quality=90)
+    assert codecs.sniff_format(enc) == "jpeg"
+    assert codecs.image_stats(enc) == (15, 20, 3)
+    assert codecs.decode_image(enc).shape == (20, 15, 3)
 
 
 def test_jpeg_non_interleaved_scan_raises():
