@@ -30,3 +30,27 @@ def test_entry_runs(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) == 7
+
+
+def test_priority_rotation_satisfies_policy():
+    """The catalog's priority-50 must honor the documented rotation
+    policy against the shipped external-check history: anchors always
+    in, never-checked entries in, and no entry out more than two
+    consecutive completed rounds (scripts/rotation_plan.py is the same
+    audit as a CLI). A round that adds catalog entries or forgets to
+    rotate fails here instead of silently starving an entry of external
+    verification."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_plan",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "rotation_plan.py"),
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    from sahithi_metamorph_etl_spark.queries import catalog
+
+    errs, info = rp.audit(catalog._PRIORITY, list(catalog.all_queries()))
+    assert not errs, errs
