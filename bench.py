@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "multimodal_audio_stats",
     "orders_zorder_pruning",
+    "doc_pack_sequences",
 ]
 
 

@@ -63,3 +63,69 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shuffle_seed: str = "",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Training-order preparation: deterministically shuffle the corpus
+    and pack documents into fixed token-budget sequences — (id,
+    tok_offset, pack_id, n_tokens, oversize).
+
+    Shuffle order is ``md5(seed || id)``: engine-portable, seedable,
+    uniform — the standard "deterministic random" training shuffle (a
+    real ``rand()`` would be irreproducible across retries/engines).
+    ``pack_id = floor(tokens_before / budget)``: contiguous documents in
+    shuffle order share a pack until the budget fills; a document
+    straddling a boundary belongs to the pack where it starts, and
+    ``oversize`` flags documents that alone exceed the budget (a real
+    pipeline splits those with chunk_documents first).
+
+    SCALE: the global running token count is NOT a single-partition
+    window. The md5 key space is bucketed by its leading
+    ``bucket_hex_chars`` hex chars (a data-independent, order-preserving
+    split: ordering by (bucket, key) == ordering by key): one shuffle
+    computes per-bucket local cumsums, the per-bucket totals (256 rows
+    at the default) are prefix-summed on a frame that small and
+    broadcast back. At 100 TB raise ``bucket_hex_chars`` to 3-4 for
+    4096/65536-way parallelism.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError("bucket_hex_chars must be in 1..8")
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(shuffle_seed), F.col(id_col).cast("string")))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("__k"),
+        F.substring(key, 1, bucket_hex_chars).alias("__b"),
+        toks.alias("n_tokens"),
+    )
+    local_w = Window.partitionBy("__b").orderBy("__k", id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = keyed.withColumn("__cum_local", F.sum("n_tokens").over(local_w))
+    totals = local.groupBy("__b").agg(F.max("__cum_local").alias("__btotal"))
+    # per-bucket offsets: a window over a <= 16^bucket_hex_chars row
+    # frame — bounded by construction, never corpus-sized
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__boffset", F.coalesce(F.sum("__btotal").over(off_w), F.lit(0).cast("bigint"))
+    ).select("__b", "__boffset")
+    packed = local.join(F.broadcast(offsets), "__b")
+    tok_offset = F.col("__boffset") + F.col("__cum_local") - F.col("n_tokens")
+    return packed.select(
+        F.col(id_col),
+        tok_offset.alias("tok_offset"),
+        F.floor(tok_offset / F.lit(budget)).cast("bigint").alias("pack_id"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") > budget).alias("oversize"),
+    )

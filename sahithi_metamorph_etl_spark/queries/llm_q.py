@@ -1359,3 +1359,36 @@ def multimodal_audio_stats(spark, sf_dir):
         synth, schema="media_id bigint, payload binary, media_type string, source string"
     )
     return decode_audio_stats(media)
+
+
+_PACK_ORACLE = """
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+                  md5('r7' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY k, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id,
+       CAST(cum - n_tokens AS bigint) AS tok_offset,
+       CAST(floor((cum - n_tokens) / 512.0) AS bigint) AS pack_id,
+       n_tokens,
+       n_tokens > 512 AS oversize
+FROM c
+"""
+
+
+@register("doc_pack_sequences", oracle=_PACK_ORACLE,
+          doc="Training-order preparation: deterministic md5-seeded corpus shuffle + "
+              "fixed 512-token sequence packing (pack_id = floor(tokens_before / "
+              "budget)). The oracle computes the SAME assignment with one global "
+              "window; the engine computes it scalably — md5-prefix bucketing, "
+              "per-bucket cumsums in one shuffle, 256-row bucket-offset prefix "
+              "broadcast back — so the hash check proves the two-phase prefix sum "
+              "equals the global one exactly")
+def doc_pack_sequences(spark, sf_dir):
+    from ..llm.chunking import pack_sequences
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, shuffle_seed="r7")

@@ -1381,3 +1381,58 @@ def test_pruning_stats_recurses_partitions_and_rejects_empty(spark, sf_dir, tmp_
 
     with _pytest.raises(FileNotFoundError, match="no parquet files"):
         parquet_pruning_stats(str(tmp_path / "nope"), "o_totalprice", 0.0, 1.0)
+
+
+def test_pack_sequences_two_phase_equals_global_window(spark, sf_dir):
+    """The bucketed two-phase prefix sum must equal a single global
+    window exactly, the plan must keep the corpus out of any
+    single-partition exchange, and the seed must actually reorder."""
+    from pyspark.sql import Window, functions as F
+
+    from sahithi_metamorph_etl_spark.llm.chunking import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = pack_sequences(docs, budget=256, shuffle_seed="s")
+
+    key = F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string")))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    w = Window.orderBy("__k", "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        docs.select(F.col("doc_id"), key.alias("__k"), toks.alias("n_tokens"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            (F.col("__cum") - F.col("n_tokens")).alias("tok_offset"),
+            F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(256))
+            .cast("bigint").alias("pack_id"),
+            "n_tokens",
+            (F.col("n_tokens") > 256).alias("oversize"),
+        )
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+    # assignment invariant: every document's start offset lies inside
+    # its pack's token window (straddlers belong to the pack where they
+    # START — a long doc may overshoot into later windows, which is the
+    # documented semantics, so pack token totals are NOT asserted)
+    bad = got.filter(
+        (F.col("tok_offset") < F.col("pack_id") * 256)
+        | (F.col("tok_offset") >= (F.col("pack_id") + 1) * 256)
+    ).count()
+    assert bad == 0
+
+    # different seed -> different order (first document differs)
+    other = pack_sequences(docs, budget=256, shuffle_seed="t")
+    first_s = got.orderBy("tok_offset").limit(1).collect()[0]["doc_id"]
+    first_t = other.orderBy("tok_offset").limit(1).collect()[0]["doc_id"]
+    assert first_s != first_t
+
+    # scale shape: the only corpus-sized exchange is the bucket hash
+    # shuffle; the SinglePartition window runs on the 256-row totals
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 1
+    corpus_single = [
+        ln for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln and "documents" in ln
+    ]
+    assert not corpus_single
