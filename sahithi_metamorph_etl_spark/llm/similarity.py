@@ -703,3 +703,153 @@ def hyperplane_lsh_topk(
         rank_col="rank",
         keep_rank=True,
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
+def _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample):
+    """Seeded per-subspace k-means codebooks (product quantization): the
+    vector space splits into ``m`` contiguous subspaces; each gets its
+    own ``ksub``-centroid L2 codebook trained with a few Lloyd
+    iterations on a bounded driver sample of UNIT-normalized vectors.
+    Returns (m, ksub, dim // m) float64 — a few KB, shipped into
+    closures by value like the IVF centroids."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
+    xs = np.array([r[0] for r in sample], dtype=np.float64)
+    xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+    dim = xs.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = xs[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j, : len(cents)] = cents
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    seed: int = 42,
+    train_sample: int = 2048,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k with exact re-rank —
+    the MEMORY-scale ANN path (IVF prunes what is READ, LSH prunes what
+    is COMPARED; PQ shrinks what is HELD: ``m`` uint8 codes per vector
+    instead of ``dim`` floats, 32x at the defaults for dim=64).
+
+    Per partition: corpus vectors unit-normalize, encode to their
+    nearest codebook entry per subspace, and score against each query
+    by asymmetric distance computation — an (m x ksub) table of
+    query-subvector dot products per query, summed by code lookups
+    (this is the scan a PQ-compressed 100 TB index performs: bytes +
+    table lookups, no float vectors). The top ``k + rerank`` ADC
+    candidates per partition are re-scored EXACTLY (the true vectors
+    are still in the partition at encode time), and the global window
+    ranks by exact cosine — so PQ error affects only which candidates
+    survive, never the reported similarity of survivors.
+
+    Deterministic end-to-end (seeded codebooks, argmin first-index
+    ties, id tie-breaks), like the other ANN operators.
+    """
+    import numpy as np
+
+    books = _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample)
+    dsub = books.shape[2]
+
+    qrows = _bounded_query_rows(
+        embeddings, id_col, vec_col, query_filter, max_queries, "pq_topk"
+    )
+    if not qrows:
+        schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # ADC lookup tables: (n_queries, m, ksub) — query subvector dots
+    # with every codebook entry, built once on the driver
+    tables = np.einsum("qjd,jkd->qjk", qm.reshape(len(qm), m, dsub), books)
+
+    rf = float(10**round_scale)
+    keep = k + rerank
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            sub = cm.reshape(len(cm), m, dsub)
+            # encode: nearest codebook entry per subspace (L2, argmin
+            # first-index ties) -> (n, m) uint8 codes
+            codes = np.empty((len(cm), m), dtype=np.int64)
+            for j in range(m):
+                d2 = ((sub[:, j, None, :] - books[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            nids = pdf["neighbor_id"].to_numpy()
+            js = np.arange(m)
+            for qi, qid in enumerate(q_ids):
+                # ADC score: sum of table lookups over the m codes
+                adc = tables[qi][js, codes].sum(axis=1)
+                heap = heaps[int(qid)]
+                floor = heap[0][0] if len(heap) >= keep else -2.0
+                for ci in np.nonzero(adc >= floor)[0]:
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    # exact cosine computed ONLY for heap-entering
+                    # candidates; kept alongside the ADC key
+                    exact = float(qm[qi] @ cm[ci])
+                    item = (float(adc[ci]), -nid, exact)
+                    if len(heap) < keep:
+                        heapq.heappush(heap, item)
+                    elif item[:2] > heap[0][:2]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid,
+             float(np.sign(exact) * np.floor(abs(exact) * rf + 0.5) / rf))
+            for qid, heap in heaps.items()
+            for _adc, neg_nid, exact in heap
+        ]
+        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    # global re-rank by EXACT cosine over the (partitions x queries x
+    # (k+rerank)) candidate rows — the ADC ordering only chose survivors
+    return top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")

@@ -1436,3 +1436,38 @@ def test_pack_sequences_two_phase_equals_global_window(spark, sf_dir):
         if "Exchange SinglePartition" in ln and "documents" in ln
     ]
     assert not corpus_single
+
+
+def test_pq_topk_recall_and_full_rerank_exactness(spark, sf_dir):
+    """PQ ANN invariants: (a) with rerank >= corpus size every vector
+    survives candidate selection, so the exact re-rank must reproduce
+    brute force EXACTLY — ADC error can only cost candidates, never
+    distort survivors' scores; (b) at the catalog parameters recall
+    clears the floor; (c) seeded end-to-end determinism."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ann_recall_summary,
+        cosine_topk_bruteforce,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    qf = F.col("vec_id") < 50
+
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+    full = pq_topk(emb, k=5, rerank=n, query_filter=qf)
+    assert full.exceptAll(exact).count() == 0 and exact.exceptAll(full).count() == 0
+
+    ann = pq_topk(emb, k=5, ksub=32, rerank=128, query_filter=qf)
+    row = ann_recall_summary(exact, ann, recall_floor=0.6).collect()[0]
+    assert row["floor_ok"], row
+    again = pq_topk(emb, k=5, ksub=32, rerank=128, query_filter=qf)
+    assert ann.exceptAll(again).count() == 0 and again.exceptAll(ann).count() == 0
+
+    # dim must split evenly into subspaces
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, k=5, m=7, query_filter=qf)
