@@ -1604,6 +1604,215 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _gif_deinterlace(idx: "np.ndarray", h: int) -> "np.ndarray":
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    deint = np.zeros_like(idx)
+    deint[order] = idx
+    return deint
+
+
+def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF bytes -> [(delay_centiseconds, (H, W, 3) uint8), ...]
+    — FULL animation decode per the GIF89a spec: each frame is composed
+    onto the evolving logical screen honoring the Graphic Control
+    Extension (frame delay, transparency index — transparent pixels
+    leave the screen unchanged) and disposal methods 0/1 (leave),
+    2 (restore background) and 3 (restore previous). The returned
+    arrays are what a viewer displays after each frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed, bg_index = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    bg = (
+        gct[bg_index]
+        if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    screen[:, :] = bg
+    frames: list[tuple[int, np.ndarray]] = []
+    # pending graphic control state (applies to the NEXT image block)
+    delay, transparent, disposal = 0, None, 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control extension
+                size = payload[pos]
+                gfields = payload[pos + 1 : pos + 1 + size]
+                flags = gfields[0]
+                disposal = (flags >> 2) & 0x07
+                (delay,) = struct.unpack("<H", gfields[1:3])
+                transparent = gfields[3] if flags & 0x01 else None
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise UnsupportedImageError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        ipacked = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise UnsupportedImageError("GIF frame has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            size = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1  # block terminator
+        indices = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < w * h:
+            raise UnsupportedImageError("GIF LZW stream shorter than frame")
+        idx = np.array(indices[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx, h)
+        if np.any(idx >= len(ct)):
+            raise UnsupportedImageError("GIF index outside color table")
+        # clip the frame rect to the logical screen
+        ch_, cw_ = min(h, sh - top), min(w, sw - left)
+        region = screen[top : top + ch_, left : left + cw_]
+        saved = region.copy() if disposal == 3 else None
+        vis = idx[:ch_, :cw_]
+        px = ct[vis]
+        if transparent is not None:
+            mask = vis != transparent
+            composed = np.where(mask[:, :, None], px, region)
+        else:
+            composed = px
+        screen[top : top + ch_, left : left + cw_] = composed
+        frames.append((int(delay), screen.copy()))
+        if disposal == 2:  # restore region to background
+            screen[top : top + ch_, left : left + cw_] = bg
+        elif disposal == 3 and saved is not None:  # restore previous
+            screen[top : top + ch_, left : left + cw_] = saved
+        delay, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF payload has no image frame")
+    return frames
+
+
+def encode_gif_animation(
+    frames: list[np.ndarray], delays_cs: list[int] | None = None
+) -> bytes:
+    """List of (H, W, 3)/(H, W) uint8 full-screen frames -> animated
+    GIF89a (global color table from the union of frame colors, <=256;
+    one Graphic Control Extension per frame carrying its delay,
+    disposal method 1 = leave in place). Fixture/round-trip use, like
+    the single-frame encoder."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=2)
+        arrs.append(a)
+    h, w, _ = arrs[0].shape
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("all frames must share the logical screen size")
+    delays = list(delays_cs or [0] * len(arrs))
+    if len(delays) != len(arrs):
+        raise ValueError("delays_cs length must match frames")
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF encoder needs <=256 distinct colors, got {len(colors)}")
+    ct_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    ct_size = 1 << ct_bits
+    table = np.zeros((ct_size, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])
+    out += table.tobytes()
+    n_px = h * w
+    for fi, delay in enumerate(delays):
+        idx = inverse[fi * n_px : (fi + 1) * n_px].astype(np.int64)
+        # GCE: disposal=1 (leave), no transparency
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", int(delay)) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += _gif_lzw_encode_blocks(idx, ct_bits)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode_blocks(indices: np.ndarray, ct_bits: int) -> bytes:
+    """LZW-encode one frame's index stream and wrap it as
+    min_code_size + 255-byte sub-blocks + terminator (shared by the
+    single-frame and animation encoders)."""
+    min_code_size = max(2, ct_bits)
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes: list[tuple[int, int]] = [(clear, min_code_size + 1)]
+    dictionary: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    prev: tuple[int, ...] = ()
+    for sym in indices:
+        cur = prev + (int(sym),)
+        if cur in dictionary:
+            prev = cur
+            continue
+        codes.append((dictionary[prev], width))
+        dictionary[cur] = next_code
+        next_code += 1
+        # decoder dictionary lags by one entry; see encode_gif
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            codes.append((clear, width))
+            dictionary = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = (int(sym),)
+    if prev:
+        codes.append((dictionary[prev], width))
+    codes.append((end, width))
+
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray([min_code_size])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+
 # ------------------------------------------------------- WAV (audio)
 
 

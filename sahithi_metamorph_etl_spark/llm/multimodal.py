@@ -293,3 +293,58 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": out})
 
     return media.mapInPandas(feats, schema="media_id bigint, features array<bigint>")
+
+
+def decode_gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched ANIMATION decode stage: one row per composed GIF
+    frame — (media_id, frame_idx, n_frames, delay_cs, width, height,
+    pixel_sum) — via the from-spec multi-frame decoder (GCE delays,
+    transparency, disposal compositing). Non-GIF / undecodable payloads
+    yield ONE row with null frame columns instead of failing the stage
+    (total over arbitrary binary, like decode_audio_stats). This is the
+    real-codec counterpart of the byte-window ``sample_frames``: where
+    that stage slices bytes, this one yields actual composed frames —
+    the shape a keyframe-extraction pipeline consumes. Same
+    executor-shipping pattern: the codec travels as source text."""
+    from .codecs import module_source
+
+    codecs_src = module_source()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        decode_gif_frames = ns["decode_gif_frames"]
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "n_frames": [], "delay_cs": [],
+                "width": [], "height": [], "pixel_sum": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                mid = int(media_id)
+                try:
+                    frames = decode_gif_frames(b)
+                    for fi, (delay, px) in enumerate(frames):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(fi)
+                        out["n_frames"].append(len(frames))
+                        out["delay_cs"].append(delay)
+                        out["width"].append(px.shape[1])
+                        out["height"].append(px.shape[0])
+                        out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+                except Exception:
+                    out["media_id"].append(mid)
+                    for c in ("frame_idx", "n_frames", "delay_cs", "width", "height", "pixel_sum"):
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "media_id bigint, frame_idx int, n_frames int, delay_cs int, "
+            "width int, height int, pixel_sum bigint"
+        ),
+    )

@@ -84,14 +84,16 @@ def _load() -> None:
 # out-streak 2 after r6 (rule 3 binds: 14 entries, customers_with_orders
 # ... doc_stratified_sample), plus 17 of the 18 streak-1 entries.
 # OUT = the 41 non-anchor r6-green entries (fresh history, streak 1)
-# and three streak-1 holdovers that MUST return in r8:
-# multimodal_decode_stats (family keeps jpeg/png roundtrips + audio
-# stats in the set), events_interval_join (displaced by the r7-born
+# and four streak-1 holdovers that MUST return in r8:
+# multimodal_decode_stats (family keeps jpeg/png/gif + audio stats in
+# the set), events_interval_join (displaced by the r7-born
 # doc_pack_sequences; the streaming family keeps funnel /
-# sliding-window / stream-dedup), and doc_quality_score (displaced by
-# the r7-born emb_pq_topk; the text family keeps seven entries in the
-# set).  After this round every catalog entry has >=1 externally
-# checked row.
+# sliding-window / stream-dedup), doc_quality_score (displaced by the
+# r7-born emb_pq_topk; the text family keeps seven entries in the
+# set), and orders_status_pivot (displaced by the r7-born
+# multimodal_gif_frames; 5 green rounds of history, relational family
+# keeps 15+ entries in the set).  After this round every catalog entry
+# has >=1 externally checked row.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -105,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     # first driver rows: born r6 / born r7
     "events_funnel", "doc_rarity_score", "multimodal_jpeg_roundtrip",
     "orders_zorder_pruning", "multimodal_audio_stats",
-    "doc_pack_sequences", "emb_pq_topk",
+    "doc_pack_sequences", "emb_pq_topk", "multimodal_gif_frames",
     # only-row-predates-oracle-harness (r1 rows-only; streak 5)
     "doc_simhash", "emb_lsh_ann_topk", "emb_ivf_topk",
     "emb_cosine_near_dup", "events_sliding_window",
@@ -119,7 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     # streak-1 returns (out since r5)
     "customers_without_orders", "duplicate_order_lines",
     "part_price_class", "orders_by_month", "customer_segments_setops",
-    "customer_order_gaps", "orders_status_pivot",
+    "customer_order_gaps",
     "sketch_price_percentiles", "salted_skew_join",
     "doc_repetition_stats", "emb_label_centroids", "doc_pii_scrub",
     "corpus_near_dup_prune_lsh", "multimodal_png_roundtrip",

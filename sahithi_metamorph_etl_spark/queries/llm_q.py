@@ -1410,3 +1410,84 @@ def emb_pq_topk(spark, sf_dir):
     exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
     ann = pq_topk(emb, k=5, ksub=32, rerank=128, query_filter=F.col("vec_id") < 100)
     return ann_recall_summary(exact, ann, recall_floor=0.6)
+
+
+_GIF_FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id,
+                  doc_id % 9 + 4 AS w,
+                  doc_id % 5 + 4 AS h,
+                  doc_id % 4 + 2 AS f
+           FROM documents),
+e AS (SELECT doc_id, w, h, f, unnest(range(f)) AS i FROM d WHERE doc_id % 7 != 0)
+SELECT doc_id AS media_id,
+       CAST(i AS int) AS frame_idx,
+       CAST(f AS int) AS n_frames,
+       CAST((doc_id + i) % 10 + 1 AS int) AS delay_cs,
+       CAST(w AS int) AS width,
+       CAST(h AS int) AS height,
+       CAST(w * h * ((doc_id * 7 + 13 * i) % 256
+                     + (doc_id * 11 + 17 * i) % 256
+                     + (doc_id * 3 + 29 * i) % 256) AS bigint) AS pixel_sum
+FROM e
+UNION ALL
+SELECT doc_id, CAST(NULL AS int), CAST(NULL AS int), CAST(NULL AS int),
+       CAST(NULL AS int), CAST(NULL AS int), CAST(NULL AS bigint)
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register("multimodal_gif_frames", oracle=_GIF_FRAMES_ORACLE,
+          doc="REAL animated-GIF codec end-to-end: per document a synthesized "
+              "multi-frame GIF89a (doc_id%4+2 solid-color frames, dims/delays/"
+              "colors all arithmetic on doc_id), decoded by the from-spec "
+              "animation decoder (GCE delays, disposal compositing) through the "
+              "Arrow frame-stats stage — one row per composed frame with exact "
+              "pixel sums; doc_id%7==0 rows carry non-GIF bytes and must yield "
+              "one all-null frame row (stage totality). Every column is exact "
+              "oracle arithmetic, so any LZW/GCE/compositing defect "
+              "hash-mismatches")
+def multimodal_gif_frames(spark, sf_dir):
+    import pandas as pd
+
+    from ..llm.codecs import module_source
+    from ..llm.multimodal import decode_gif_frame_stats
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    codecs_src = module_source()  # shipped by value; see codecs.module_source
+
+    def synth(batches):
+        import numpy as np
+
+        ns: dict = {}
+        exec(codecs_src, ns)
+        encode_gif_animation = ns["encode_gif_animation"]
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "media_type": [], "source": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 7 == 0:  # non-GIF payload: stage must yield nulls
+                    payload, mtype = f"doc-{d}".encode(), "text/plain"
+                else:
+                    w, h, f = d % 9 + 4, d % 5 + 4, d % 4 + 2
+                    frames = [
+                        np.full(
+                            (h, w, 3),
+                            [(d * 7 + 13 * k) % 256, (d * 11 + 17 * k) % 256,
+                             (d * 3 + 29 * k) % 256],
+                            dtype=np.uint8,
+                        )
+                        for k in range(f)
+                    ]
+                    delays = [(d + k) % 10 + 1 for k in range(f)]
+                    payload, mtype = encode_gif_animation(frames, delays), "image/gif"
+                out["media_id"].append(d)
+                out["payload"].append(payload)
+                out["media_type"].append(mtype)
+                out["source"].append("synth")
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary, media_type string, source string"
+    )
+    return decode_gif_frame_stats(media)

@@ -510,3 +510,62 @@ def test_decode_audio_stats_real_wav_and_fallback(spark):
     assert abs(ok.rms - 1000.0) < 1e-9  # square wave: rms == amplitude
     bad = rows[2]
     assert bad.n_bytes == 9 and bad.sample_rate is None and bad.rms is None
+
+
+def test_gif_animation_roundtrip_delays_and_pixels():
+    """Multi-frame GIF89a round-trip: frame count, per-frame delays
+    (GCE) and composed pixels must all survive encode -> decode."""
+    frames = [np.full((5, 7, 3), c, dtype=np.uint8) for c in (10, 80, 200)]
+    payload = codecs.encode_gif_animation(frames, [3, 5, 7])
+    dec = codecs.decode_gif_frames(payload)
+    assert [d for d, _ in dec] == [3, 5, 7]
+    assert all(np.array_equal(f, g) for (_, f), g in zip(dec, frames))
+    # the single-frame facade still sees the first frame
+    assert np.array_equal(codecs.decode_gif(payload), frames[0])
+
+
+def test_gif_animation_transparency_and_disposal():
+    """Byte-crafted animation: a partial second frame with a transparent
+    index must leave underlying screen pixels visible; disposal=2 must
+    restore its region to the background before the next frame;
+    disposal=3 must restore the pre-frame screen."""
+    import struct as _struct
+
+    # GCT: 4 colors — bg(black), red, green, blue; screen 4x4
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    head = b"GIF89a" + _struct.pack("<HH", 4, 4) + bytes([0x80 | 1, 0, 0]) + gct
+
+    def frame(left, top, w, h, idx, disposal, transparent=None, delay=0):
+        flags = (disposal << 2) | (0x01 if transparent is not None else 0)
+        gce = (b"\x21\xf9\x04" + bytes([flags]) + _struct.pack("<H", delay)
+               + bytes([transparent or 0]) + b"\x00")
+        desc = b"\x2c" + _struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        data = codecs._gif_lzw_encode_blocks(np.asarray(idx, dtype=np.int64).ravel(), 2)
+        return gce + desc + data
+
+    # f1: full screen red, disposal=3 (restore previous afterwards)
+    f1 = frame(0, 0, 4, 4, [1] * 16, disposal=3)
+    # f2: 2x2 green patch at (1,1) with transparent=3 checkerboard,
+    # disposal=2 (restore background afterwards)
+    f2 = frame(1, 1, 2, 2, [2, 3, 3, 2], disposal=2, transparent=3)
+    # f3: full screen blue
+    f3 = frame(0, 0, 4, 4, [3] * 16, disposal=0)
+    payload = head + f1 + f2 + f3 + b"\x3b"
+
+    dec = codecs.decode_gif_frames(payload)
+    assert len(dec) == 3
+    red = np.array([255, 0, 0], dtype=np.uint8)
+    green = np.array([0, 255, 0], dtype=np.uint8)
+    blue = np.array([0, 0, 255], dtype=np.uint8)
+    black = np.array([0, 0, 0], dtype=np.uint8)
+    # frame 1 displays all red
+    assert (dec[0][1] == red).all()
+    # frame 2: f1's disposal=3 restored the pre-f1 (background) screen,
+    # so the patch draws on black; transparent cells show the black
+    # screen, opaque cells green
+    s2 = dec[1][1]
+    assert np.array_equal(s2[1, 1], green) and np.array_equal(s2[2, 2], green)
+    assert np.array_equal(s2[1, 2], black) and np.array_equal(s2[2, 1], black)
+    assert np.array_equal(s2[0, 0], black)
+    # frame 3: full blue regardless of earlier disposals
+    assert (dec[2][1] == blue).all()
