@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_audio_stats",
     "orders_zorder_pruning",
     "doc_pack_sequences",
+    "multimodal_gif_frames",
 ]
 
 

@@ -94,3 +94,38 @@ def test_rarity_score_bounds_and_base_rate(spark, sf_dir):
     # max_rarity >= mean_rarity per doc, within rounding slack
     bad = out.filter(F.col("max_rarity") < F.col("mean_rarity") - F.lit(1e-3)).count()
     assert bad == 0
+
+
+def test_pack_sequences_prefix_sum_property(spark):
+    """Property: for ANY token-length distribution, the bucketed
+    two-phase prefix sum equals the sequential model computed in plain
+    Python over the same md5 order (hypothesis-style generated corpora,
+    fixed seeds for reproducibility)."""
+    import hashlib
+    import random
+
+    from sahithi_metamorph_etl_spark.llm.chunking import pack_sequences
+
+    rng = random.Random(711)
+    for trial in range(3):
+        n = rng.randint(1, 120)
+        rows = []
+        for i in range(n):
+            # adversarial mix: empty-ish, tiny, huge documents
+            k = rng.choice([1, 2, 3, 50, 700])
+            rows.append((i, " ".join(f"w{j}" for j in range(k))))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["tok_offset"], r["pack_id"], r["n_tokens"])
+            for r in pack_sequences(df, budget=64, shuffle_seed="p").collect()
+        }
+        # sequential python model over the same deterministic order
+        order = sorted(
+            rows, key=lambda r: (hashlib.md5(f"p{r[0]}".encode()).hexdigest(), r[0])
+        )
+        cum = 0
+        for doc_id, text in order:
+            toks = len(text.split())
+            expect = (cum, cum // 64, toks)
+            assert got[doc_id] == expect, (trial, doc_id, got[doc_id], expect)
+            cum += toks
