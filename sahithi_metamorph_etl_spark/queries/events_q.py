@@ -375,3 +375,48 @@ def events_funnel(spark, sf_dir):
 
     ev = read_testdata(spark, sf_dir, "events")
     return funnel(ev, ["view", "click", "purchase"])
+
+
+@register("events_stream_funnel", oracle=_FUNNEL_ORACLE,
+          doc="STREAMING twin of events_funnel: the per-user funnel stage machine "
+              "(applyInPandasWithState) driven over a bounded file stream, final "
+              "emissions aggregated into per-stage user counts — over in-order "
+              "bounded input the online machine must reproduce the batch cascade "
+              "oracle exactly (same greedy rules: strictly-later ts, null ts "
+              "ignored)")
+def events_stream_funnel(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import events_stream, run_stream_to_memory
+    from ..streaming.stateful import funnel_stage_stream
+
+    stages = ["view", "click", "purchase"]
+    staging = tempfile.mkdtemp(prefix="events_funnel_stream_")
+    try:
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+        stream = funnel_stage_stream(events_stream(spark, staging), stages)
+        out = run_stream_to_memory(stream, "events_funnel_mem", output_mode="update")
+        # emissions are monotone; max(reached) is each user's final stage
+        final = out.groupBy("user_id").agg(F.max("reached").alias("reached"))
+        stages_df = spark.createDataFrame(
+            [(i + 1, s) for i, s in enumerate(stages)], "stage int, event_type string"
+        )
+        return (
+            stages_df.crossJoin(final)
+            .filter(F.col("reached") >= F.col("stage"))
+            .groupBy("stage", "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .unionByName(
+                stages_df.join(
+                    stages_df.crossJoin(final)
+                    .filter(F.col("reached") >= F.col("stage"))
+                    .select("stage").distinct(),
+                    "stage",
+                    "left_anti",
+                ).select("stage", "event_type", F.lit(0).cast("bigint").alias("n_users"))
+            )
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -117,3 +117,76 @@ def running_counts_stream(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def funnel_stage_stream(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.funnel``: a per-user stage
+    machine maintained ONLINE — each micro-batch advances users through
+    the ordered stages (greedy earliest-completion, strictly-later
+    timestamps, null event times ignored — the batch operator's exact
+    rules) and emits the user's current reached stage. Per-stage user
+    counts are a downstream aggregate of the latest emission per user
+    (emissions are monotone, so max(reached) is the funnel position).
+
+    PARITY CONTRACT: equals the batch fold when events arrive in
+    event-time order across micro-batches (each batch is ts-sorted
+    internally; a time-range-split file source or an in-order Kafka
+    partition keyed by user satisfies this). Genuinely late events
+    cannot retro-advance a machine that already passed their slot —
+    that is the standard online-funnel semantics, and the price of
+    never re-scanning history.
+
+    State per user: (stage, last event-time micros) — two ints, sharded
+    by the group-by shuffle; O(users) like the other stateful ops.
+    """
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stage_list = list(stages)
+    k = len(stage_list)
+
+    # self-contained closure: pickles by value, no package refs
+    def step(key, pdfs, state):
+        import pandas as pd
+
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        stage, last_us = state.get if state.exists else (0, None)
+        if parts:
+            rows = pd.concat(parts, ignore_index=True)
+            rows = rows.dropna(subset=["__ts"]).sort_values("__ts", kind="mergesort")
+            ts_us = (rows["__ts"].astype("int64") // 1000).tolist()
+            types = rows["__ty"].tolist()
+            for t_us, ty in zip(ts_us, types):
+                if (
+                    stage < k
+                    and ty == stage_list[stage]
+                    and (stage == 0 or (last_us is not None and t_us > last_us))
+                ):
+                    stage += 1
+                    last_us = t_us
+        state.update((stage, last_us))
+        yield pd.DataFrame({"user_id": [int(key[0])], "reached": [int(stage)]})
+
+    keyed = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(type_col).isin(stage_list))
+        .select(
+            F.col(user_col).cast("bigint").alias("__u"),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(type_col).alias("__ty"),
+        )
+    )
+    return keyed.groupBy("__u").applyInPandasWithState(
+        step,
+        outputStructType="user_id bigint, reached int",
+        stateStructType="stage int, last_us bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

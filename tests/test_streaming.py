@@ -329,3 +329,58 @@ def test_legacy_layout_conflict_guard(spark, sf_dir, tmp_path):
         wh2.write_legacy(batch.limit(5), "events", run_date)
     # same-kind writers still compose
     wh.append_legacy(batch.limit(5), "events", run_date)
+
+
+def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel parity: over a bounded, event-time-ordered file
+    stream (3 ts-range files arriving in order), the per-stage user
+    counts derived from the stateful per-user machine's final emissions
+    must equal the batch fold's counts exactly."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window, functions as F
+
+    from sahithi_metamorph_etl_spark.operators.windows import funnel
+    from sahithi_metamorph_etl_spark.streaming.events import events_stream
+    from sahithi_metamorph_etl_spark.streaming.stateful import funnel_stage_stream
+
+    stages = ["view", "click", "purchase"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_counts = {r["stage"]: r["n_users"] for r in funnel(ev, stages).collect()}
+
+    # ts-ordered arrival: split into 3 event-time terciles, land them as
+    # separate files with strictly increasing mtimes (the file source
+    # orders pending files by timestamp)
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    sliced = ev.filter(F.col("ts").isNotNull()).withColumn(
+        "__slice", F.ntile(3).over(Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        stage_dir = tmp_path / f"stage_{i}"
+        (
+            sliced.filter(F.col("__slice") == i).drop("__slice")
+            .coalesce(1).write.parquet(str(stage_dir))
+        )
+        part = next(stage_dir.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i:02d}.parquet")
+        _time.sleep(1.05)
+
+    stream = funnel_stage_stream(events_stream(spark, str(src)), stages)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory").queryName("funnel_stream_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = (
+        spark.table("funnel_stream_out")
+        .groupBy("user_id").agg(F.max("reached").alias("reached"))
+    )
+    stream_counts = {
+        s: final.filter(F.col("reached") >= s).count() for s in (1, 2, 3)
+    }
+    assert stream_counts == batch_counts, (stream_counts, batch_counts)
