@@ -94,8 +94,10 @@ def _load() -> None:
 # multimodal_gif_frames; 5 green rounds of history, relational family
 # keeps 15+ entries in the set).  events_stream_dedup likewise holds
 # over for the r7-born events_stream_funnel (same stateful-streaming
-# family, r1+r5 history; due back in r8).  After this round every
-# catalog entry has >=1 externally checked row.
+# family, r1+r5 history; due back in r8), and multimodal_png_roundtrip
+# for the r7-born warehouse_upsert_roundtrip (codec family keeps
+# jpeg/gif/wav/audio in the set; due back in r8).  After this round
+# every catalog entry has >=1 externally checked row.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -110,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_funnel", "doc_rarity_score", "multimodal_jpeg_roundtrip",
     "orders_zorder_pruning", "multimodal_audio_stats",
     "doc_pack_sequences", "emb_pq_topk", "multimodal_gif_frames",
-    "events_stream_funnel",
+    "events_stream_funnel", "warehouse_upsert_roundtrip",
     # only-row-predates-oracle-harness (r1 rows-only; streak 5)
     "doc_simhash", "emb_lsh_ann_topk", "emb_ivf_topk",
     "emb_cosine_near_dup", "events_sliding_window",
@@ -127,7 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_order_gaps",
     "sketch_price_percentiles", "salted_skew_join",
     "doc_repetition_stats", "emb_label_centroids", "doc_pii_scrub",
-    "corpus_near_dup_prune_lsh", "multimodal_png_roundtrip",
+    "corpus_near_dup_prune_lsh",
 )
 
 

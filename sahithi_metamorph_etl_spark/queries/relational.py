@@ -1038,3 +1038,66 @@ def orders_zorder_pruning(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- warehouse keyed MERGE (upsert) ----------------------------------------
+
+_UPSERT_ORACLE = f"""
+WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+upd AS (SELECT k, p + 100 AS p FROM base WHERE k % 3 = 0),
+ins AS (SELECT k + 100000000 AS k, p + 1000 AS p FROM base WHERE k % 5 = 1),
+merged AS (SELECT k, p FROM base WHERE k % 3 != 0
+           UNION ALL SELECT k, p FROM upd
+           UNION ALL SELECT k, p FROM ins)
+SELECT CAST(count(*) AS bigint) AS n_rows,
+       CAST(count(DISTINCT k) AS bigint) AS n_keys,
+       {o_dsum('p', 2)} AS total_price
+FROM merged
+"""
+
+
+@register("warehouse_upsert_roundtrip", oracle=_UPSERT_ORACLE,
+          doc="Keyed MERGE into a legacy day partition end-to-end "
+              "(sinks.warehouse.upsert_legacy): bootstrap-write orders, then "
+              "upsert a batch that updates every k%3==0 price (+100) and inserts "
+              "shifted new keys for k%5==1 (+1000); the read-back day's row "
+              "count, distinct keys and exact-money price total must equal the "
+              "oracle's directly-computed merged state. Proves replace-not-"
+              "duplicate, keep-untouched and insert semantics through the real "
+              "partitioned-parquet read-modify-write path")
+def warehouse_upsert_roundtrip(spark, sf_dir):
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from ..sinks.warehouse import LayeredWarehouse
+
+    base = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    run_date = dt.date(2025, 1, 1)
+    root = tempfile.mkdtemp(prefix="wh_upsert_")
+    try:
+        wh = LayeredWarehouse(root)
+        wh.upsert_legacy(base, "orders_state", ["o_orderkey"], run_date)
+        updates = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100
+        )
+        inserts = base.filter(F.col("o_orderkey") % 5 == 1).select(
+            (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+            (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        )
+        wh.upsert_legacy(
+            updates.unionByName(inserts), "orders_state", ["o_orderkey"], run_date
+        )
+        back = wh.read_legacy(spark, "orders_state", run_date=run_date)
+        # like the zorder/IVF entries: the temp layout only backs this
+        # eagerly-computed 1-row summary, then is deleted
+        summary = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        ).collect()
+        return spark.createDataFrame(
+            summary, "n_rows bigint, n_keys bigint, total_price double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

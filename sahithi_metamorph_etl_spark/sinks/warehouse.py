@@ -147,6 +147,51 @@ class LayeredWarehouse:
         out.write.mode("append").partitionBy("DAY_DT").parquet(path)
         return path
 
+    def upsert_legacy(
+        self, df: DataFrame, name: str, keys: list[str], run_date: dt.date
+    ) -> str:
+        """MERGE (keyed upsert) into one DAY_DT partition of the legacy
+        layer: incoming rows REPLACE existing same-key rows, all other
+        rows of the day survive — the lakehouse `MERGE INTO` re-expressed
+        over plain partitioned parquet (the reference's append-only JDBC
+        history cannot correct a row at all; `write_legacy` can only
+        replace the WHOLE day).
+
+        Mechanics: read ONLY the target day (partition-pruned), anti-join
+        it against the incoming keys, union the incoming rows, and
+        dynamic-partition-overwrite just that day. The merged day slice
+        is `localCheckpoint`-ed first — Spark refuses to overwrite a
+        path its own plan is still reading from, and truncating the
+        lineage is the supported way out; the materialized slice is one
+        day, not the table. Cost at 100 TB: one day partition read +
+        rewritten per run, never the table.
+        """
+        if not keys:
+            raise ValueError("upsert_legacy needs at least one key column")
+        spark = df.sparkSession
+        self._assert_legacy_layout(spark, name, batched=False)
+        path = self._path("legacy", name)
+        day = F.lit(run_date.isoformat()).cast("date")
+        incoming = df.withColumn("DAY_DT", day) if "DAY_DT" not in df.columns else df
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            incoming.write.mode("overwrite").partitionBy("DAY_DT").parquet(path)
+            return path
+        existing_day = spark.read.parquet(path).filter(F.col("DAY_DT") == day)
+        kept = existing_day.join(
+            incoming.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = kept.unionByName(incoming.select(*kept.columns)).localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("DAY_DT")
+            .parquet(path)
+        )
+        return path
+
     def stream_to_legacy(
         self,
         stream_df: DataFrame,
