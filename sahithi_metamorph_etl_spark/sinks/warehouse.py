@@ -106,18 +106,17 @@ class LayeredWarehouse:
             )
         write_jdbc(df, url, table, mode=mode, **options)
 
-    def _assert_legacy_layout(self, spark: SparkSession, name: str, batched: bool) -> None:
-        """A legacy table is partitioned either DAY_DT-only (batch
-        writers) or DAY_DT/__BATCH_ID (stream_to_legacy). Mixing the two
-        under one table name corrupts partition discovery (Spark raises
-        on conflicting directory depths, or worse mis-reads), so refuse
-        up front when the existing layout disagrees with the writer."""
-        path = self._path("legacy", name)
+    def _fs(self, spark: SparkSession, path: str):
         jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+    def _legacy_layout(self, spark: SparkSession, name: str) -> str | None:
+        """'batched' (DAY_DT/__BATCH_ID, stream-landed), 'plain'
+        (DAY_DT-only, batch writers) or None (table absent)."""
+        fs, root, _ = self._fs(spark, self._path("legacy", name))
         if not fs.exists(root):
-            return
+            return None
         for status in fs.listStatus(root):
             if not (status.isDirectory() and status.getPath().getName().startswith("DAY_DT=")):
                 continue
@@ -125,6 +124,19 @@ class LayeredWarehouse:
                 s.isDirectory() and s.getPath().getName().startswith("__BATCH_ID=")
                 for s in fs.listStatus(status.getPath())
             )
+            return "batched" if has_batch_dirs else "plain"
+        return None  # root exists but holds no partition yet
+
+    def _assert_legacy_layout(self, spark: SparkSession, name: str, batched: bool) -> None:
+        """A legacy table is partitioned either DAY_DT-only (batch
+        writers) or DAY_DT/__BATCH_ID (stream_to_legacy). Mixing the two
+        under one table name corrupts partition discovery (Spark raises
+        on conflicting directory depths, or worse mis-reads), so refuse
+        up front when the existing layout disagrees with the writer."""
+        path = self._path("legacy", name)
+        layout = self._legacy_layout(spark, name)
+        if layout is not None:
+            has_batch_dirs = layout == "batched"
             if has_batch_dirs != batched:
                 want = "DAY_DT/__BATCH_ID" if batched else "DAY_DT-only"
                 have = "DAY_DT/__BATCH_ID" if has_batch_dirs else "DAY_DT-only"
@@ -191,6 +203,79 @@ class LayeredWarehouse:
             .parquet(path)
         )
         return path
+
+    def compact_legacy_day(
+        self, spark: SparkSession, name: str, run_date: dt.date, n_files: int = 8
+    ) -> dict:
+        """Small-file compaction for one legacy day — the operational
+        fix for the streaming sink's one-directory-per-micro-batch
+        output (and for drip-fed append_legacy days): rewrite the day's
+        rows as ``n_files`` right-sized parquet files and swap them in.
+
+        Layout-preserving: a stream-landed (DAY_DT/__BATCH_ID) day
+        compacts into a single ``__BATCH_ID=-1`` partition — the table
+        keeps a uniform directory depth, so partition discovery stays
+        valid alongside un-compacted days (a depth-changing "finalize"
+        would corrupt the whole table's discovery). A batch (DAY_DT-
+        only) day compacts in place. Swap protocol: write to a staging
+        dir, rename old day aside, rename staging in, delete the old
+        day — on HDFS renames are atomic, so a crash leaves either the
+        old or the new day readable (object stores should route this
+        through a committer). At 100 TB: one day read + rewritten,
+        executor-parallel; the driver only issues renames.
+
+        Returns {"rows": n, "files_before": b, "files_after": a}.
+        """
+        if n_files < 1:
+            raise ValueError("n_files must be >= 1")
+        layout = self._legacy_layout(spark, name)
+        if layout is None:
+            raise ValueError(f"legacy table {name!r} does not exist")
+        path = self._path("legacy", name)
+        day_name = f"DAY_DT={run_date.isoformat()}"
+        fs, root, jvm = self._fs(spark, path)
+        day_path = jvm.org.apache.hadoop.fs.Path(root, day_name)
+        if not fs.exists(day_path):
+            raise ValueError(f"{name!r} has no partition {day_name}")
+
+        def _count_files(p) -> int:
+            total = 0
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    total += _count_files(st.getPath())
+                elif st.getPath().getName().endswith(".parquet"):
+                    total += 1
+            return total
+
+        files_before = _count_files(day_path)
+        day = F.lit(run_date.isoformat()).cast("date")
+        df = spark.read.parquet(path).filter(F.col("DAY_DT") == day).drop("DAY_DT")
+        if "__BATCH_ID" in df.columns:
+            df = df.drop("__BATCH_ID")
+        # materialize BEFORE touching the source files (same
+        # read-then-overwrite hazard as upsert_legacy)
+        compacted = df.repartition(n_files).localCheckpoint()
+        n_rows = compacted.count()
+
+        staging = jvm.org.apache.hadoop.fs.Path(root, f".compact_staging_{day_name}")
+        target_dir = staging
+        if layout == "batched":
+            target_dir = jvm.org.apache.hadoop.fs.Path(staging, "__BATCH_ID=-1")
+        compacted.write.mode("overwrite").parquet(str(target_dir))
+        trash = jvm.org.apache.hadoop.fs.Path(root, f".compact_trash_{day_name}")
+        if fs.exists(trash):
+            fs.delete(trash, True)
+        if not fs.rename(day_path, trash):
+            raise OSError(f"compaction could not move {day_name} aside")
+        if not fs.rename(staging, day_path):
+            fs.rename(trash, day_path)  # roll back
+            raise OSError(f"compaction could not install the compacted {day_name}")
+        fs.delete(trash, True)
+        return {
+            "rows": int(n_rows),
+            "files_before": int(files_before),
+            "files_after": _count_files(day_path),
+        }
 
     def stream_to_legacy(
         self,

@@ -384,3 +384,59 @@ def test_funnel_stream_matches_batch(spark, sf_dir, tmp_path):
         s: final.filter(F.col("reached") >= s).count() for s in (1, 2, 3)
     }
     assert stream_counts == batch_counts, (stream_counts, batch_counts)
+
+
+def test_compact_legacy_day_stream_and_batch_layouts(spark, sf_dir, tmp_path):
+    """Compaction must collapse a stream-landed day's per-batch dirs
+    into one __BATCH_ID=-1 partition (layout depth preserved, table
+    still discoverable next to un-compacted days) and shrink a
+    drip-fed batch day's file count — with identical rows both times."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+    from sahithi_metamorph_etl_spark.streaming.events import events_stream
+
+    run_date = dt.date(2025, 7, 9)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+
+    # stream-landed day: 3 source files -> 3 __BATCH_ID dirs
+    src = str(tmp_path / "ev3")
+    ev.repartition(3).write.parquet(src)
+    wh = LayeredWarehouse(str(tmp_path / "wh_stream"))
+    q = wh.stream_to_legacy(
+        events_stream(spark, src).select("event_id", "user_id", "event_type"),
+        "events", run_date, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # a second, untouched day must survive compaction of the first
+    other_day = dt.date(2025, 7, 10)
+
+    n = ev.count()
+    stats = wh.compact_legacy_day(spark, "events", run_date, n_files=2)
+    assert stats["rows"] == n
+    assert stats["files_before"] >= 3 and stats["files_after"] == 2
+    back = wh.read_legacy(spark, "events", run_date=run_date)
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+    assert "__BATCH_ID" not in back.columns
+    # layout still 'batched': the streaming sink may keep landing days
+    assert wh._legacy_layout(spark, "events") == "batched"
+
+    # batch table drip-fed into many files
+    wh2 = LayeredWarehouse(str(tmp_path / "wh_batch"))
+    for i in range(4):
+        wh2.append_legacy(ev.limit(100).repartition(3), "events", run_date)
+    wh2.append_legacy(ev.limit(10), "events", other_day)
+    stats2 = wh2.compact_legacy_day(spark, "events", run_date, n_files=1)
+    assert stats2["rows"] == 400 and stats2["files_after"] == 1
+    assert wh2.read_legacy(spark, "events", run_date=run_date).count() == 400
+    assert wh2.read_legacy(spark, "events", run_date=other_day).count() == 10
+    assert wh2._legacy_layout(spark, "events") == "plain"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no partition"):
+        wh2.compact_legacy_day(spark, "events", dt.date(1999, 1, 1))
