@@ -355,8 +355,24 @@ class LayeredWarehouse:
     def read_raw(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self._path("raw", f"{name}_pre"))
 
-    def read_legacy(self, spark: SparkSession, name: str, run_date: dt.date | None = None) -> DataFrame:
-        df = spark.read.parquet(self._path("legacy", name))
+    def read_legacy(
+        self,
+        spark: SparkSession,
+        name: str,
+        run_date: dt.date | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read the legacy history (optionally one partition-pruned
+        day). ``merge_schema=True`` unions the footers of every day's
+        files — the schema-evolution read: a pipeline that started
+        writing an extra column on some date yields that column for ALL
+        days, null where absent (parquet's standard additive-evolution
+        contract; without it Spark samples one footer and later columns
+        can silently vanish from reads that span the change)."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self._path("legacy", name))
         if "__BATCH_ID" in df.columns:  # streaming-landed: implementation detail
             df = df.drop("__BATCH_ID")
         if run_date is not None:

@@ -173,3 +173,31 @@ def test_upsert_legacy_merges_keys_and_preserves_other_days(spark, sf_dir, tmp_p
     with _pytest.raises(ValueError):
         wh2 = LayeredWarehouse(str(tmp_path / "wh"))
         wh2._assert_legacy_layout(spark, "orders_state", batched=True)
+
+
+def test_read_legacy_merge_schema_evolution(spark, sf_dir, tmp_path):
+    """Additive schema evolution across days: a column added on day 2
+    must surface (null-backfilled) for day-1 rows under
+    merge_schema=True, and day-2 reads must carry it either way."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(20)
+    wh.append_legacy(base, "orders_evo", dt.date(2025, 7, 1))
+    wh.append_legacy(
+        base.withColumn("o_channel", F.lit("web")), "orders_evo", dt.date(2025, 7, 2)
+    )
+
+    merged = wh.read_legacy(spark, "orders_evo", merge_schema=True)
+    assert "o_channel" in merged.columns
+    assert merged.count() == 40
+    d1 = merged.filter(F.col("DAY_DT") == "2025-07-01")
+    assert d1.filter(F.col("o_channel").isNull()).count() == 20
+    d2 = merged.filter(F.col("DAY_DT") == "2025-07-02")
+    assert d2.filter(F.col("o_channel") == "web").count() == 20
