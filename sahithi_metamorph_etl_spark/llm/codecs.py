@@ -479,26 +479,21 @@ def encode_jpeg_baseline(
     dc_chrom = _jpeg_build_codes(*_JPEG_DC_CHROM)
     ac_chrom = _jpeg_build_codes(*_JPEG_AC_CHROM)
 
+    planes = _jpeg_rgb_to_ycbcr_planes(arr, gray)
     if gray:
-        planes = [arr.astype(np.float64)]
         samp = [(1, 1)]
-    else:
-        rgb = arr.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "420":
-            # pad to even dims, then 2x2 box mean for chroma
-            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
-            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
-            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        # pad to even dims, then 2x2 box mean for chroma
+        y, cb, cr = planes
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+        cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
 
     max_h = max(s[0] for s in samp)
     max_v = max(s[1] for s in samp)
@@ -677,6 +672,75 @@ def _jpeg_decode_block(
     return zz, dc
 
 
+def _jpeg_parse_dqt(body: bytes, qtables: dict) -> None:
+    """Parse one DQT segment body (possibly several tables) into
+    natural-order (8, 8) int64 tables keyed by table id — shared by the
+    baseline and progressive decoders."""
+    bp = 0
+    while bp < len(body):
+        pq, tq = body[bp] >> 4, body[bp] & 0x0F
+        bp += 1
+        if pq == 0:
+            vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.int64)
+            bp += 64
+        else:
+            vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.int64)
+            bp += 128
+        nat = np.zeros(64, dtype=np.int64)
+        nat[_JPEG_ZIGZAG] = vals
+        qtables[tq] = nat.reshape(8, 8)
+
+
+def _jpeg_parse_dht(body: bytes, huff: dict) -> None:
+    """Parse one DHT segment body (possibly several tables) into decode
+    tables keyed by (class, id) — shared by both decoders."""
+    bp = 0
+    while bp < len(body):
+        tc, th = body[bp] >> 4, body[bp] & 0x0F
+        bits = list(body[bp + 1 : bp + 17])
+        nvals = sum(bits)
+        vals = list(body[bp + 17 : bp + 17 + nvals])
+        huff[(tc, th)] = _jpeg_decode_table(_jpeg_build_codes(bits, vals))
+        bp += 17 + nvals
+
+
+def _jpeg_planes_to_image(
+    comps: list[dict], planes: dict, h: int, w: int, max_h: int, max_v: int
+) -> np.ndarray:
+    """Shared decoder tail: upsample subsampled component planes
+    (replicated samples), crop to the frame, and convert 1 plane to
+    gray / 3 planes from YCbCr (BT.601) to RGB uint8."""
+    full = []
+    for c in comps:
+        plane = planes[c["id"]]
+        ry, rx = max_v // c["v"], max_h // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _jpeg_rgb_to_ycbcr_planes(arr: np.ndarray, gray: bool) -> list[np.ndarray]:
+    """Shared encoder head: grayscale -> [Y]; RGB -> BT.601 [Y, Cb, Cr]
+    float64 planes (Cb/Cr offset to the 0..255 range)."""
+    if gray:
+        return [arr.astype(np.float64)]
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+
 def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
     """Progressive (SOF2) JPEG bytes -> (H, W, C) uint8. Coefficients
     accumulate across scans (spectral selection + successive
@@ -708,28 +772,9 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
-            bp = 0
-            while bp < len(body):
-                pq, tq = body[bp] >> 4, body[bp] & 0x0F
-                bp += 1
-                if pq == 0:
-                    vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.int64)
-                    bp += 64
-                else:
-                    vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.int64)
-                    bp += 128
-                nat = np.zeros(64, dtype=np.int64)
-                nat[_JPEG_ZIGZAG] = vals
-                qtables[tq] = nat.reshape(8, 8)
+            _jpeg_parse_dqt(body, qtables)
         elif marker == 0xC4:
-            bp = 0
-            while bp < len(body):
-                tc, th = body[bp] >> 4, body[bp] & 0x0F
-                bits = list(body[bp + 1 : bp + 17])
-                nvals = sum(bits)
-                vals = list(body[bp + 17 : bp + 17 + nvals])
-                huff[(tc, th)] = _jpeg_decode_table(_jpeg_build_codes(bits, vals))
-                bp += 17 + nvals
+            _jpeg_parse_dht(body, huff)
         elif marker == 0xC2:
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -802,21 +847,7 @@ def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
                     dct_m.T @ block.astype(np.float64) @ dct_m + 128.0
                 )
         planes[c["id"]] = plane
-    full = []
-    for c in comps:
-        plane = planes[c["id"]]
-        ry, rx = max_v // c["v"], max_h // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return out[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return _jpeg_planes_to_image(comps, planes, h, w, max_h, max_v)
 
 
 def _decode_progressive_scan(
@@ -1025,16 +1056,7 @@ def encode_jpeg_progressive(
     q_lum = _jpeg_scale_qtable(_JPEG_Q_LUM, quality)
     q_chrom = _jpeg_scale_qtable(_JPEG_Q_CHROM, quality)
 
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        rgb = arr.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+    planes = _jpeg_rgb_to_ycbcr_planes(arr, gray)
     ncomp = len(planes)
     qtables = [q_lum] + [q_chrom] * (ncomp - 1)
     mcus_x, mcus_y = -(-w // 8), -(-h // 8)  # 4:4:4 only: 1 block/comp/MCU
@@ -1265,28 +1287,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (may hold several tables)
-            bp = 0
-            while bp < len(body):
-                pq, tq = body[bp] >> 4, body[bp] & 0x0F
-                bp += 1
-                if pq == 0:
-                    vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.int64)
-                    bp += 64
-                else:
-                    vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.int64)
-                    bp += 128
-                nat = np.zeros(64, dtype=np.int64)
-                nat[_JPEG_ZIGZAG] = vals
-                qtables[tq] = nat.reshape(8, 8)
+            _jpeg_parse_dqt(body, qtables)
         elif marker == 0xC4:  # DHT (may hold several tables)
-            bp = 0
-            while bp < len(body):
-                tc, th = body[bp] >> 4, body[bp] & 0x0F
-                bits = list(body[bp + 1 : bp + 17])
-                nvals = sum(bits)
-                vals = list(body[bp + 17 : bp + 17 + nvals])
-                huff[(tc, th)] = _jpeg_decode_table(_jpeg_build_codes(bits, vals))
-                bp += 17 + nvals
+            _jpeg_parse_dht(body, huff)
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
@@ -1369,28 +1372,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             n_mcus += 1
     # belt and braces for the same hazard: any FURTHER SOS after the
-    # decoded scan means a multi-scan stream (spec-valid sequential JPEG
-    # permits it; this decoder only handles one interleaved scan). Within
-    # entropy data 0xFF is always stuffed (0xFF00) or an RSTn, so a raw
-    # 0xFFDA past the reader can only be a real second scan header.
-    if payload.find(b"\xff\xda", reader._pos) != -1:
+    # decoded scan but BEFORE this image's EOI means a multi-scan stream
+    # (spec-valid sequential JPEG permits it; this decoder only handles
+    # one interleaved scan). Within entropy data 0xFF is always stuffed
+    # (0xFF00) or an RSTn, so a raw 0xFFDA in that window can only be a
+    # real second scan header. The search MUST stop at EOI: bytes past
+    # it (concatenated JPEGs, motion-photo video appendices, editor
+    # trailers — all common in real corpora) are not part of this image.
+    next_sos = payload.find(b"\xff\xda", reader._pos)
+    eoi = payload.find(b"\xff\xd9", reader._pos)
+    if next_sos != -1 and (eoi == -1 or next_sos < eoi):
         raise UnsupportedImageError("multi-scan sequential JPEG not supported")
 
-    full = []
-    for c in comps:
-        plane = planes[c["id"]]
-        ry, rx = max_v // c["v"], max_h // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return out[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return _jpeg_planes_to_image(comps, planes, h, w, max_h, max_v)
 
 
 def gif_header(payload: bytes) -> tuple[int, int, int]:
@@ -1546,61 +1540,15 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     table[: len(colors)] = colors
     indices = inverse.astype(np.int64)
 
-    min_code_size = max(2, ct_bits)
-    clear = 1 << min_code_size
-    end = clear + 1
-    codes: list[tuple[int, int]] = [(clear, min_code_size + 1)]
-    dictionary: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
-    next_code = end + 1
-    width = min_code_size + 1
-    prev: tuple[int, ...] = ()
-    for sym in indices:
-        cur = prev + (int(sym),)
-        if cur in dictionary:
-            prev = cur
-            continue
-        codes.append((dictionary[prev], width))
-        dictionary[cur] = next_code
-        next_code += 1
-        # the decoder's dictionary lags this one by exactly one entry
-        # (it adds an entry only when reading the NEXT code), so its
-        # width bump — at ITS next_code == 1<<width — maps to ours at
-        # next_code == (1<<width) + 1
-        if next_code == (1 << width) + 1 and width < 12:
-            width += 1
-        if next_code == 4096:  # dictionary full: reset per spec
-            codes.append((clear, width))
-            dictionary = {(i,): i for i in range(clear)}
-            next_code = end + 1
-            width = min_code_size + 1
-        prev = (int(sym),)
-    if prev:
-        codes.append((dictionary[prev], width))
-    codes.append((end, width))
-
-    acc = 0
-    nbits = 0
-    stream = bytearray()
-    for code, cw in codes:
-        acc |= code << nbits
-        nbits += cw
-        while nbits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        stream.append(acc & 0xFF)
-
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag+size, bg, aspect
     out += table.tobytes()
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-    out += bytes([min_code_size])
-    for i in range(0, len(stream), 255):
-        chunk = stream[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    # one LZW implementation for both encoders (the animation encoder
+    # shares this helper): min_code_size + 255-byte sub-blocks + term
+    out += _gif_lzw_encode_blocks(indices, ct_bits)
+    out += b"\x3b"
     return bytes(out)
 
 

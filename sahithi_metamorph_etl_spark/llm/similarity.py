@@ -772,15 +772,16 @@ def pq_topk(
     """
     import numpy as np
 
-    books = _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample)
-    dsub = books.shape[2]
-
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "pq_topk"
     )
     if not qrows:
+        # also covers the empty-corpus case (queries come from the same
+        # frame), so codebook training below always has sample vectors
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
+    books = _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample)
+    dsub = books.shape[2]
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)

@@ -184,7 +184,23 @@ class LayeredWarehouse:
         self._assert_legacy_layout(spark, name, batched=False)
         path = self._path("legacy", name)
         day = F.lit(run_date.isoformat()).cast("date")
-        incoming = df.withColumn("DAY_DT", day) if "DAY_DT" not in df.columns else df
+        if "DAY_DT" in df.columns:
+            # the merge is scoped to run_date's partition — but dynamic
+            # partition overwrite rewrites EVERY day present in the
+            # incoming frame, so a stray other-day row would replace
+            # that whole day with just the strays (silent data loss).
+            # Refuse loudly instead. Bounded driver action: 1-row count.
+            strays = df.filter(F.col("DAY_DT") != day).count()
+            if strays:
+                raise ValueError(
+                    f"upsert_legacy targets DAY_DT={run_date.isoformat()} but the "
+                    f"incoming frame carries {strays} row(s) with a different "
+                    "DAY_DT — dynamic overwrite would destroy those days. "
+                    "Upsert one day at a time."
+                )
+            incoming = df
+        else:
+            incoming = df.withColumn("DAY_DT", day)
         jvm = spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(path)
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -173,7 +173,12 @@ def funnel_stage_stream(
                     stage += 1
                     last_us = t_us
         state.update((stage, last_us))
-        yield pd.DataFrame({"user_id": [int(key[0])], "reached": [int(stage)]})
+        # a NULL user id forms its own group like the batch fold's null
+        # group — it arrives as None or NaN depending on the Arrow
+        # batch's dtype; emit it rather than crashing the query
+        raw = key[0]
+        uid = None if raw is None or pd.isna(raw) else int(raw)
+        yield pd.DataFrame({"user_id": [uid], "reached": [int(stage)]})
 
     keyed = (
         events.filter(F.col(ts_col).isNotNull() & F.col(type_col).isin(stage_list))

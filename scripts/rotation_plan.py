@@ -66,6 +66,8 @@ def audit(priority: tuple[str, ...], names: list[str]) -> tuple[list[str], dict]
             continue
         s = 0
         for r in range(last, min(appeared), -1):
+            if r not in rounds:  # a gap in the shipped round files is
+                continue  # not an "out" round — only real rounds count
             if n in rounds[r]:
                 break
             s += 1

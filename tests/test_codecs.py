@@ -569,3 +569,15 @@ def test_gif_animation_transparency_and_disposal():
     assert np.array_equal(s2[0, 0], black)
     # frame 3: full blue regardless of earlier disposals
     assert (dec[2][1] == blue).all()
+
+
+def test_jpeg_trailing_bytes_after_eoi_still_decode():
+    """Real corpora carry bytes after EOI (concatenated JPEGs,
+    motion-photo video appendices, editor trailers). The multi-scan
+    guard must stop at EOI: trailing data — even containing 0xFFDA —
+    cannot turn a valid single-scan image into a refusal."""
+    img = _gradient_rgb(16, 16)
+    enc = codecs.encode_jpeg_baseline(img, 90)
+    ref = codecs.decode_jpeg(enc)
+    assert np.array_equal(codecs.decode_jpeg(enc + enc), ref)
+    assert np.array_equal(codecs.decode_jpeg(enc + b"\x00\x01\xff\xda\x77"), ref)

@@ -1471,3 +1471,14 @@ def test_pq_topk_recall_and_full_rerank_exactness(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(emb, k=5, m=7, query_filter=qf)
+
+
+def test_pq_topk_empty_corpus_returns_empty(spark):
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import pq_topk
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = pq_topk(empty, k=3, query_filter=F.col("vec_id") < 10)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]

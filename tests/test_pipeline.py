@@ -201,3 +201,35 @@ def test_read_legacy_merge_schema_evolution(spark, sf_dir, tmp_path):
     assert d1.filter(F.col("o_channel").isNull()).count() == 20
     d2 = merged.filter(F.col("DAY_DT") == "2025-07-02")
     assert d2.filter(F.col("o_channel") == "web").count() == 20
+
+
+def test_upsert_legacy_refuses_stray_day_rows(spark, sf_dir, tmp_path):
+    """An incoming frame carrying rows for a DIFFERENT day than the
+    merge target must be refused: dynamic overwrite would replace that
+    whole other day with just the strays (silent data loss)."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    d1, d2 = dt.date(2025, 7, 1), dt.date(2025, 7, 2)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(20)
+    wh.upsert_legacy(base, "t", ["o_orderkey"], d1)
+    wh.append_legacy(base, "t", d2)
+
+    mixed = base.limit(2).withColumn(
+        "DAY_DT",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(d2.isoformat()))
+        .otherwise(F.lit(d1.isoformat()))
+        .cast("date"),
+    )
+    with _pytest.raises(ValueError, match="different"):
+        wh.upsert_legacy(mixed, "t", ["o_orderkey"], d1)
+    # both days intact after the refusal
+    assert wh.read_legacy(spark, "t", run_date=d1).count() == 20
+    assert wh.read_legacy(spark, "t", run_date=d2).count() == 20

@@ -440,3 +440,34 @@ def test_compact_legacy_day_stream_and_batch_layouts(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="no partition"):
         wh2.compact_legacy_day(spark, "events", dt.date(1999, 1, 1))
+
+
+def test_funnel_stream_tolerates_null_user(spark, tmp_path):
+    """A NULL user id must form a group like the batch fold's null
+    group — not crash the Python worker on int(None)."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.streaming.stateful import funnel_stage_stream
+
+    t = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, None, "view", 1.0, "{}"),
+        (2, t + dt.timedelta(minutes=1), None, "click", 1.0, "{}"),
+        (3, t, 7, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "null_user_src")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = funnel_stage_stream(stream, ["view", "click"])
+    q = out.writeStream.outputMode("update").format("memory").queryName("nu_out").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r["reached"] for r in spark.table("nu_out").collect()}
+    assert got == {None: 2, 7: 1}
