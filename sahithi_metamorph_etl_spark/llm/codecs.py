@@ -1032,15 +1032,19 @@ def _ac_refine_block(reader, tbl, cell, ss, se, al, eobrun) -> int:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 85, al_levels: int = 1
+    pixels: np.ndarray, quality: int = 85, al_levels: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W) or (H, W, 3) uint8 -> progressive (SOF2) JFIF bytes.
 
     Scan script (exercises every Annex G decode mode): interleaved DC
     first at Al=``al_levels`` + DC refinements down to Al=0, then per
     component AC first (Ss=1..63) at Al=``al_levels`` + AC refinements
-    down to Al=0. Coefficients are identical to the baseline encoder at
-    the same quality, so decode(progressive) == decode(baseline)."""
+    down to Al=0. ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs/blocks in EVERY scan (predictors and EOB
+    state reset at each marker, per spec). Coefficients are identical
+    to the baseline encoder at the same quality, so
+    decode(progressive) == decode(baseline)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -1107,6 +1111,9 @@ def encode_jpeg_progressive(
     if not gray:
         out += _jpeg_dht_segment(0, 1, _JPEG_DC_CHROM)
         out += _jpeg_dht_segment(1, 1, _JPEG_AC_CHROM)
+    ri = int(restart_interval)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
 
     # scan 1: interleaved DC first, Al=al_levels
     out += sos_header(
@@ -1114,7 +1121,14 @@ def encode_jpeg_progressive(
     )
     writer = _JpegBitWriter()
     preds = [0] * ncomp
+    rst = 0
     for u in range(mcus_x * mcus_y):
+        if ri and u and u % ri == 0:
+            writer.flush()
+            out += writer.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _JpegBitWriter()
+            preds = [0] * ncomp
         yb, xb = u // mcus_x, u % mcus_x
         for ci in range(ncomp):
             dc = int(comps_zz[ci][yb, xb, 0]) >> al_levels
@@ -1133,7 +1147,13 @@ def encode_jpeg_progressive(
             list(range(1, ncomp + 1)), comp_dc, [0] * ncomp, 0, 0, al + 1, al
         )
         writer = _JpegBitWriter()
+        rst = 0
         for u in range(mcus_x * mcus_y):
+            if ri and u and u % ri == 0:
+                writer.flush()
+                out += writer.out + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                writer = _JpegBitWriter()
             yb, xb = u // mcus_x, u % mcus_x
             for ci in range(ncomp):
                 writer.write((int(comps_zz[ci][yb, xb, 0]) >> al) & 1, 1)
@@ -1143,21 +1163,32 @@ def encode_jpeg_progressive(
     # AC scans per component: first at Al=al_levels, then refinements
     for ci in range(ncomp):
         out += sos_header([ci + 1], [0], [comp_ac[ci]], 1, 63, 0, al_levels)
-        out += _encode_ac_first(comps_zz[ci], ac_codes[comp_ac[ci]], al_levels)
+        out += _encode_ac_first(comps_zz[ci], ac_codes[comp_ac[ci]], al_levels, ri)
         for al in range(al_levels - 1, -1, -1):
             out += sos_header([ci + 1], [0], [comp_ac[ci]], 1, 63, al + 1, al)
-            out += _encode_ac_refine(comps_zz[ci], ac_codes[comp_ac[ci]], al)
+            out += _encode_ac_refine(comps_zz[ci], ac_codes[comp_ac[ci]], al, ri)
 
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _encode_ac_first(zz: np.ndarray, ac: dict, al: int) -> bytes:
+def _encode_ac_first(
+    zz: np.ndarray, ac: dict, al: int, restart_interval: int = 0
+) -> bytes:
     """AC first scan (Ss=1..63, Ah=0): per-block EOB0 (no cross-block
-    EOB runs — valid, slightly less compressed)."""
+    EOB runs — valid, slightly less compressed). ``restart_interval``
+    emits an RSTn every that many blocks (per-block EOBs mean no EOB
+    run ever spans a restart, as the spec requires)."""
+    out = bytearray()
     writer = _JpegBitWriter()
+    rst = 0
     by, bx = zz.shape[:2]
     for u in range(by * bx):
+        if restart_interval and u and u % restart_interval == 0:
+            writer.flush()
+            out += writer.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _JpegBitWriter()
         cell = zz[u // bx, u % bx]
         run = 0
         emitted_any = False
@@ -1187,16 +1218,27 @@ def _encode_ac_first(zz: np.ndarray, ac: dict, al: int) -> bytes:
             code, length = ac[0x00]  # EOB0
             writer.write(code, length)
     writer.flush()
-    return bytes(writer.out)
+    out += writer.out
+    return bytes(out)
 
 
-def _encode_ac_refine(zz: np.ndarray, ac: dict, al: int) -> bytes:
+def _encode_ac_refine(
+    zz: np.ndarray, ac: dict, al: int, restart_interval: int = 0
+) -> bytes:
     """AC refinement scan (Ah=Al+1): newly-significant coefficients as
     (run, 1) + sign, correction bits for already-significant ones
-    buffered and flushed after the owning code word; per-block EOB0."""
+    buffered and flushed after the owning code word; per-block EOB0.
+    ``restart_interval`` emits an RSTn every that many blocks."""
+    out = bytearray()
     writer = _JpegBitWriter()
+    rst = 0
     by, bx = zz.shape[:2]
     for u in range(by * bx):
+        if restart_interval and u and u % restart_interval == 0:
+            writer.flush()
+            out += writer.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            writer = _JpegBitWriter()
         cell = zz[u // bx, u % bx]
         absv = [abs(int(v)) >> al for v in cell]
         # last newly-significant index (== 1 at this precision)
@@ -1252,7 +1294,8 @@ def _encode_ac_refine(zz: np.ndarray, ac: dict, al: int) -> bytes:
             for bit in buffered + tail_bits:
                 writer.write(bit, 1)
     writer.flush()
-    return bytes(writer.out)
+    out += writer.out
+    return bytes(out)
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:

@@ -581,3 +581,20 @@ def test_jpeg_trailing_bytes_after_eoi_still_decode():
     ref = codecs.decode_jpeg(enc)
     assert np.array_equal(codecs.decode_jpeg(enc + enc), ref)
     assert np.array_equal(codecs.decode_jpeg(enc + b"\x00\x01\xff\xda\x77"), ref)
+
+
+def test_jpeg_progressive_restart_markers():
+    """Progressive streams with DRI/RSTn (some encoders emit them for
+    error resilience): predictors and EOB state reset at each marker in
+    EVERY scan type, and the decode must still equal baseline exactly."""
+    rng = np.random.default_rng(5)
+    for shape, q, al, ri in [((24, 24, 3), 90, 1, 2), ((33, 33), 95, 0, 4),
+                             ((16, 48, 3), 75, 3, 1)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg_baseline(px, quality=q))
+        enc = codecs.encode_jpeg_progressive(
+            px, quality=q, al_levels=al, restart_interval=ri
+        )
+        assert b"\xff\xdd" in enc  # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+        assert np.array_equal(codecs.decode_jpeg(enc), base), (shape, q, al, ri)
