@@ -116,7 +116,12 @@ def main() -> None:
                 "sf": sf,
                 "note": "cache cleared per invocation since r02 (each run pays its own "
                         "persists); r01 reused cached intermediates across passes, so "
-                        "r01 per-query numbers are ~30-50% flattered on cache-heavy queries",
+                        "r01 per-query numbers are ~30-50% flattered on cache-heavy queries. "
+                        "Shared-machine load shifts ALL queries together between rounds "
+                        "(r7 measured a uniform +15-50% vs r6 with interleaved A/B runs "
+                        "showing no per-query cause; see PLANS.md bloom-filter audit) — "
+                        "compare per-query ratios to the round's own median shift, not "
+                        "absolute seconds",
             }
         )
     )

@@ -598,3 +598,19 @@ def test_jpeg_progressive_restart_markers():
         assert b"\xff\xdd" in enc  # DRI present
         assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
         assert np.array_equal(codecs.decode_jpeg(enc), base), (shape, q, al, ri)
+
+
+def test_gif_animation_randomized_roundtrip():
+    """Randomized animations (palette sizes crossing code-width bumps,
+    odd dims, varying frame counts/delays) must round-trip exactly."""
+    rng = np.random.default_rng(17)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        n_colors = int(rng.choice([2, 3, 4, 7, 16, 33, 128]))
+        nf = int(rng.integers(1, 5))
+        palette = rng.integers(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        frames = [palette[rng.integers(0, n_colors, size=(h, w))] for _ in range(nf)]
+        delays = [int(rng.integers(0, 500)) for _ in range(nf)]
+        dec = codecs.decode_gif_frames(codecs.encode_gif_animation(frames, delays))
+        assert [d for d, _ in dec] == delays
+        assert all(np.array_equal(f, g) for (_, f), g in zip(dec, frames))
