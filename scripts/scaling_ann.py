@@ -39,6 +39,7 @@ from sahithi_metamorph_etl_spark.llm.similarity import (  # noqa: E402
     ivf_build_index,
     ivf_search,
     lsh_near_dup_pairs,
+    pq_topk,
 )
 
 
@@ -141,6 +142,17 @@ def run_surface(spark, emb, tag: str, work: str) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     _, res["lsh_prod_sec"] = timed(lsh_prod)
+
+    # PQ ADC: linear scan over 1-byte-per-subspace codes + bounded exact
+    # re-rank — wall time should scale ~linearly with corpus size (it is
+    # the memory footprint, 32x smaller, that PQ buys, not sub-linear
+    # scan time; IVF provides that and composes with PQ in production)
+    def pq():
+        pq_topk(
+            emb, k=5, ksub=32, rerank=128, query_filter=F.col("vec_id") < 10
+        ).write.format("noop").mode("overwrite").save()
+
+    _, res["pq_topk_sec"] = timed(pq)
     return res
 
 
