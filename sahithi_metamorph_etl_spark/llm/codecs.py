@@ -518,11 +518,7 @@ def encode_jpeg_baseline(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and n_mcus and n_mcus % restart_interval == 0:
-                writer.flush()
-                entropy += writer.out
-                entropy += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                writer = _JpegBitWriter()
+                writer, rst = _jpeg_flush_restart(entropy, writer, rst)
                 preds = [0] * len(planes)
             for ci, (plane, (sh, sv)) in enumerate(zip(padded, samp)):
                 for by in range(sv):
@@ -1031,6 +1027,16 @@ def _ac_refine_block(reader, tbl, cell, ss, se, al, eobrun) -> int:
 # ---------------------------------------------------------------- encode
 
 
+def _jpeg_flush_restart(out: bytearray, writer: "_JpegBitWriter", rst: int):
+    """Byte-align the entropy stream, append it plus RSTn, and hand back
+    a fresh writer and the next modulo-8 restart index — the one RSTn
+    emission protocol shared by every encoder scan type."""
+    writer.flush()
+    out += writer.out
+    out += bytes([0xFF, 0xD0 + rst])
+    return _JpegBitWriter(), (rst + 1) % 8
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray, quality: int = 85, al_levels: int = 1,
     restart_interval: int = 0,
@@ -1124,10 +1130,7 @@ def encode_jpeg_progressive(
     rst = 0
     for u in range(mcus_x * mcus_y):
         if ri and u and u % ri == 0:
-            writer.flush()
-            out += writer.out + bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            writer = _JpegBitWriter()
+            writer, rst = _jpeg_flush_restart(out, writer, rst)
             preds = [0] * ncomp
         yb, xb = u // mcus_x, u % mcus_x
         for ci in range(ncomp):
@@ -1150,10 +1153,7 @@ def encode_jpeg_progressive(
         rst = 0
         for u in range(mcus_x * mcus_y):
             if ri and u and u % ri == 0:
-                writer.flush()
-                out += writer.out + bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                writer = _JpegBitWriter()
+                writer, rst = _jpeg_flush_restart(out, writer, rst)
             yb, xb = u // mcus_x, u % mcus_x
             for ci in range(ncomp):
                 writer.write((int(comps_zz[ci][yb, xb, 0]) >> al) & 1, 1)
@@ -1185,10 +1185,7 @@ def _encode_ac_first(
     by, bx = zz.shape[:2]
     for u in range(by * bx):
         if restart_interval and u and u % restart_interval == 0:
-            writer.flush()
-            out += writer.out + bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            writer = _JpegBitWriter()
+            writer, rst = _jpeg_flush_restart(out, writer, rst)
         cell = zz[u // bx, u % bx]
         run = 0
         emitted_any = False
@@ -1235,10 +1232,7 @@ def _encode_ac_refine(
     by, bx = zz.shape[:2]
     for u in range(by * bx):
         if restart_interval and u and u % restart_interval == 0:
-            writer.flush()
-            out += writer.out + bytes([0xFF, 0xD0 + rst])
-            rst = (rst + 1) % 8
-            writer = _JpegBitWriter()
+            writer, rst = _jpeg_flush_restart(out, writer, rst)
         cell = zz[u // bx, u % bx]
         absv = [abs(int(v)) >> al for v in cell]
         # last newly-significant index (== 1 at this precision)
@@ -1296,6 +1290,37 @@ def _encode_ac_refine(
     writer.flush()
     out += writer.out
     return bytes(out)
+
+
+def _jpeg_has_further_sos(payload: bytes, pos: int) -> bool:
+    """True iff a real SOS marker occurs between ``pos`` (inside/after
+    the decoded scan's entropy data) and this image's EOI. Walks the
+    stream by MARKER STRUCTURE: entropy bytes (stuffed FF00, fill FFs,
+    RSTn) are stepped over, and every length-bearing segment body is
+    skipped wholesale — so literal FF D9/FF DA bytes inside a COM/APPn/
+    DHT body can neither end the walk early nor fake a second scan."""
+    p = pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] != 0xFF:
+            p += 1  # residual entropy byte
+            continue
+        m = payload[p + 1]
+        if m == 0x00 or m == 0xFF:  # stuffing / fill
+            p += 2 if m == 0x00 else 1
+            continue
+        if 0xD0 <= m <= 0xD7:  # RSTn: bare marker
+            p += 2
+            continue
+        if m == 0xD9:  # true EOI for this image
+            return False
+        if m == 0xDA:  # a second scan header
+            return True
+        if p + 4 > n:
+            return False  # truncated tail: nothing decodable follows
+        (seg_len,) = struct.unpack(">H", payload[p + 2 : p + 4])
+        p += 2 + seg_len  # skip the whole segment body
+    return False
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -1417,14 +1442,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # belt and braces for the same hazard: any FURTHER SOS after the
     # decoded scan but BEFORE this image's EOI means a multi-scan stream
     # (spec-valid sequential JPEG permits it; this decoder only handles
-    # one interleaved scan). Within entropy data 0xFF is always stuffed
-    # (0xFF00) or an RSTn, so a raw 0xFFDA in that window can only be a
-    # real second scan header. The search MUST stop at EOI: bytes past
-    # it (concatenated JPEGs, motion-photo video appendices, editor
-    # trailers — all common in real corpora) are not part of this image.
-    next_sos = payload.find(b"\xff\xda", reader._pos)
-    eoi = payload.find(b"\xff\xd9", reader._pos)
-    if next_sos != -1 and (eoi == -1 or next_sos < eoi):
+    # one interleaved scan). A PROPER MARKER WALK is required — not a
+    # raw byte search: segment bodies (COM/APPn/DHT between scans) may
+    # contain literal FF D9 / FF DA bytes, and bytes past the true EOI
+    # (concatenated JPEGs, motion-photo appendices, trailers) are not
+    # part of this image and must not trigger a refusal.
+    if _jpeg_has_further_sos(payload, reader._pos):
         raise UnsupportedImageError("multi-scan sequential JPEG not supported")
 
     return _jpeg_planes_to_image(comps, planes, h, w, max_h, max_v)

@@ -395,28 +395,41 @@ def events_stream_funnel(spark, sf_dir):
     stages = ["view", "click", "purchase"]
     staging = tempfile.mkdtemp(prefix="events_funnel_stream_")
     try:
-        os.symlink(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
-        stream = funnel_stage_stream(events_stream(spark, staging), stages)
+        # the online machine's parity contract requires EVENT-TIME-ORDERED
+        # arrival across micro-batches. A raw symlink would stream the
+        # source as-is: should a testdata generation ship events.parquet
+        # as a multi-file directory, file-listing order would not be ts
+        # order and the entry would intermittently diverge from the
+        # cascade oracle. Materialize a ts-sorted single-file copy so the
+        # contract holds for ANY source layout.
+        (
+            read_testdata(spark, sf_dir, "events")
+            .orderBy("ts", "event_id")
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "ordered"))
+        )
+        stream = funnel_stage_stream(
+            events_stream(spark, os.path.join(staging, "ordered")), stages
+        )
         out = run_stream_to_memory(stream, "events_funnel_mem", output_mode="update")
         # emissions are monotone; max(reached) is each user's final stage
         final = out.groupBy("user_id").agg(F.max("reached").alias("reached"))
         stages_df = spark.createDataFrame(
             [(i + 1, s) for i, s in enumerate(stages)], "stage int, event_type string"
         )
-        return (
+        # same zero-backfill shape as the batch funnel: one pass over the
+        # counts, left-join + coalesce (the previous crossJoin/anti-join
+        # form evaluated the per-user aggregation twice)
+        counts = (
             stages_df.crossJoin(final)
             .filter(F.col("reached") >= F.col("stage"))
             .groupBy("stage", "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
-            .unionByName(
-                stages_df.join(
-                    stages_df.crossJoin(final)
-                    .filter(F.col("reached") >= F.col("stage"))
-                    .select("stage").distinct(),
-                    "stage",
-                    "left_anti",
-                ).select("stage", "event_type", F.lit(0).cast("bigint").alias("n_users"))
-            )
+        )
+        return stages_df.join(counts, ["stage", "event_type"], "left").select(
+            "stage",
+            "event_type",
+            F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users"),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

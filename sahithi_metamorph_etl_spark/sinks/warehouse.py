@@ -113,10 +113,14 @@ class LayeredWarehouse:
 
     def _legacy_layout(self, spark: SparkSession, name: str) -> str | None:
         """'batched' (DAY_DT/__BATCH_ID, stream-landed), 'plain'
-        (DAY_DT-only, batch writers) or None (table absent)."""
+        (DAY_DT-only, batch writers), 'mixed' (corrupt: both depths
+        present — every consumer must refuse) or None (table absent).
+        Checks EVERY partition dir: sampling one would let a mixed
+        table pass or fail depending on listing order."""
         fs, root, _ = self._fs(spark, self._path("legacy", name))
         if not fs.exists(root):
             return None
+        seen: set[str] = set()
         for status in fs.listStatus(root):
             if not (status.isDirectory() and status.getPath().getName().startswith("DAY_DT=")):
                 continue
@@ -124,8 +128,10 @@ class LayeredWarehouse:
                 s.isDirectory() and s.getPath().getName().startswith("__BATCH_ID=")
                 for s in fs.listStatus(status.getPath())
             )
-            return "batched" if has_batch_dirs else "plain"
-        return None  # root exists but holds no partition yet
+            seen.add("batched" if has_batch_dirs else "plain")
+        if not seen:
+            return None  # root exists but holds no partition yet
+        return seen.pop() if len(seen) == 1 else "mixed"
 
     def _assert_legacy_layout(self, spark: SparkSession, name: str, batched: bool) -> None:
         """A legacy table is partitioned either DAY_DT-only (batch
@@ -135,6 +141,12 @@ class LayeredWarehouse:
         up front when the existing layout disagrees with the writer."""
         path = self._path("legacy", name)
         layout = self._legacy_layout(spark, name)
+        if layout == "mixed":
+            raise ValueError(
+                f"legacy table {name!r} at {path} mixes DAY_DT-only and "
+                "DAY_DT/__BATCH_ID partition dirs — partition discovery is "
+                "already broken; repair the layout before writing more."
+            )
         if layout is not None:
             has_batch_dirs = layout == "batched"
             if has_batch_dirs != batched:
@@ -146,7 +158,6 @@ class LayeredWarehouse:
                     "append_legacy) and stream_to_legacy cannot share a table "
                     "name — land the stream under its own name."
                 )
-            return  # one partition dir is representative
 
     def append_legacy(self, df: DataFrame, name: str, run_date: dt.date) -> str:
         """Plain append into the DAY_DT-partitioned history — the
@@ -190,7 +201,9 @@ class LayeredWarehouse:
             # incoming frame, so a stray other-day row would replace
             # that whole day with just the strays (silent data loss).
             # Refuse loudly instead. Bounded driver action: 1-row count.
-            strays = df.filter(F.col("DAY_DT") != day).count()
+            # eqNullSafe: a NULL DAY_DT row would slip through `!=` (NULL
+            # compares to NULL) and land in the hive default partition
+            strays = df.filter(~F.col("DAY_DT").eqNullSafe(day)).count()
             if strays:
                 raise ValueError(
                     f"upsert_legacy targets DAY_DT={run_date.isoformat()} but the "
@@ -201,17 +214,24 @@ class LayeredWarehouse:
             incoming = df
         else:
             incoming = df.withColumn("DAY_DT", day)
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, root, _ = self._fs(spark, path)
         if not fs.exists(root):
             incoming.write.mode("overwrite").partitionBy("DAY_DT").parquet(path)
             return path
-        existing_day = spark.read.parquet(path).filter(F.col("DAY_DT") == day)
+        # mergeSchema: the target day's own files may carry columns added
+        # after older days (additive evolution) — a single-footer sample
+        # could miss them and this rewrite would destroy them for the day
+        existing_day = (
+            spark.read.option("mergeSchema", "true").parquet(path)
+            .filter(F.col("DAY_DT") == day)
+        )
         kept = existing_day.join(
             incoming.select(*keys).distinct(), keys, "left_anti"
         )
-        merged = kept.unionByName(incoming.select(*kept.columns)).localCheckpoint()
+        # union BY NAME with null backfill in both directions: incoming
+        # may introduce new columns (they must persist, as append would
+        # persist them) and may lack evolved ones (null like any old row)
+        merged = kept.unionByName(incoming, allowMissingColumns=True).localCheckpoint()
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -265,7 +285,13 @@ class LayeredWarehouse:
 
         files_before = _count_files(day_path)
         day = F.lit(run_date.isoformat()).cast("date")
-        df = spark.read.parquet(path).filter(F.col("DAY_DT") == day).drop("DAY_DT")
+        # mergeSchema: the day may carry columns newer than the footer
+        # Spark would sample — compaction must preserve them (it deletes
+        # the originals)
+        df = (
+            spark.read.option("mergeSchema", "true").parquet(path)
+            .filter(F.col("DAY_DT") == day).drop("DAY_DT")
+        )
         if "__BATCH_ID" in df.columns:
             df = df.drop("__BATCH_ID")
         # materialize BEFORE touching the source files (same

@@ -614,3 +614,19 @@ def test_gif_animation_randomized_roundtrip():
         dec = codecs.decode_gif_frames(codecs.encode_gif_animation(frames, delays))
         assert [d for d, _ in dec] == delays
         assert all(np.array_equal(f, g) for (_, f), g in zip(dec, frames))
+
+
+def test_jpeg_multi_scan_guard_walks_markers_not_bytes():
+    """The second-SOS guard must follow marker structure: literal
+    FF D9 / FF DA bytes INSIDE a COM segment body can neither hide a
+    real second scan nor fake one."""
+    enc = codecs.encode_jpeg_baseline(_gradient_rgb(16, 16), 90)
+    ref = codecs.decode_jpeg(enc)
+    # COM body containing FF D9 must not mask the real second SOS after it
+    com_d9 = b"\xff\xfe" + (6).to_bytes(2, "big") + b"\xff\xd9ab"
+    sos2 = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises(codecs.UnsupportedImageError, match="multi-scan"):
+        codecs.decode_jpeg(enc[:-2] + com_d9 + sos2 + b"\xff\xd9")
+    # COM body containing FF DA must not trigger a false refusal
+    com_da = b"\xff\xfe" + (6).to_bytes(2, "big") + b"\xff\xdaab"
+    assert np.array_equal(codecs.decode_jpeg(enc[:-2] + com_da + b"\xff\xd9"), ref)

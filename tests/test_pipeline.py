@@ -233,3 +233,78 @@ def test_upsert_legacy_refuses_stray_day_rows(spark, sf_dir, tmp_path):
     # both days intact after the refusal
     assert wh.read_legacy(spark, "t", run_date=d1).count() == 20
     assert wh.read_legacy(spark, "t", run_date=d2).count() == 20
+
+
+def test_upsert_legacy_null_day_and_mixed_layout_guards(spark, sf_dir, tmp_path):
+    """NULL DAY_DT rows must trip the stray-day guard (plain != lets
+    NULL through into the hive default partition), and an externally
+    mixed-layout table must be refused by every writer regardless of
+    directory listing order."""
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    d1 = dt.date(2025, 7, 1)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+    wh.upsert_legacy(base, "t", ["o_orderkey"], d1)
+
+    with_null = base.limit(2).withColumn(
+        "DAY_DT",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None)).otherwise(
+            F.lit(d1.isoformat())
+        ).cast("date"),
+    )
+    with _pytest.raises(ValueError, match="different"):
+        wh.upsert_legacy(with_null, "t", ["o_orderkey"], d1)
+
+    # corrupt the table into a mixed layout: add a batched-looking day
+    legacy_root = str(tmp_path / "wh" / "legacy" / "t")
+    fake = os.path.join(legacy_root, "DAY_DT=2025-07-09", "__BATCH_ID=0")
+    os.makedirs(fake)
+    assert wh._legacy_layout(spark, "t") == "mixed"
+    for attempt in (
+        lambda: wh.append_legacy(base, "t", d1),
+        lambda: wh.upsert_legacy(base, "t", ["o_orderkey"], d1),
+        lambda: wh.write_legacy(base, "t", d1),
+    ):
+        with _pytest.raises(ValueError, match="mixes"):
+            attempt()
+
+
+def test_upsert_legacy_preserves_schema_evolution(spark, sf_dir, tmp_path):
+    """Merging into a day whose files carry an evolved column must keep
+    that column (mergeSchema read), and an incoming frame introducing a
+    NEW column must persist it null-backfilled for kept rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    d1 = dt.date(2025, 7, 1)
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+    # day lands in two appends with different schemas (additive evolution)
+    wh.append_legacy(base.limit(5), "t", d1)
+    wh.append_legacy(
+        base.filter(F.col("o_orderkey") > 0).exceptAll(base.limit(5))
+        .withColumn("o_channel", F.lit("web")),
+        "t", d1,
+    )
+    # upsert brings a brand-new column of its own
+    upd = base.limit(2).withColumn("o_note", F.lit("merged"))
+    wh.upsert_legacy(upd, "t", ["o_orderkey"], d1)
+    back = wh.read_legacy(spark, "t", run_date=d1, merge_schema=True)
+    assert {"o_channel", "o_note"} <= set(back.columns)
+    assert back.count() == 10
+    assert back.filter(F.col("o_note") == "merged").count() == 2
+    assert back.filter(F.col("o_channel") == "web").count() == 5
