@@ -96,8 +96,10 @@ def _load() -> None:
 # over for the r7-born events_stream_funnel (same stateful-streaming
 # family, r1+r5 history; due back in r8), and multimodal_png_roundtrip
 # for the r7-born warehouse_upsert_roundtrip (codec family keeps
-# jpeg/gif/wav/audio in the set; due back in r8).  After this round
-# every catalog entry has >=1 externally checked row.
+# jpeg/gif/wav/audio in the set; due back in r8).  corpus_bpe_merges
+# (born r7, rows-only check) was born after the 50 filled — FIRST IN
+# for r8, like r6's beyond-cap births were for r7.  After this round
+# every other catalog entry has >=1 externally checked row.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -113,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_zorder_pruning", "multimodal_audio_stats",
     "doc_pack_sequences", "emb_pq_topk", "multimodal_gif_frames",
     "events_stream_funnel", "warehouse_upsert_roundtrip",
+    "corpus_bpe_merges",
     # only-row-predates-oracle-harness (r1 rows-only; streak 5)
     "doc_simhash", "emb_lsh_ann_topk", "emb_ivf_topk",
     "emb_cosine_near_dup", "events_sliding_window",
@@ -125,7 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_stratified_sample",
     # streak-1 returns (out since r5)
     "customers_without_orders", "duplicate_order_lines",
-    "part_price_class", "orders_by_month", "customer_segments_setops",
+    "orders_by_month", "customer_segments_setops",
     "customer_order_gaps",
     "sketch_price_percentiles", "salted_skew_join",
     "doc_repetition_stats", "emb_label_centroids", "doc_pii_scrub",

@@ -1491,3 +1491,18 @@ def multimodal_gif_frames(spark, sf_dir):
         synth, schema="media_id bigint, payload binary, media_type string, source string"
     )
     return decode_gif_frame_stats(media)
+
+
+@register("corpus_bpe_merges", oracle=None,
+          doc="Distributed BPE tokenizer training: one corpus pass builds the "
+              "word-frequency vocabulary, then each merge iteration counts "
+              "adjacent token pairs and applies the winning merge on the SMALL "
+              "vocab frame — arrays_zip/explode/aggregate-fold JVM expressions, "
+              "zero Python per row, one bounded 1-row collect per iteration. "
+              "Deterministic (freq-then-lexicographic tie-break); pinned "
+              "against a pure-Python reference implementation in "
+              "tests/test_text_properties.py (iterative, so no SQL oracle)")
+def corpus_bpe_merges(spark, sf_dir):
+    from ..llm.bpe import learn_bpe
+
+    return learn_bpe(read_testdata(spark, sf_dir, "documents"), n_merges=10)

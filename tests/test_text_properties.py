@@ -129,3 +129,47 @@ def test_pack_sequences_prefix_sum_property(spark):
             expect = (cum, cum // 64, toks)
             assert got[doc_id] == expect, (trial, doc_id, got[doc_id], expect)
             cum += toks
+
+
+def test_learn_bpe_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE trainer must reproduce a pure-Python
+    reference (greedy left-to-right merge, frequency-then-lexicographic
+    pair selection) EXACTLY over the real documents vocabulary —
+    every rank, pair and frequency."""
+    from collections import Counter
+
+    from sahithi_metamorph_etl_spark.llm.bpe import END_TOKEN, learn_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_merges = 8
+    got = [tuple(r) for r in learn_bpe(docs, n_merges=n_merges).collect()]
+
+    # reference: same word counts, same algorithm, plain Python
+    wc = Counter()
+    for r in docs.select("text").collect():
+        for w in (r["text"] or "").split():
+            wc[w] += 1
+    vocab = {tuple(list(w) + [END_TOKEN]): c for w, c in wc.items()}
+    expect = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += c
+        if not pc:
+            break
+        (a, b), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, a + b, freq))
+        new_vocab = {}
+        for toks, c in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    assert got == expect, (got[:3], expect[:3])
