@@ -73,33 +73,25 @@ def _load() -> None:
 #      green history whose operator family keeps another anchor in the
 #      50 (or stays covered by the full pytest oracle-parity suite).
 #   3. No entry stays out for more than two consecutive rounds.
-# r6 rotation: IN = 5x recon_* + the 11 entries with no prior row.
-# OUT = 16 multi-round-green entries whose families kept coverage.
-# r7 rotation: IN = the 3 entries born in r6 with no driver row yet
-# (events_funnel, doc_rarity_score, multimodal_jpeg_roundtrip), the 2
-# entries born in r7 (orders_zorder_pruning, multimodal_audio_stats),
-# the 5 entries whose only row predates the oracle harness (r1
-# rows-only: doc_simhash, emb_lsh_ann_topk, emb_ivf_topk,
-# emb_cosine_near_dup, events_sliding_window), and every entry at
-# out-streak 2 after r6 (rule 3 binds: 14 entries, customers_with_orders
-# ... doc_stratified_sample), plus 17 of the 18 streak-1 entries.
-# OUT = the 41 non-anchor r6-green entries (fresh history, streak 1)
-# and four streak-1 holdovers that MUST return in r8:
-# multimodal_decode_stats (family keeps jpeg/png/gif + audio stats in
-# the set), events_interval_join (displaced by the r7-born
-# doc_pack_sequences; the streaming family keeps funnel /
-# sliding-window / stream-dedup), doc_quality_score (displaced by the
-# r7-born emb_pq_topk; the text family keeps seven entries in the
-# set), and orders_status_pivot (displaced by the r7-born
-# multimodal_gif_frames; 5 green rounds of history, relational family
-# keeps 15+ entries in the set).  events_stream_dedup likewise holds
-# over for the r7-born events_stream_funnel (same stateful-streaming
-# family, r1+r5 history; due back in r8), and multimodal_png_roundtrip
-# for the r7-born warehouse_upsert_roundtrip (codec family keeps
-# jpeg/gif/wav/audio in the set; due back in r8).  corpus_bpe_merges
-# (born r7, rows-only check) was born after the 50 filled — FIRST IN
-# for r8, like r6's beyond-cap births were for r7.  After this round
-# every other catalog entry has >=1 externally checked row.
+# Rotation history: r6 brought in the recon family + 11 never-checked
+# entries; r7 brought in the r6/r7-born entries, the five r1-rows-only
+# entries, and the 14 streak-2 must-returns — after r7 every catalog
+# entry has >=1 historical external row and none's latest check failed.
+# r8 rotation: IN = the seven entries that reached out-streak 2 after
+# r7 (rule 3 binds: part_price_class, orders_status_pivot,
+# doc_quality_score, multimodal_decode_stats, multimodal_png_roundtrip,
+# events_stream_dedup, events_interval_join), corpus_bpe_merges again
+# (its r7 row was rows-only; this round it carries a real DuckDB
+# oracle and needs the hash-grade row), and 33 of the 41 streak-1
+# entries. OUT = the 41 r7-green entries (fresh history, streak 1)
+# plus eight streak-1 holdovers that reach streak 2 and MUST return in
+# r9: top10_orders, lineitem_union_slices, orders_filter_case,
+# doc_hot_shingles, corpus_near_dup_prune, multimodal_resize,
+# events_asof_join_forward, events_incremental_slice — each left a
+# same-family representative in the 50 (top-k/union/filter via the
+# relational block; shingle/dedup via jaccard+minhash+simhash+clusters;
+# codec via decode/png/wav/frame-sample; events via
+# asof/tumbling/session/json).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -110,29 +102,26 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # first driver rows: born r6 / born r7
-    "events_funnel", "doc_rarity_score", "multimodal_jpeg_roundtrip",
-    "orders_zorder_pruning", "multimodal_audio_stats",
-    "doc_pack_sequences", "emb_pq_topk", "multimodal_gif_frames",
-    "events_stream_funnel", "warehouse_upsert_roundtrip",
+    # rule-3 must-returns (out-streak 2 after r7)
+    "part_price_class", "orders_status_pivot", "doc_quality_score",
+    "multimodal_decode_stats", "multimodal_png_roundtrip",
+    "events_stream_dedup", "events_interval_join",
+    # r7-born rows-only entry returning with its new DuckDB oracle
     "corpus_bpe_merges",
-    # only-row-predates-oracle-harness (r1 rows-only; streak 5)
-    "doc_simhash", "emb_lsh_ann_topk", "emb_ivf_topk",
-    "emb_cosine_near_dup", "events_sliding_window",
-    # rule-3 must-returns (out since r4)
-    "customers_with_orders", "orders_cube", "lineitem_key_skew",
-    "orders_price_histogram", "sketch_distinct_counts",
-    "supplier_region_rollup", "orders_column_profile",
-    "orders_expectations", "doc_language_guess", "doc_fingerprint",
-    "doc_bpe_tokens", "doc_chunks", "doc_token_budget",
-    "doc_stratified_sample",
-    # streak-1 returns (out since r5)
-    "customers_without_orders", "duplicate_order_lines",
-    "orders_by_month", "customer_segments_setops",
-    "customer_order_gaps",
-    "sketch_price_percentiles", "salted_skew_join",
-    "doc_repetition_stats", "emb_label_centroids", "doc_pii_scrub",
-    "corpus_near_dup_prune_lsh",
+    # streak-1 returns (out since r6)
+    "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
+    "parts_sales_left_join", "customer_running_total",
+    "orders_grouping_sets", "orders_price_quantile_hist",
+    "customer_tiers_percent_rank", "sketch_mergeable_distinct",
+    "part_price_band_range_join", "adaptive_salted_skew_join",
+    "doc_token_stats", "doc_decontaminate", "doc_train_split",
+    "doc_exact_dedup", "doc_jaccard_pairs", "doc_dedup_clusters",
+    "corpus_dedup_report", "doc_minhash_lsh_pairs", "doc_simhash_pairs",
+    "emb_cosine_topk", "emb_lsh_near_dup", "corpus_text_profile",
+    "corpus_vocabulary", "doc_tfidf_keywords", "corpus_clean_pipeline",
+    "multimodal_frame_sample", "multimodal_wav_roundtrip",
+    "events_stream_running_counts", "events_hourly_tumbling",
+    "events_sessionization", "events_asof_join", "events_json_extract",
 )
 
 

@@ -1493,7 +1493,57 @@ def multimodal_gif_frames(spark, sf_dir):
     return decode_gif_frame_stats(media)
 
 
-@register("corpus_bpe_merges", oracle=None,
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Generated DuckDB oracle for ``learn_bpe``: a chain of per-merge
+    CTE stages over the word-frequency vocabulary. The greedy
+    left-to-right merge of pair (a, b) is reproduced with plain string
+    ``replace``: each token is encoded as ``<HEX>`` (hex alphabet never
+    collides with the delimiters, and ``hex(a||b) = hex(a)||hex(b)``),
+    so DuckDB's non-overlapping left-to-right replace of
+    ``<hex a><hex b>`` with ``<hex a+b>`` is EXACTLY the single-pass
+    carry fold the Spark side runs (merged tokens are never re-matched
+    within the pass on either engine). Tie-breaks (freq desc, then
+    lexicographic a, b) mirror ``llm/bpe.py``."""
+    parts = [r"""WITH words AS (
+  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS word
+  FROM documents
+), vocab_0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         list_append(string_split(word, ''), '</w>') AS toks
+  FROM words WHERE word <> '' GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", pairs_{k} AS (
+  SELECT struct_extract(p, 1) AS a, struct_extract(p, 2) AS b,
+         CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT cnt, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS p
+        FROM vocab_{k-1}) u
+  GROUP BY 1, 2
+), top_{k} AS (
+  SELECT a, b, a || b AS m, freq FROM pairs_{k}
+  ORDER BY freq DESC, a ASC, b ASC LIMIT 1
+), vocab_{k} AS (
+  SELECT v.cnt,
+         list_transform(
+           string_split(
+             trim(replace(
+               array_to_string(list_transform(v.toks, x -> '<' || hex(x) || '>'), ''),
+               '<' || hex(t.a) || '><' || hex(t.b) || '>',
+               '<' || hex(t.a) || hex(t.b) || '>'), '<>'),
+             '><'),
+           h -> decode(unhex(h))) AS toks
+  FROM vocab_{k-1} v CROSS JOIN top_{k} t
+)""")
+    tops = "\nUNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left", b AS "right", '
+        f"m AS merged, freq FROM top_{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{tops}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+@register("corpus_bpe_merges", oracle=_bpe_oracle_sql(10),
           doc="Distributed BPE tokenizer training: one corpus pass builds the "
               "word-frequency vocabulary, then each merge iteration counts "
               "adjacent token pairs and applies the winning merge on the SMALL "
@@ -1501,7 +1551,9 @@ def multimodal_gif_frames(spark, sf_dir):
               "zero Python per row, one bounded 1-row collect per iteration. "
               "Deterministic (freq-then-lexicographic tie-break); pinned "
               "against a pure-Python reference implementation in "
-              "tests/test_text_properties.py (iterative, so no SQL oracle)")
+              "tests/test_text_properties.py AND hash-checked against a "
+              "generated per-merge-stage DuckDB CTE oracle (hex-encoded "
+              "replace() reproduces the greedy merge fold exactly)")
 def corpus_bpe_merges(spark, sf_dir):
     from ..llm.bpe import learn_bpe
 
