@@ -37,6 +37,56 @@ def word_frequencies(
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 
 
+def _chars_plus_end(word_col: str = "word"):
+    """word -> [c1, c2, ..., "</w>"] via an index-sequence transform."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word_col)),
+            lambda i: F.col(word_col).substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(END_TOKEN)),
+    )
+
+
+def _greedy_merge_expr(toks_col, a: str, b: str):
+    """Column expression: greedy left-to-right merge of adjacent pair
+    (a, b) inside a token array — a single-pass fold with a one-token
+    carry, pure JVM (`F.aggregate`), no UDF. Merged tokens are not
+    re-examined within the pass (carry clears after a merge), matching
+    the classic BPE trainer's replace step."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, x):
+        return F.when(
+            acc["carry"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("carry")),
+        ).otherwise(
+            F.when(
+                (acc["carry"] == la) & (x == lb),
+                F.struct(
+                    F.concat(acc["out"], F.array(lm)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    x.alias("carry"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        )
+
+    return F.aggregate(toks_col, init, step, finish)
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 20,
@@ -60,15 +110,7 @@ def learn_bpe(
         raise ValueError("n_merges must be >= 1")
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col, id_col)
-    # word -> [c1, c2, ..., "</w>"] via an index-sequence transform
-    tokens = F.concat(
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.col("word").substr(i, F.lit(1)),
-        ),
-        F.array(F.lit(END_TOKEN)),
-    )
-    state = vocab.select("count", tokens.alias("toks")).localCheckpoint()
+    state = vocab.select("count", _chars_plus_end("word").alias("toks")).localCheckpoint()
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -92,38 +134,9 @@ def learn_bpe(
         if not top:
             break
         a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
-        merged = a + b
-        merges.append((rank, a, b, merged, freq))
-        # left-to-right greedy merge of (a, b) inside every token array:
-        # fold with a one-token carry — pure JVM, no UDF
-        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
-        init = F.struct(
-            F.array().cast("array<string>").alias("out"),
-            F.lit(None).cast("string").alias("carry"),
-        )
-        step = lambda acc, x: F.when(  # noqa: E731
-            acc["carry"].isNull(),
-            F.struct(acc["out"].alias("out"), x.alias("carry")),
-        ).otherwise(
-            F.when(
-                (acc["carry"] == la) & (x == lb),
-                F.struct(
-                    F.concat(acc["out"], F.array(lm)).alias("out"),
-                    F.lit(None).cast("string").alias("carry"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
-                    x.alias("carry"),
-                )
-            )
-        )
-        finish = lambda acc: F.when(  # noqa: E731
-            acc["carry"].isNull(), acc["out"]
-        ).otherwise(F.concat(acc["out"], F.array(acc["carry"])))
-        state = state.select(
-            "count", F.aggregate("toks", init, step, finish).alias("toks")
-        )
+        merges.append((rank, a, b, a + b, freq))
+        # left-to-right greedy merge of (a, b) inside every token array
+        state = state.select("count", _greedy_merge_expr("toks", a, b).alias("toks"))
         if rank % checkpoint_every == 0:
             # the vocab frame is small; truncating its lineage keeps the
             # per-iteration plan flat instead of n_merges folds deep
@@ -131,4 +144,130 @@ def learn_bpe(
 
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
+    )
+
+
+def replay_merges(word: str, pairs) -> list[str]:
+    """Pure-Python sequential merge replay for one word: characters +
+    ``</w>``, then each learned pair applied in rank order with the
+    same greedy left-to-right single pass as ``_greedy_merge_expr``.
+    Merges whose sides are absent from the current token set are
+    skipped in O(1), so a 32k-merge table costs ~O(applied merges ×
+    word length), not O(32k × length).
+
+    Note: splits by Unicode code point (Python semantics); Spark's
+    ``substr`` splits by UTF-16 unit. Identical for all BMP text —
+    the fold path and this path are pinned equal in tests.
+    """
+    toks = list(word) + [END_TOKEN]
+    tokset = set(toks)
+    for a, b in pairs:
+        if a not in tokset or b not in tokset:
+            continue
+        out, i, n, applied = [], 0, len(toks), False
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+                applied = True
+            else:
+                out.append(toks[i])
+                i += 1
+        if applied:
+            toks = out
+            tokset = set(toks)
+    return toks
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge table — the apply
+    half of the train→apply tokenizer loop (``learn_bpe`` is the train
+    half). Returns one row per document that has >=1 word:
+    ``(id_col, n_words, n_tokens, toks)`` where ``toks`` is the full
+    token sequence (words in reading order, each word's tokens
+    concatenated).
+
+    Semantics: SEQUENTIAL REPLAY — each merge is applied everywhere in
+    rank order, exactly reproducing the trainer's own vocabulary state
+    (this can differ from rank-priority-queue application on words
+    where a later merge first creates an earlier merge's pair; replay
+    is the variant that matches ``learn_bpe``'s internal state and is
+    oracle-expressible).
+
+    SCALE SHAPE: the merge table is collected once (bounded by
+    n_merges — a 32k-merge production table is <1 MB); tokenization
+    runs per DISTINCT word, not per occurrence; the corpus is touched
+    by one posexplode and one word-map join (broadcastable when the
+    vocabulary is small — AQE decides), then one groupBy(id_col)
+    shuffle to reassemble sequences. Per-doc arrays are bounded by
+    document length.
+
+    ``method``: 'fold' chains one JVM ``F.aggregate`` greedy-merge fold
+    per merge over the distinct-word frame (zero Python; right for
+    small merge tables), 'arrow' tokenizes distinct words in one
+    Arrow ``mapInPandas`` stage replaying the collected merge list
+    (right for real tokenizer-sized tables where a 32k-deep expression
+    chain is not viable), 'auto' picks fold for <=64 merges. Both
+    paths are pinned equal in tests.
+    """
+    if method not in ("auto", "fold", "arrow"):
+        raise ValueError(f"unknown method {method!r}")
+    pairs = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("rank", "left", "right").collect()
+    ]
+    if method == "auto":
+        method = "fold" if len(pairs) <= 64 else "arrow"
+
+    occurrences = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab = occurrences.select("word").distinct()
+
+    if method == "fold":
+        wordmap = vocab.select("word", _chars_plus_end("word").alias("toks"))
+        for i, (a, b) in enumerate(pairs, 1):
+            wordmap = wordmap.select(
+                "word", _greedy_merge_expr("toks", a, b).alias("toks")
+            )
+            if i % 8 == 0:
+                # vocabulary frame is small; keep the plan flat instead
+                # of n_merges folds deep
+                wordmap = wordmap.localCheckpoint()
+    else:
+        def _tokenize(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "toks": [replay_merges(w, pairs) for w in pdf["word"]],
+                    }
+                )
+
+        wordmap = vocab.mapInPandas(_tokenize, schema="word string, toks array<string>")
+
+    return (
+        occurrences.join(wordmap, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("toks"),
+        )
+        .select(id_col, "n_words", F.size("toks").alias("n_tokens"), "toks")
     )

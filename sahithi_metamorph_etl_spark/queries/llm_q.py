@@ -1493,22 +1493,18 @@ def multimodal_gif_frames(spark, sf_dir):
     return decode_gif_frame_stats(media)
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Generated DuckDB oracle for ``learn_bpe``: a chain of per-merge
-    CTE stages over the word-frequency vocabulary. The greedy
-    left-to-right merge of pair (a, b) is reproduced with plain string
-    ``replace``: each token is encoded as ``<HEX>`` (hex alphabet never
-    collides with the delimiters, and ``hex(a||b) = hex(a)||hex(b)``),
-    so DuckDB's non-overlapping left-to-right replace of
-    ``<hex a><hex b>`` with ``<hex a+b>`` is EXACTLY the single-pass
-    carry fold the Spark side runs (merged tokens are never re-matched
-    within the pass on either engine). Tie-breaks (freq desc, then
-    lexicographic a, b) mirror ``llm/bpe.py``."""
-    parts = [r"""WITH words AS (
-  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS word
+def _bpe_stage_ctes(n_merges: int, carry_word: bool = False) -> str:
+    """The shared WITH-prefix of the BPE oracles: word frequencies,
+    then one (pairs, top, vocab) CTE triple per merge stage. With
+    ``carry_word`` the per-word key rides along every stage so the
+    final vocab can be joined back to documents (the apply oracle)."""
+    w0 = "word, " if carry_word else ""
+    wk = "v.word, " if carry_word else ""
+    parts = [f"""WITH words AS (
+  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS word
   FROM documents
 ), vocab_0 AS (
-  SELECT CAST(count(*) AS BIGINT) AS cnt,
+  SELECT {w0}CAST(count(*) AS BIGINT) AS cnt,
          list_append(string_split(word, ''), '</w>') AS toks
   FROM words WHERE word <> '' GROUP BY word
 )"""]
@@ -1523,7 +1519,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
   SELECT a, b, a || b AS m, freq FROM pairs_{k}
   ORDER BY freq DESC, a ASC, b ASC LIMIT 1
 ), vocab_{k} AS (
-  SELECT v.cnt,
+  SELECT {wk}v.cnt,
          list_transform(
            string_split(
              trim(replace(
@@ -1534,6 +1530,21 @@ def _bpe_oracle_sql(n_merges: int) -> str:
            h -> decode(unhex(h))) AS toks
   FROM vocab_{k-1} v CROSS JOIN top_{k} t
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Generated DuckDB oracle for ``learn_bpe``: a chain of per-merge
+    CTE stages over the word-frequency vocabulary. The greedy
+    left-to-right merge of pair (a, b) is reproduced with plain string
+    ``replace``: each token is encoded as ``<HEX>`` (hex alphabet never
+    collides with the delimiters, and ``hex(a||b) = hex(a)||hex(b)``),
+    so DuckDB's non-overlapping left-to-right replace of
+    ``<hex a><hex b>`` with ``<hex a+b>`` is EXACTLY the single-pass
+    carry fold the Spark side runs (merged tokens are never re-matched
+    within the pass on either engine). Tie-breaks (freq desc, then
+    lexicographic a, b) mirror ``llm/bpe.py``."""
+    parts = [_bpe_stage_ctes(n_merges)]
     tops = "\nUNION ALL ".join(
         f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left", b AS "right", '
         f"m AS merged, freq FROM top_{k}"
@@ -1558,3 +1569,50 @@ def corpus_bpe_merges(spark, sf_dir):
     from ..llm.bpe import learn_bpe
 
     return learn_bpe(read_testdata(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """Apply oracle: learn the merges (same stage CTEs, word carried
+    through), then tokenize every document by joining its positional
+    words to the final vocab and flattening tokens in reading order."""
+    return _bpe_stage_ctes(n_merges, carry_word=True) + f"""
+, doc_words AS (
+  SELECT doc_id, struct_extract(wp, 1) AS word,
+         CAST(struct_extract(wp, 2) AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id, unnest(list_zip(ws, range(1, len(ws) + 1))) AS wp
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM documents)
+  )
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(m.toks)) AS BIGINT) AS n_tokens,
+       md5(array_to_string(flatten(list(m.toks ORDER BY dw.pos)), ' ')) AS tok_fingerprint
+FROM doc_words dw JOIN vocab_{n_merges} m ON dw.word = m.word
+GROUP BY dw.doc_id"""
+
+
+@register("doc_bpe_tokenize", oracle=_bpe_apply_oracle_sql(10),
+          doc="BPE tokenizer APPLY — the other half of the train->apply loop: "
+              "learn 10 merges on the corpus, then tokenize every document by "
+              "sequential merge replay. The merge table is collected once "
+              "(bounded by n_merges); tokenization runs per DISTINCT word "
+              "(JVM greedy-merge folds, or one Arrow stage for real 32k-merge "
+              "tables), then one word-map join + one groupBy(doc_id) shuffle "
+              "reassembles sequences. Hash row is a per-doc md5 fingerprint of "
+              "the full token sequence, so any token anywhere diverging flips "
+              "the hash; oracle recomputes learn+apply as generated DuckDB CTEs")
+def doc_bpe_tokenize(spark, sf_dir):
+    from ..llm.bpe import apply_bpe, learn_bpe
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = apply_bpe(docs, learn_bpe(docs, n_merges=10))
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("tok_fingerprint"),
+    )

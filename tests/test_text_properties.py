@@ -173,3 +173,46 @@ def test_learn_bpe_matches_reference_implementation(spark, sf_dir):
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
     assert got == expect, (got[:3], expect[:3])
+
+
+def test_apply_bpe_paths_match_python_replay(spark, sf_dir):
+    """apply_bpe's fold path (JVM aggregate chain) and arrow path
+    (mapInPandas replay) must produce the IDENTICAL per-document token
+    sequence as a pure-Python sequential replay over the real corpus,
+    and the two engine paths must be bit-equal to each other."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.bpe import (
+        apply_bpe,
+        learn_bpe,
+        replay_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(docs, n_merges=6)
+    pairs = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+
+    def run(method):
+        return {
+            r["doc_id"]: (r["n_words"], r["n_tokens"], tuple(r["toks"]))
+            for r in apply_bpe(docs, merges, method=method).collect()
+        }
+
+    fold, arrow = run("fold"), run("arrow")
+    assert fold == arrow
+
+    # python model over the same docs
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = (r["text"] or "").split()
+        if not words:
+            continue
+        toks = []
+        for w in words:
+            toks.extend(replay_merges(w, pairs))
+        expect[r["doc_id"]] = (len(words), len(toks), tuple(toks))
+    assert fold == expect
+
+    # docs with zero words are absent by contract
+    empty = spark.createDataFrame([(1, None), (2, "   ")], "doc_id bigint, text string")
+    assert apply_bpe(empty, merges).count() == 0
