@@ -102,7 +102,12 @@ def pack_sequences(
     from pyspark.sql import Window
 
     key = F.md5(F.concat(F.lit(shuffle_seed), F.col(id_col).cast("string")))
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    # NULL text must count as empty, not poison the prefix sum:
+    # size(split(trim(NULL))) is -1 in Spark, which would silently
+    # corrupt every later tok_offset/pack_id
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("bigint")
     keyed = df.select(
         F.col(id_col),
         key.alias("__k"),

@@ -1704,8 +1704,17 @@ def decode_gif_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
             idx = _gif_deinterlace(idx, h)
         if np.any(idx >= len(ct)):
             raise UnsupportedImageError("GIF index outside color table")
-        # clip the frame rect to the logical screen
+        # clip the frame rect to the logical screen; a malformed
+        # descriptor whose left/top lies beyond the screen would make
+        # these negative and turn the slices below into asymmetric
+        # views (np.where then dies with a broadcast ValueError) — that
+        # layout violates GIF89a, so refuse per the codec contract
         ch_, cw_ = min(h, sh - top), min(w, sw - left)
+        if ch_ < 0 or cw_ < 0:
+            raise UnsupportedImageError(
+                f"GIF frame rect ({left},{top} {w}x{h}) outside "
+                f"logical screen {sw}x{sh}"
+            )
         region = screen[top : top + ch_, left : left + cw_]
         saved = region.copy() if disposal == 3 else None
         vis = idx[:ch_, :cw_]

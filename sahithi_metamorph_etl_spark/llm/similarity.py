@@ -705,17 +705,26 @@ def hyperplane_lsh_topk(
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
 
 
-def _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample):
+def _train_pq_codebooks(embeddings, id_col, vec_col, m, ksub, seed, train_sample):
     """Seeded per-subspace k-means codebooks (product quantization): the
     vector space splits into ``m`` contiguous subspaces; each gets its
     own ``ksub``-centroid L2 codebook trained with a few Lloyd
     iterations on a bounded driver sample of UNIT-normalized vectors.
+    The sample is the ``train_sample`` LOWEST ids (TakeOrderedAndProject,
+    bounded cost) — an un-ordered ``limit`` would depend on partition
+    layout and break end-to-end determinism across repartitioning.
     Returns (m, ksub, dim // m) float64 — a few KB, shipped into
     closures by value like the IVF centroids."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    sample = embeddings.select(F.col(vec_col)).limit(train_sample).collect()
+    sample = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .select(F.col(vec_col))
+        .collect()
+    )
     xs = np.array([r[0] for r in sample], dtype=np.float64)
     xs = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
     dim = xs.shape[1]
@@ -767,8 +776,16 @@ def pq_topk(
     ranks by exact cosine — so PQ error affects only which candidates
     survive, never the reported similarity of survivors.
 
-    Deterministic end-to-end (seeded codebooks, argmin first-index
-    ties, id tie-breaks), like the other ANN operators.
+    Determinism: the codebooks are layout-independent (seeded k-means
+    on the ``train_sample`` LOWEST ids — an ordered take, not an
+    un-ordered limit) and every per-row step breaks ties
+    deterministically (argmin first-index, id tie-breaks), so results
+    are exactly reproducible for a FIXED partitioning. Across
+    repartitioning the per-partition candidate heaps change — each
+    partition's ADC top-(k+rerank) is a superset of its share of the
+    global ADC top list, so more partitions can only ADD exact-scored
+    candidates (recall never drops) — and the reported similarities of
+    survivors are always exact cosine either way.
     """
     import numpy as np
 
@@ -780,7 +797,7 @@ def pq_topk(
         # frame), so codebook training below always has sample vectors
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
-    books = _train_pq_codebooks(embeddings, vec_col, m, ksub, seed, train_sample)
+    books = _train_pq_codebooks(embeddings, id_col, vec_col, m, ksub, seed, train_sample)
     dsub = books.shape[2]
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)

@@ -34,10 +34,37 @@ class PlanSummary:
     pushed_filter_scans: int  # scans with a NON-empty PushedFilters list
     python_stages: int       # mapInPandas/applyInPandas/row-UDF stages
     file_scans: int          # FileScan/BatchScan source nodes (re-scan detector)
+    unpartitioned_windows: int = 0  # Window nodes with NO partition spec (single-partition funnels)
 
 
 def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count_unpartitioned_windows(plan: str) -> int:
+    """Window nodes whose spec has no PARTITION BY — the plan line is
+    ``Window [exprs], [order]`` (two top-level bracket groups) versus
+    ``Window [exprs], [partition], [order]`` (three). These are the
+    nodes Spark warns about with "No Partition Defined ... moving all
+    data to a single partition" — the classic 100 TB scale-killer.
+    Bracket groups are counted with a depth scan so brackets inside
+    expressions cannot miscount."""
+    n = 0
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*")
+        if not stripped.startswith("Window "):
+            continue
+        depth = groups = 0
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
 
 
 def plan_summary(df: DataFrame) -> PlanSummary:
@@ -61,6 +88,7 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         # every source scan node: N scans of the same table = N reads of
         # it (how an operator that "only" adds probe passes shows up)
         file_scans=len(re.findall(r"FileScan|BatchScan", plan)),
+        unpartitioned_windows=_count_unpartitioned_windows(plan),
     )
 
 

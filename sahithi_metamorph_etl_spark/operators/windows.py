@@ -130,3 +130,52 @@ def funnel(
     return stages_df.join(counts, ["stage", "event_type"], "left").select(
         "stage", "event_type", F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Scale-safe global row numbering over a total order — the
+    replacement for ``Window.orderBy(...)`` without a partition spec,
+    which funnels the ENTIRE frame through one task (Spark's
+    "No Partition Defined" warning; the classic 100 TB scale-killer).
+
+    Two-phase, same pattern as ``llm/chunking.pack_sequences``'s prefix
+    sum: repartitionByRange on the order key (ranks are a function of
+    the total order alone, so sampled range boundaries cannot perturb
+    the result — callers must make the key unique with a tie-breaker
+    column), per-partition ``row_number`` under a PARTITIONED window,
+    then broadcast per-partition offsets added back. The ranged frame
+    is persisted spillable for the bounded counts pass (one row per
+    partition collected); the frame itself is never collected.
+
+    Returns ``(df + rank_col [1-based], total_rows)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = ranged.groupBy("_gr_pid").count().collect()  # <= n rows
+    offsets: dict[int, int] = {}
+    total = 0
+    for row in sorted(counts, key=lambda r: r["_gr_pid"]):
+        offsets[row["_gr_pid"]] = total
+        total += row["count"]
+    w = Window.partitionBy("_gr_pid").orderBy(*[F.col(c) for c in order_cols])
+    local = F.row_number().over(w).cast("long")
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        )
+        rank = local + F.coalesce(off_map[F.col("_gr_pid")], F.lit(0)).cast("long")
+    else:
+        rank = local
+    return ranged.withColumn(rank_col, rank).drop("_gr_pid"), total

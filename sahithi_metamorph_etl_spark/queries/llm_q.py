@@ -1363,7 +1363,7 @@ def multimodal_audio_stats(spark, sf_dir):
 
 _PACK_ORACLE = """
 WITH t AS (SELECT doc_id,
-                  CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+                  CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS bigint) AS n_tokens,
                   md5('r7' || CAST(doc_id AS VARCHAR)) AS k
            FROM documents),
 c AS (SELECT doc_id, n_tokens,

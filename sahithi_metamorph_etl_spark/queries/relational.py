@@ -602,13 +602,21 @@ FROM ranked
 
 @register("customer_tiers_percent_rank", oracle=_PR_TIER_ORACLE,
           doc="percent_rank window tiering — in-plan alternative to the reference's "
-              "driver-side approxQuantile cutoffs (SURVEY W3)")
+              "driver-side approxQuantile cutoffs (SURVEY W3). Since r8 the global "
+              "rank is the two-phase operators.windows.global_rank (range shuffle + "
+              "partitioned per-range row_number + broadcast offsets) instead of an "
+              "un-partitioned WindowExec, so the per-customer frame never funnels "
+              "through one task; percent_rank is then (rank-1)/(N-1) with the same "
+              "unique (total_spend, o_custkey) order the oracle's window uses")
 def customer_tiers_percent_rank(spark, sf_dir):
+    from ..operators.windows import global_rank
+
     o = read_testdata(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(dsum(F.col("o_totalprice"), 2).alias("total_spend"))
-    w = Window.orderBy("total_spend", "o_custkey")
-    pr = F.percent_rank().over(w)
-    return agg.select(
+    ranked, total = global_rank(agg, ["total_spend", "o_custkey"], rank_col="_r")
+    # identical IEEE doubles to percent_rank(): (rank-1) / (N-1)
+    pr = (F.col("_r") - F.lit(1)) / F.lit(max(total - 1, 1))
+    return ranked.select(
         "o_custkey",
         "total_spend",
         F.when(pr >= 0.8, "GOLD").when(pr >= 0.5, "SILVER").otherwise("BRONZE").alias("tier"),

@@ -240,6 +240,44 @@ class LayeredWarehouse:
         )
         return path
 
+    def recover_compaction(self, spark: SparkSession, name: str) -> dict:
+        """Heal interrupted ``compact_legacy_day`` swaps. The swap is
+        two renames (day→trash, staging→day); a crash between them
+        leaves the day's rows stranded in a dot-prefixed
+        ``.compact_trash_DAY_DT=*`` dir that partition discovery
+        ignores — i.e. the day looks MISSING until recovered. This
+        scans the table root and, per leftover trash dir: restores it
+        when no live day exists (crash inside the window), or deletes
+        it when the live day exists (crash after install, before
+        cleanup). Leftover ``.compact_staging_*`` dirs are always
+        deleted (pre-swap output; the source day is intact either way).
+
+        Runs automatically at the start of every ``compact_legacy_day``
+        (next-run recovery); operators can also call it directly at
+        startup. Returns {"restored": [...], "cleaned": [...]}.
+        """
+        path = self._path("legacy", name)
+        fs, root, jvm = self._fs(spark, path)
+        restored, cleaned = [], []
+        if not fs.exists(root):
+            return {"restored": restored, "cleaned": cleaned}
+        for st in fs.listStatus(root):
+            base = st.getPath().getName()
+            if base.startswith(".compact_staging_"):
+                fs.delete(st.getPath(), True)
+                cleaned.append(base)
+            elif base.startswith(".compact_trash_"):
+                day_name = base[len(".compact_trash_"):]
+                live = jvm.org.apache.hadoop.fs.Path(root, day_name)
+                if fs.exists(live):
+                    fs.delete(st.getPath(), True)
+                    cleaned.append(base)
+                else:
+                    if not fs.rename(st.getPath(), live):
+                        raise OSError(f"could not restore {day_name} from {base}")
+                    restored.append(day_name)
+        return {"restored": restored, "cleaned": cleaned}
+
     def compact_legacy_day(
         self, spark: SparkSession, name: str, run_date: dt.date, n_files: int = 8
     ) -> dict:
@@ -255,15 +293,22 @@ class LayeredWarehouse:
         would corrupt the whole table's discovery). A batch (DAY_DT-
         only) day compacts in place. Swap protocol: write to a staging
         dir, rename old day aside, rename staging in, delete the old
-        day — on HDFS renames are atomic, so a crash leaves either the
-        old or the new day readable (object stores should route this
-        through a committer). At 100 TB: one day read + rewritten,
+        day — each rename is atomic on HDFS, but the swap as a whole is
+        NOT: a reader between the two renames sees the day missing, and
+        a crash there strands the rows in ``.compact_trash_*``
+        (invisible to partition discovery). CONTRACT: schedule
+        compaction without concurrent readers of the day, and
+        interrupted swaps self-heal — ``recover_compaction`` runs first
+        on every invocation and restores any stranded day (operators
+        can also call it at startup). Object stores should route this
+        through a committer. At 100 TB: one day read + rewritten,
         executor-parallel; the driver only issues renames.
 
         Returns {"rows": n, "files_before": b, "files_after": a}.
         """
         if n_files < 1:
             raise ValueError("n_files must be >= 1")
+        self.recover_compaction(spark, name)
         layout = self._legacy_layout(spark, name)
         if layout is None:
             raise ValueError(f"legacy table {name!r} does not exist")

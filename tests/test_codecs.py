@@ -630,3 +630,36 @@ def test_jpeg_multi_scan_guard_walks_markers_not_bytes():
     # COM body containing FF DA must not trigger a false refusal
     com_da = b"\xff\xfe" + (6).to_bytes(2, "big") + b"\xff\xdaab"
     assert np.array_equal(codecs.decode_jpeg(enc[:-2] + com_da + b"\xff\xd9"), ref)
+
+
+def test_gif_frame_rect_outside_screen_is_refused():
+    """A frame descriptor whose left/top lies beyond the logical screen
+    violates GIF89a; the decoder must refuse with the codec's
+    UnsupportedImageError contract, not die in a numpy broadcast error.
+    An exactly-at-edge (zero-area) frame stays decodable."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    head = b"GIF89a" + _struct.pack("<HH", 4, 4) + bytes([0x80 | 1, 0, 0]) + gct
+
+    def frame(left, top, w, h, idx):
+        desc = b"\x2c" + _struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        data = codecs._gif_lzw_encode_blocks(
+            np.asarray(idx, dtype=np.int64).ravel(), 2
+        )
+        return desc + data
+
+    # top beyond screen height -> negative clip -> refusal
+    bad = head + frame(0, 7, 2, 2, [1, 1, 1, 1]) + b"\x3b"
+    with _pytest.raises(codecs.UnsupportedImageError, match="outside"):
+        codecs.decode_gif_frames(bad)
+    # left beyond screen width -> refusal
+    bad2 = head + frame(9, 0, 2, 2, [1, 1, 1, 1]) + b"\x3b"
+    with _pytest.raises(codecs.UnsupportedImageError, match="outside"):
+        codecs.decode_gif_frames(bad2)
+    # exactly at the edge: zero-area contribution, still decodes
+    ok = head + frame(0, 0, 4, 4, [1] * 16) + frame(4, 4, 2, 2, [1] * 4) + b"\x3b"
+    dec = codecs.decode_gif_frames(ok)
+    assert len(dec) == 2

@@ -1482,3 +1482,108 @@ def test_pq_topk_empty_corpus_returns_empty(spark):
     out = pq_topk(empty, k=3, query_filter=F.col("vec_id") < 10)
     assert out.count() == 0
     assert out.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
+
+
+def test_global_rank_two_phase_equals_sequential_model(spark):
+    """global_rank must equal the rank a single sorted pass would give,
+    for any partition count (including more partitions than rows and a
+    single partition), and its plan must carry NO un-partitioned
+    Window node."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+    from sahithi_metamorph_etl_spark.operators.windows import global_rank
+
+    rng = random.Random(808)
+    rows = [(i, rng.randint(0, 50)) for i in range(257)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    expect = {
+        i: r + 1
+        for r, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    for n in (1, 4, 1000):
+        ranked, total = global_rank(df, ["v", "id"], rank_col="rk", num_partitions=n)
+        assert total == len(rows)
+        got = {r["id"]: r["rk"] for r in ranked.collect()}
+        assert got == expect, f"num_partitions={n}"
+        assert plan_summary(ranked).unpartitioned_windows == 0
+
+    # empty frame: no rows, zero total, no crash
+    empty_ranked, zero = global_rank(
+        df.filter(F.lit(False)), ["v", "id"], rank_col="rk"
+    )
+    assert zero == 0 and empty_ranked.count() == 0
+
+
+def test_pack_sequences_null_text_counts_as_empty(spark):
+    """NULL text must behave exactly like empty text (Spark's
+    size(split(trim(NULL))) is -1, which would silently corrupt every
+    later tok_offset) — and downstream offsets must stay consistent."""
+    from sahithi_metamorph_etl_spark.llm.chunking import pack_sequences
+
+    base = [(0, "a b c"), (2, "d e"), (3, "f g h i")]
+    with_null = spark.createDataFrame(
+        base + [(1, None)], "doc_id bigint, text string"
+    )
+    with_empty = spark.createDataFrame(
+        base + [(1, "")], "doc_id bigint, text string"
+    )
+
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["tok_offset"], r["pack_id"], r["n_tokens"], r["oversize"])
+            for r in pack_sequences(df, budget=4, shuffle_seed="z").collect()
+        )
+
+    got_null, got_empty = run(with_null), run(with_empty)
+    assert got_null == got_empty
+    assert all(r[3] >= 0 for r in got_null)  # no -1 token counts
+    # exact sequential model over the deterministic md5 order
+    import hashlib
+
+    counts = {0: 3, 1: 1, 2: 2, 3: 4}  # empty text counts its one '' token
+    order = sorted(counts, key=lambda i: (hashlib.md5(f"z{i}".encode()).hexdigest(), i))
+    cum, expect = 0, {}
+    for i in order:
+        expect[i] = cum
+        cum += counts[i]
+    assert {r[0]: r[1] for r in got_null} == expect
+
+
+def test_pq_codebooks_layout_independent_and_runs_reproducible(spark, sf_dir):
+    """The PQ codebook training sample is the train_sample LOWEST ids
+    (ordered take) — so the trained codebooks must be bit-identical
+    across any physical repartitioning of the input (an un-ordered
+    limit would pick layout-dependent rows). And a fixed layout must
+    reproduce pq_topk results exactly run to run."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _train_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    books = _train_pq_codebooks(emb, "vec_id", "embedding", 8, 8, 42, 64)
+    for n in (1, 7):
+        again = _train_pq_codebooks(
+            emb.repartition(n), "vec_id", "embedding", 8, 8, 42, 64
+        )
+        assert np.array_equal(books, again), f"repartition({n})"
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in pq_topk(
+                emb, k=3, m=8, ksub=8, rerank=8,
+                query_filter=F.col("vec_id") < 5, train_sample=64,
+            ).collect()
+        )
+
+    assert run() == run()

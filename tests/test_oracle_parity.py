@@ -10,11 +10,27 @@ from .oracle import assert_matches_oracle
 
 _NAMES = sorted(all_queries())
 
+# Entries allowed an un-partitioned WindowExec: ONLY frames bounded by
+# construction may appear here (doc_pack_sequences' window runs over
+# the ~num_buckets-row bucket-totals frame — PLANS.md documents it).
+# Everything else funnelling a frame through one task is a 100 TB
+# scale-killer and fails below.
+_BOUNDED_GLOBAL_WINDOW_OK = {"doc_pack_sequences"}
+
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_query_matches_oracle(spark, sf_dir, name):
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+
     q = get_query(name)
     df = q.fn(spark, sf_dir)
+    if name not in _BOUNDED_GLOBAL_WINDOW_OK:
+        s = plan_summary(df)
+        assert s.unpartitioned_windows == 0, (
+            f"{name}: {s.unpartitioned_windows} un-partitioned Window node(s) "
+            "— unbounded single-task funnel (use operators.windows.global_rank "
+            "or an in-plan cutoff aggregate)"
+        )
     if q.oracle is None:
         # rows-only check, mirroring the driver's weaker gate
         n = df.count()

@@ -471,3 +471,58 @@ def test_funnel_stream_tolerates_null_user(spark, tmp_path):
         q.stop()
     got = {r["user_id"]: r["reached"] for r in spark.table("nu_out").collect()}
     assert got == {None: 2, 7: 1}
+
+
+def test_compaction_crash_recovery_restores_stranded_day(spark, sf_dir, tmp_path):
+    """A crash between the two swap renames leaves the day's rows in
+    .compact_trash_* and the partition MISSING; recover_compaction
+    (and therefore the next compact_legacy_day run) must restore it.
+    Post-install leftovers (trash + live day both present) and stale
+    staging dirs must be cleaned, not restored."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    run_date = dt.date(2025, 7, 9)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    wh.append_legacy(ev.limit(50), "events", run_date)
+    root = os.path.join(str(tmp_path / "wh"), "legacy", "events")
+    day = os.path.join(root, f"DAY_DT={run_date.isoformat()}")
+    trash = os.path.join(root, f".compact_trash_DAY_DT={run_date.isoformat()}")
+    staging = os.path.join(root, f".compact_staging_DAY_DT={run_date.isoformat()}")
+
+    # simulate the crash window: day moved aside, staging half-written
+    os.rename(day, trash)
+    os.makedirs(staging)
+    # discovery now sees nothing for the day
+    assert not os.path.exists(day)
+
+    out = wh.recover_compaction(spark, "events")
+    assert out["restored"] == [f"DAY_DT={run_date.isoformat()}"]
+    assert f".compact_staging_DAY_DT={run_date.isoformat()}" in out["cleaned"]
+    assert wh.read_legacy(spark, "events", run_date=run_date).count() == 50
+    assert not os.path.exists(trash) and not os.path.exists(staging)
+
+    # post-install leftover: live day AND trash exist -> trash deleted
+    shutil.copytree(day, trash)
+    out2 = wh.recover_compaction(spark, "events")
+    assert out2["restored"] == [] and out2["cleaned"] == [
+        f".compact_trash_DAY_DT={run_date.isoformat()}"
+    ]
+    assert wh.read_legacy(spark, "events", run_date=run_date).count() == 50
+
+    # next compact run self-heals first: strand again, then compact
+    os.rename(day, trash)
+    stats = wh.compact_legacy_day(spark, "events", run_date, n_files=1)
+    assert stats["rows"] == 50
+    assert wh.read_legacy(spark, "events", run_date=run_date).count() == 50
+    # no-op on a healthy table
+    out3 = wh.recover_compaction(spark, "events")
+    assert out3 == {"restored": [], "cleaned": []}
