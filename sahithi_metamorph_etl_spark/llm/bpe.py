@@ -87,24 +87,79 @@ def _greedy_merge_expr(toks_col, a: str, b: str):
     return F.aggregate(toks_col, init, step, finish)
 
 
+def _select_merge_batch(snap, floor, max_k):
+    """Maximal PREFIX of the snapshot's sorted pair candidates that is
+    provably identical to sequential (recount-between) selection.
+
+    Why a prefix is safe: old-pair counts never increase under a merge
+    (new adjacencies always involve the merged token), and accepted
+    pairs are fully consumed by the greedy pass, so the only way
+    candidate j could lose its sequential turn is to a NEWLY CREATED
+    pair ``(x, m_i)`` / ``(m_i, y)``. Each such pair's count is bounded
+    by the snapshot count of ``(x, a_i)`` / ``(b_i, y)`` — every
+    post-merge adjacency to ``m_i`` was an adjacency to its first/last
+    side before. Pairs outside the collected top-T are bounded by the
+    T-th count (``floor``). So candidate j is accepted only when:
+    token-disjoint (by string, merged names included) from everything
+    accepted, strictly above ``floor``, and strictly above every
+    visible neighbor-of-an-accepted-side count (ties rejected
+    conservatively — the created pair's name could win the
+    lexicographic tie). Rejection STOPS the batch (skipping would
+    break the prefix argument: a conflicting candidate's count may
+    survive the recount and outrank everything after it).
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, f in snap:
+        if len(accepted) >= max_k:
+            break
+        if accepted:
+            if floor is not None and f <= floor:
+                break
+            if a in used or b in used or (a + b) in used:
+                break
+            safe = True
+            for ai, bi, _fi in accepted:
+                for x, y, fq in snap:
+                    if (y == ai or x == bi) and fq >= f:
+                        safe = False
+                        break
+                if not safe:
+                    break
+            if not safe:
+                break
+        accepted.append((a, b, f))
+        used.update((a, b, a + b))
+    return accepted
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_every: int = 8,
+    batch_top: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table (rank, left, right, merged, freq) — ``rank`` is the merge
     order, which IS the tokenizer (applying merges in rank order
-    re-tokenizes any text).
+    re-tokenizes any text; ``apply_bpe`` is the apply half).
 
     Each word starts as its characters plus the ``</w>`` end marker;
     each iteration counts adjacent token pairs weighted by word
     frequency, merges the most frequent pair (lexicographic tie-break)
     everywhere, and records it. The vocabulary frame is cached and
-    lineage-truncated every ``checkpoint_every`` iterations so the
-    per-iteration plan stays flat.
+    lineage-truncated so the per-iteration plan stays flat.
+
+    BATCHED: each iteration collects the top-``batch_top`` pair counts
+    (ONE job) and accepts the longest safe prefix of non-interacting
+    merges (``_select_merge_batch`` — provably bit-identical to
+    one-merge-per-job sequential training, which is also pinned against
+    a pure-Python reference in tests). A 32k-merge production run
+    therefore pays ~32k/batch-size jobs instead of 32k; pass
+    ``stats={}`` to read back ``{"iterations", "merges"}``.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -113,7 +168,11 @@ def learn_bpe(
     state = vocab.select("count", _chars_plus_end("word").alias("toks")).localCheckpoint()
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    iterations = 0
+    folds_since_ckpt = 0
+    T = max(2, batch_top)
+    while len(merges) < n_merges:
+        iterations += 1
         n = F.size("toks")
         pairs = state.filter(n >= 2).select(
             "count",
@@ -128,20 +187,32 @@ def learn_bpe(
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("count").alias("freq"))
             .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(T)
             .collect()
         )
         if not top:
             break
-        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
-        merges.append((rank, a, b, a + b, freq))
-        # left-to-right greedy merge of (a, b) inside every token array
-        state = state.select("count", _greedy_merge_expr("toks", a, b).alias("toks"))
-        if rank % checkpoint_every == 0:
+        snap = [(r["a"], r["b"], int(r["freq"])) for r in top]
+        # pairs beyond the collected top-T are bounded by the T-th count
+        floor = snap[-1][2] if len(snap) == T else None
+        batch = _select_merge_batch(snap, floor, n_merges - len(merges))
+        sel = F.col("toks")
+        for a, b, freq in batch:
+            merges.append((len(merges) + 1, a, b, a + b, freq))
+            # left-to-right greedy merge of (a, b) inside every token
+            # array; disjointness makes the in-batch chain order-free
+            sel = _greedy_merge_expr(sel, a, b)
+        state = state.select("count", sel.alias("toks"))
+        folds_since_ckpt += len(batch)
+        if folds_since_ckpt >= checkpoint_every:
             # the vocab frame is small; truncating its lineage keeps the
             # per-iteration plan flat instead of n_merges folds deep
             state = state.localCheckpoint()
+            folds_since_ckpt = 0
 
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["merges"] = len(merges)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
     )

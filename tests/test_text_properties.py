@@ -131,25 +131,16 @@ def test_pack_sequences_prefix_sum_property(spark):
             cum += toks
 
 
-def test_learn_bpe_matches_reference_implementation(spark, sf_dir):
-    """The distributed BPE trainer must reproduce a pure-Python
-    reference (greedy left-to-right merge, frequency-then-lexicographic
-    pair selection) EXACTLY over the real documents vocabulary —
-    every rank, pair and frequency."""
-    from collections import Counter
+def _python_bpe_reference(word_counts, n_merges):
+    """Sequential (recount-between-merges) pure-Python BPE trainer —
+    greedy left-to-right merge, frequency-then-lexicographic pair
+    selection. The semantics both learn_bpe paths must reproduce."""
+    from sahithi_metamorph_etl_spark.llm.bpe import END_TOKEN
 
-    from sahithi_metamorph_etl_spark.llm.bpe import END_TOKEN, learn_bpe
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_merges = 8
-    got = [tuple(r) for r in learn_bpe(docs, n_merges=n_merges).collect()]
-
-    # reference: same word counts, same algorithm, plain Python
-    wc = Counter()
-    for r in docs.select("text").collect():
-        for w in (r["text"] or "").split():
-            wc[w] += 1
-    vocab = {tuple(list(w) + [END_TOKEN]): c for w, c in wc.items()}
+    vocab = {}
+    for w, c in word_counts.items():
+        key = tuple(list(w) + [END_TOKEN])
+        vocab[key] = vocab.get(key, 0) + c
     expect = []
     for rank in range(1, n_merges + 1):
         pc = Counter()
@@ -172,7 +163,56 @@ def test_learn_bpe_matches_reference_implementation(spark, sf_dir):
                     i += 1
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
         vocab = new_vocab
-    assert got == expect, (got[:3], expect[:3])
+    return expect
+
+
+def test_learn_bpe_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE trainer must reproduce a pure-Python
+    reference (greedy left-to-right merge, frequency-then-lexicographic
+    pair selection) EXACTLY over the real documents vocabulary —
+    every rank, pair and frequency — and the safe batching must cut
+    the iteration count below one-job-per-merge."""
+    from collections import Counter as _Counter
+
+    from sahithi_metamorph_etl_spark.llm.bpe import learn_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_merges = 8
+    stats = {}
+    got = [tuple(r) for r in learn_bpe(docs, n_merges=n_merges, stats=stats).collect()]
+
+    wc = _Counter()
+    for r in docs.select("text").collect():
+        for w in (r["text"] or "").split():
+            wc[w] += 1
+    assert got == _python_bpe_reference(wc, n_merges)
+    assert stats["merges"] == n_merges
+    assert stats["iterations"] < n_merges  # batching actually batched
+
+
+def test_learn_bpe_batching_equals_sequential_on_random_corpora(spark):
+    """Property: batched selection must equal the sequential reference
+    on ANY corpus — adversarial small vocabularies where merges
+    interact heavily (shared tokens, chained merges, ties) are exactly
+    where an unsafe batch would diverge."""
+    import random
+
+    from sahithi_metamorph_etl_spark.llm.bpe import learn_bpe
+
+    rng = random.Random(4242)
+    alphabet = ["a", "b", "c"]
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 25))
+        ]
+        rows = [(i, " ".join(rng.choices(words, k=rng.randint(1, 12))))
+                for i in range(rng.randint(2, 10))]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        wc = Counter(w for _, t in rows for w in t.split())
+        n_merges = 12
+        got = [tuple(r) for r in learn_bpe(df, n_merges=n_merges).collect()]
+        assert got == _python_bpe_reference(wc, n_merges), (trial, got[:4])
 
 
 def test_apply_bpe_paths_match_python_replay(spark, sf_dir):
