@@ -97,7 +97,23 @@ def main() -> None:
     # best-of-2 timed passes: single runs on a shared machine swing by
     # seconds from GC/scheduler noise; the minimum is the stable
     # steady-state figure
+    # canary: ONE frozen control query re-timed at the start, middle
+    # and end of the bench so cross-round per-query deltas can be
+    # normalized against same-run machine shift (shared-machine
+    # rep-to-rep variance reached 1.9x in the r7 audit). pricing_summary
+    # is the control: single-scan single-shuffle JVM-only plan, frozen
+    # since r1.
+    CANARY = "pricing_summary"
+
+    def run_canary() -> float:
+        t0 = time.perf_counter()
+        qs[CANARY](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        el = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        return el
+
     timings: dict[str, float] = {}
+    canary: list[float] = [run_canary()]
     for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
@@ -105,6 +121,7 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
             spark.catalog.clearCache()
+        canary.append(run_canary())
 
     print(
         json.dumps(
@@ -113,6 +130,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "canary": {
+                    "query": CANARY,
+                    "start_mid_end_sec": canary,
+                    "median_sec": round(sorted(canary)[len(canary) // 2], 3),
+                },
                 "sf": sf,
                 "note": "cache cleared per invocation since r02 (each run pays its own "
                         "persists); r01 reused cached intermediates across passes, so "
@@ -120,8 +142,8 @@ def main() -> None:
                         "Shared-machine load shifts ALL queries together between rounds "
                         "(r7 measured a uniform +15-50% vs r6 with interleaved A/B runs "
                         "showing no per-query cause; see PLANS.md bloom-filter audit) — "
-                        "compare per-query ratios to the round's own median shift, not "
-                        "absolute seconds",
+                        "divide per-query ratios by the canary median ratio between "
+                        "rounds to separate machine shift from structural change",
             }
         )
     )
