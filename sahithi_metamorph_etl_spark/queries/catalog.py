@@ -83,11 +83,12 @@ def _load() -> None:
 # events_stream_dedup, events_interval_join), corpus_bpe_merges again
 # (its r7 row was rows-only; this round it carries a real DuckDB
 # oracle and needs the hash-grade row), the r8-born doc_bpe_tokenize
-# (rule 2: never checked), and 32 of the 41 streak-1 entries. OUT =
-# the 41 r7-green entries (fresh history, streak 1) plus nine streak-1
-# holdovers that reach streak 2 and MUST return in r9: top10_orders,
-# lineitem_union_slices, orders_filter_case, doc_token_stats,
-# doc_hot_shingles, corpus_near_dup_prune, multimodal_resize,
+# and customer_scd2_merge (rule 2: never checked), and 31 of the 41
+# streak-1 entries. OUT = the 41 r7-green entries (fresh history,
+# streak 1) plus ten streak-1 holdovers that reach streak 2 and MUST
+# return in r9: top10_orders, lineitem_union_slices,
+# orders_filter_case, doc_token_stats, doc_hot_shingles,
+# corpus_near_dup_prune, corpus_dedup_report, multimodal_resize,
 # events_asof_join_forward, events_incremental_slice — each left a
 # same-family representative in the 50 (top-k/union/filter via the
 # relational block; token stats via quality/vocabulary/tfidf/bpe;
@@ -108,8 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats", "multimodal_png_roundtrip",
     "events_stream_dedup", "events_interval_join",
     # r7-born rows-only entry returning with its new DuckDB oracle,
-    # plus the r8-born apply half of the tokenizer loop (rule 2)
-    "corpus_bpe_merges", "doc_bpe_tokenize",
+    # plus the r8-born entries (rule 2): the apply half of the
+    # tokenizer loop and the SCD2 dimension merge
+    "corpus_bpe_merges", "doc_bpe_tokenize", "customer_scd2_merge",
     # streak-1 returns (out since r6)
     "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
     "parts_sales_left_join", "customer_running_total",
@@ -118,7 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_price_band_range_join", "adaptive_salted_skew_join",
     "doc_decontaminate", "doc_train_split",
     "doc_exact_dedup", "doc_jaccard_pairs", "doc_dedup_clusters",
-    "corpus_dedup_report", "doc_minhash_lsh_pairs", "doc_simhash_pairs",
+    "doc_minhash_lsh_pairs", "doc_simhash_pairs",
     "emb_cosine_topk", "emb_lsh_near_dup", "corpus_text_profile",
     "corpus_vocabulary", "doc_tfidf_keywords", "corpus_clean_pipeline",
     "multimodal_frame_sample", "multimodal_wav_roundtrip",

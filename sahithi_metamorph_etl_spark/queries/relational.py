@@ -1109,3 +1109,80 @@ def warehouse_upsert_roundtrip(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- SCD2 dimension versioning ---------------------------------------------
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '2025-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to,
+         true AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'RELOCATED' ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWCOMER', 0.0 FROM customer WHERE c_custkey % 97 = 0
+), j AS (
+  SELECT d.c_custkey AS dk, u.c_custkey AS uk,
+         d.c_mktsegment AS dm, d.c_acctbal AS da, d.effective_from AS df,
+         u.c_mktsegment AS um, u.c_acctbal AS ua,
+         (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+          AND NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+                   AND d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)) AS changed
+  FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+)
+SELECT dk AS c_custkey, dm AS c_mktsegment, da AS c_acctbal,
+       df AS effective_from, CAST(NULL AS DATE) AS effective_to, true AS is_current
+FROM j WHERE dk IS NOT NULL AND NOT changed
+UNION ALL
+SELECT dk, dm, da, df, DATE '2025-02-01', false FROM j WHERE changed
+UNION ALL
+SELECT uk, um, ua, DATE '2025-02-01', CAST(NULL AS DATE), true FROM j WHERE changed
+UNION ALL
+SELECT uk, um, ua, DATE '2025-02-01', CAST(NULL AS DATE), true FROM j WHERE dk IS NULL
+"""
+
+
+@register("customer_scd2_merge", oracle=_SCD2_ORACLE,
+          doc="SCD2 (type-2 slowly changing dimension) merge: initial load of "
+              "the customer dimension at 2025-01-01, then a 2025-02-01 partial "
+              "update snapshot (every even key, with k%10 segments relocated, "
+              "k%6 balances shifted, and k%97 spawning brand-new keys) — "
+              "changed keys close their current row and open a new version, "
+              "unchanged/no-update keys pass through, new keys insert. ONE "
+              "current-slice join on the key; closed history passes through "
+              "un-shuffled; the three row fates emit from a single exploded "
+              "pass over the join (operators/scd.py). Null-safe compare == "
+              "the oracle's IS NOT DISTINCT FROM")
+def customer_scd2_merge(spark, sf_dir):
+    import datetime as dt
+
+    from ..operators.scd import scd2_init, scd2_merge
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    dim = scd2_init(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_custkey"], ["c_mktsegment", "c_acctbal"], dt.date(2025, 1, 1),
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "RELOCATED")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 6 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEWCOMER").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    return scd2_merge(
+        dim, updates, ["c_custkey"], ["c_mktsegment", "c_acctbal"],
+        dt.date(2025, 2, 1),
+    )

@@ -1587,3 +1587,57 @@ def test_pq_codebooks_layout_independent_and_runs_reproducible(spark, sf_dir):
         )
 
     assert run() == run()
+
+
+def test_scd2_merge_versions_close_and_chain(spark):
+    """SCD2 semantics across three merges: changed keys close at the
+    merge date and open a new version; unchanged and absent keys pass
+    through; new keys insert; close_missing treats absence as delete;
+    re-running the same snapshot is a no-op; NULL->NULL is unchanged
+    and NULL->value is a change (null-safe compare)."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    d1, d2, d3 = dt.date(2025, 1, 1), dt.date(2025, 2, 1), dt.date(2025, 3, 1)
+    snap1 = spark.createDataFrame(
+        [(1, "A", None), (2, "B", "x"), (3, "C", "y")],
+        "k bigint, seg string, note string",
+    )
+    dim = scd2_init(snap1, ["k"], ["seg", "note"], d1)
+
+    # day 2: k=1 gains a note (NULL->value = change), k=2 unchanged
+    # (note NULL->... stays 'x'), k=3 absent, k=4 new
+    upd2 = spark.createDataFrame(
+        [(1, "A", "now"), (2, "B", "x"), (4, "D", None)],
+        "k bigint, seg string, note string",
+    )
+    dim2 = scd2_merge(dim, upd2, ["k"], ["seg", "note"], d2)
+    rows = {(r["k"], r["is_current"]): r for r in dim2.collect()}
+    assert len(rows) == 5  # 3 originals (one closed) + 1 new version + 1 insert
+    assert rows[(1, False)]["effective_to"] == d2
+    assert rows[(1, True)]["note"] == "now" and rows[(1, True)]["effective_from"] == d2
+    assert rows[(2, True)]["effective_from"] == d1  # unchanged kept
+    assert rows[(3, True)]["effective_from"] == d1  # absent kept
+    assert rows[(4, True)]["effective_from"] == d2  # new key
+
+    # idempotency: same snapshot again changes nothing
+    dim2b = scd2_merge(dim2, upd2, ["k"], ["seg", "note"], d2)
+    canon = lambda df: sorted(map(repr, map(tuple, df.collect())))  # noqa: E731
+    assert canon(dim2) == canon(dim2b)
+
+    # day 3 with close_missing: k=2,3 absent -> closed as deletes;
+    # k=1 changes again -> a 3-version history
+    upd3 = spark.createDataFrame([(1, "Z", "now"), (4, "D", None)],
+                                 "k bigint, seg string, note string")
+    dim3 = scd2_merge(dim2, upd3, ["k"], ["seg", "note"], d3, close_missing=True)
+    hist1 = sorted(
+        (r["effective_from"], r["effective_to"], r["seg"])
+        for r in dim3.filter("k = 1").collect()
+    )
+    assert hist1 == [(d1, d2, "A"), (d2, d3, "A"), (d3, None, "Z")]
+    assert dim3.filter("k = 2 AND is_current").count() == 0
+    assert dim3.filter("k = 2").collect()[0]["effective_to"] == d3
+    assert dim3.filter("k = 4 AND is_current").count() == 1
+    # intervals never overlap per key: each close date == next open date
+    assert dim3.filter("is_current AND effective_to IS NOT NULL").count() == 0
