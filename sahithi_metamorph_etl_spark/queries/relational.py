@@ -1186,3 +1186,101 @@ def customer_scd2_merge(spark, sf_dir):
         dim, updates, ["c_custkey"], ["c_mktsegment", "c_acctbal"],
         dt.date(2025, 2, 1),
     )
+
+
+# --- time-series gap fill ---------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         {o_davg('o_totalprice', 2)} AS avg_price
+  FROM orders GROUP BY 1, 2
+), spans AS (
+  SELECT o_orderpriority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), days AS (
+  SELECT o_orderpriority,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT d.o_orderpriority, d.day,
+       CAST(coalesce(x.n_orders, 0) AS BIGINT) AS n_orders,
+       last_value(x.avg_price IGNORE NULLS) OVER (
+         PARTITION BY d.o_orderpriority ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_price
+FROM days d LEFT JOIN daily x
+  ON d.o_orderpriority = x.o_orderpriority AND d.day = x.day
+"""
+
+
+@register("orders_priority_daily_gapfill", oracle=_GAPFILL_ORACLE,
+          doc="Per-key daily time-series densification: order counts and avg "
+              "price per priority per day, gap-filled to EVERY calendar day in "
+              "each key's span — counts zero-filled, avg price forward-filled "
+              "(last observed). Span agg + sequence-explode (rows generated = "
+              "semantic output, no global calendar cross join) + (key, day) "
+              "left join + per-key PARTITIONED window — no un-partitioned "
+              "window, no driver action (operators/timeseries.py)")
+def orders_priority_daily_gapfill(spark, sf_dir):
+    from ..operators.timeseries import gapfill_daily
+
+    o = read_testdata(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg(F.col("o_totalprice"), 2).alias("avg_price"),
+    )
+    return gapfill_daily(
+        daily, ["o_orderpriority"], "day",
+        zero_fill=["n_orders"], ffill=["avg_price"],
+    ).select(
+        "o_orderpriority", "day",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "avg_price",
+    )
+
+
+# --- record linkage: blocked fuzzy join ------------------------------------
+
+_FUZZY_ORACLE = """
+WITH dirty AS (
+  SELECT p_partkey + 5000000 AS d_key,
+         CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
+              WHEN p_partkey % 3 = 1 THEN p_name || 'x'
+              ELSE p_name END AS d_name
+  FROM part
+), lb AS (SELECT p_partkey, p_name, lower(substr(trim(p_name), 1, 2)) AS blk FROM part),
+rb AS (SELECT d_key, d_name, lower(substr(trim(d_name), 1, 2)) AS blk FROM dirty)
+SELECT lb.p_partkey, lb.p_name, rb.d_key, rb.d_name,
+       CAST(levenshtein(lb.p_name, rb.d_name) AS INTEGER) AS distance
+FROM lb JOIN rb ON lb.blk = rb.blk
+WHERE levenshtein(lb.p_name, rb.d_name) <= 2
+"""
+
+
+@register("parts_fuzzy_match", oracle=_FUZZY_ORACLE,
+          doc="Record linkage via blocked fuzzy join: part names matched "
+              "against a deterministically-perturbed dirty copy (every k%3==0 "
+              "name drops its 3rd char, k%3==1 gains a suffix char) — "
+              "candidate pairs come from a prefix-2 blocking equi-join, only "
+              "within-block pairs pay levenshtein, matches kept at distance "
+              "<= 2. The LSH-dedup strategy for tabular entities: never "
+              "all-pairs (operators/linkage.py)")
+def parts_fuzzy_match(spark, sf_dir):
+    from ..operators.linkage import blocked_fuzzy_join
+
+    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = p.select(
+        (F.col("p_partkey") + 5_000_000).alias("d_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")),
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.col("p_name"), F.lit("x")))
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+    )
+    return blocked_fuzzy_join(
+        p, dirty, "p_name", "d_name", max_distance=2, block_len=2
+    ).select("p_partkey", "p_name", "d_key", "d_name", "distance")

@@ -1641,3 +1641,74 @@ def test_scd2_merge_versions_close_and_chain(spark):
     assert dim3.filter("k = 4 AND is_current").count() == 1
     # intervals never overlap per key: each close date == next open date
     assert dim3.filter("is_current AND effective_to IS NOT NULL").count() == 0
+
+
+def test_gapfill_daily_semantics(spark):
+    """Gap-fill: every day in each key's span appears exactly once;
+    zero_fill gets 0 on generated days, ffill carries the last observed
+    value, leading days before first observation keep NULL ffill only
+    when the span starts at the first observation (by construction the
+    span starts at an observed day, so ffill is never NULL here);
+    pass-through columns stay NULL on generated days. Keys never bleed
+    into each other."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.operators.timeseries import gapfill_daily
+
+    d = dt.date
+    rows = [
+        ("a", d(2025, 1, 1), 2, 10.0, "x"),
+        ("a", d(2025, 1, 4), 1, 20.0, "y"),
+        ("b", d(2025, 3, 1), 5, 7.0, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, day date, n bigint, price double, tag string"
+    )
+    out = {
+        (r["k"], r["day"]): (r["n"], r["price"], r["tag"])
+        for r in gapfill_daily(
+            df, ["k"], "day", zero_fill=["n"], ffill=["price"]
+        ).collect()
+    }
+    assert len(out) == 5  # a: 4 days, b: 1 day
+    assert out[("a", d(2025, 1, 1))] == (2, 10.0, "x")
+    assert out[("a", d(2025, 1, 2))] == (0, 10.0, None)  # generated
+    assert out[("a", d(2025, 1, 3))] == (0, 10.0, None)
+    assert out[("a", d(2025, 1, 4))] == (1, 20.0, "y")
+    assert out[("b", d(2025, 3, 1))] == (5, 7.0, "z")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both"):
+        gapfill_daily(df, ["k"], "day", zero_fill=["n"], ffill=["n"])
+    with _pytest.raises(ValueError, match="not in frame"):
+        gapfill_daily(df, ["k"], "day", zero_fill=["nope"])
+
+
+def test_blocked_fuzzy_join_blocks_and_distance(spark):
+    """Blocked fuzzy join: matches only within the blocking prefix,
+    at the exact levenshtein threshold; cross-block near-matches are
+    (by documented design) not candidates; column clashes refused."""
+    from sahithi_metamorph_etl_spark.operators.linkage import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "martha"), (2, "zebra"), (3, "marcus")], "lid bigint, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "martha"), (11, "marthaxx"), (12, "marthaxxx"), (13, "aebra")],
+        "rid bigint, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["distance"]
+        for r in blocked_fuzzy_join(
+            left, right, "lname", "rname", max_distance=2, block_len=2
+        ).collect()
+    }
+    # martha matches itself (0) and marthaxx (2); marthaxxx is distance 3
+    # -> out; aebra is 1 edit from zebra but in block 'ae' vs 'ze' -> out
+    assert got == {(1, 10): 0, (1, 11): 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        blocked_fuzzy_join(left, left, "lname", "lname")
