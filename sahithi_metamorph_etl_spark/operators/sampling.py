@@ -166,3 +166,51 @@ def o_stratified_sample(
         f"WHEN '{name}' THEN '{_hex_threshold(frac)}'" for name, frac in fractions.items()
     )
     return f"{b} < (CASE {strata_expr} {whens} ELSE '{_hex_threshold(default_fraction)}' END)"
+
+
+def mixture_by_token_budget(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    total_budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    seed: str = "mixture",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Training-mix construction: split ``total_budget`` tokens across
+    sources by weight (``budget_s = round(total_budget * w_s / Σw)``)
+    and greedily fill each source's share in deterministic
+    ``md5(seed:id)`` order — "60% web, 30% books, 10% code" as one
+    operator. Documents from sources not in ``weights`` are dropped;
+    a document that would overflow its source's budget is dropped
+    entirely (no partial documents), same contract as
+    :func:`select_by_token_budget`.
+
+    SCALE: per-source running totals come from
+    ``operators.windows.bucketed_prefix_sum`` (md5-prefix bucketed
+    two-phase), NOT a per-source window partition — a 100 TB corpus
+    with three sources would otherwise funnel a third of the corpus
+    through one task.
+    """
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-empty, non-negative, positive-sum")
+    from .windows import bucketed_prefix_sum
+
+    total_w = sum(weights.values())
+    budgets = {s: int(round(total_budget * w / total_w)) for s, w in weights.items()}
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    d = df.withColumn("__k", key)
+    c = bucketed_prefix_sum(d, [source_col], "__k", id_col, token_col, cum_col)
+    budget_expr = None
+    for s, b in budgets.items():
+        cond = F.col(source_col) == s
+        budget_expr = (
+            F.when(cond, b) if budget_expr is None else budget_expr.when(cond, b)
+        )
+    budget_expr = budget_expr.otherwise(F.lit(-1))  # unknown source: always dropped
+    return c.filter(F.col(cum_col) <= budget_expr).drop("__k")

@@ -179,3 +179,53 @@ def global_rank(
     else:
         rank = local
     return ranged.withColumn(rank_col, rank).drop("_gr_pid"), total
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    hexkey_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Two-phase running sum of ``value_col`` within each group,
+    ordered by (``hexkey_col``, ``tiebreak_col``) — the grouped
+    generalization of ``llm/chunking.pack_sequences``'s prefix sum, for
+    when the group cardinality is SMALL (sources, languages, splits)
+    and a ``Window.partitionBy(group)`` would funnel a corpus-sized
+    slice through one task.
+
+    ``hexkey_col`` must be a uniformly-distributed lowercase hex string
+    (md5 of a seeded id is the house convention); its leading
+    ``bucket_hex_chars`` chars split each group into 16^k
+    order-preserving buckets (ordering by (bucket, key) == ordering by
+    key). One shuffle computes per-(group, bucket) local cumsums; the
+    per-bucket totals (<= groups x 16^k rows) are prefix-summed on that
+    bounded frame and broadcast back.
+    """
+    if not 1 <= bucket_hex_chars <= 8:
+        raise ValueError("bucket_hex_chars must be in 1..8")
+    d = df.withColumn("__b", F.substring(F.col(hexkey_col), 1, bucket_hex_chars))
+    lw = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy(hexkey_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("__cl", F.sum(F.col(value_col)).over(lw).cast("bigint"))
+    totals = local.groupBy(*group_cols, "__b").agg(F.max("__cl").alias("__bt"))
+    # bounded frame: <= |groups| x 16^bucket_hex_chars rows
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__bt").over(ow), F.lit(0).cast("bigint"))
+    ).select(*group_cols, "__b", "__off")
+    return (
+        local.join(F.broadcast(offs), [*group_cols, "__b"])
+        .withColumn(out_col, (F.col("__off") + F.col("__cl")).cast("bigint"))
+        .drop("__b", "__cl", "__off")
+    )

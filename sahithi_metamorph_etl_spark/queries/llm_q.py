@@ -361,6 +361,58 @@ def doc_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 
+# --- source-weighted mixture sampling ---------------------------------------
+
+_MIXTURE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS source,
+         CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens,
+         md5('mix8' || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens <= CASE source WHEN 'web' THEN 30000
+                                WHEN 'books' THEN 15000
+                                ELSE 5000 END
+"""
+
+
+@register("doc_mixture_sample", oracle=_MIXTURE_ORACLE,
+          doc="Training-mix construction: a 50k-token budget split 60/30/10 "
+              "across (synthesized) web/books/code sources, each share filled "
+              "greedily in deterministic md5(seed:id) order with whole "
+              "documents only. Per-source running totals come from the "
+              "md5-prefix bucketed two-phase prefix sum "
+              "(operators.windows.bucketed_prefix_sum) — the oracle's "
+              "PARTITION BY source window replayed WITHOUT funneling a third "
+              "of the corpus through one task")
+def doc_mixture_sample(spark, sf_dir):
+    from ..operators.sampling import mixture_by_token_budget
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    src = (
+        F.when(F.col("doc_id") % 3 == 0, "web")
+        .when(F.col("doc_id") % 3 == 1, "books")
+        .otherwise("code")
+    )
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    ).cast("bigint")
+    base = docs.select("doc_id", src.alias("source"), toks.alias("n_tokens"))
+    out = mixture_by_token_budget(
+        base, "source", {"web": 0.6, "books": 0.3, "code": 0.1},
+        total_budget=50_000, token_col="n_tokens", seed="mix8",
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 # --- dataset splitting & sampling -------------------------------------------
 
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}

@@ -1712,3 +1712,81 @@ def test_blocked_fuzzy_join_blocks_and_distance(spark):
 
     with _pytest.raises(ValueError, match="rename"):
         blocked_fuzzy_join(left, left, "lname", "lname")
+
+
+def test_bucketed_prefix_sum_equals_grouped_window(spark):
+    """The two-phase grouped prefix sum must equal a per-group global
+    window for any bucket width, with no corpus-wide window partition
+    in the plan (groups stay parallel across their md5 buckets)."""
+    import hashlib
+
+    from sahithi_metamorph_etl_spark.operators.windows import bucketed_prefix_sum
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "g" + str(i % 3), (i * 7) % 23 + 1,
+                     hashlib.md5(f"s:{i}".encode()).hexdigest()))
+    df = spark.createDataFrame(rows, "id bigint, g string, v bigint, k string")
+
+    # sequential model per group over (k, id) order
+    expect = {}
+    for gname in ("g0", "g1", "g2"):
+        cum = 0
+        for i, g, v, k in sorted(rows, key=lambda r: (r[3], r[0])):
+            if g != gname:
+                continue
+            cum += v
+            expect[i] = cum
+
+    for width in (1, 2, 4):
+        got = {
+            r["id"]: r["cum"]
+            for r in bucketed_prefix_sum(
+                df, ["g"], "k", "id", "v", bucket_hex_chars=width
+            ).collect()
+        }
+        assert got == expect, f"bucket_hex_chars={width}"
+
+
+def test_mixture_by_token_budget_fills_shares(spark):
+    """Mixture sampling: each source's selection is the greedy md5-order
+    prefix within its own budget share; unknown sources drop; budgets
+    never overflow; weights validate."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from sahithi_metamorph_etl_spark.operators.sampling import (
+        mixture_by_token_budget,
+    )
+
+    rows = [(i, ["a", "b", "zz"][i % 3], (i % 13) + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n bigint")
+    out = mixture_by_token_budget(
+        df, "source", {"a": 0.75, "b": 0.25}, total_budget=200,
+        token_col="n", seed="mx",
+    ).collect()
+    budgets = {"a": 150, "b": 50}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= {"a", "b"}  # 'zz' dropped entirely
+    for s, rs in by_src.items():
+        assert max(r["cum_tokens"] for r in rs) <= budgets[s]
+    # exact greedy-prefix model
+    for s in ("a", "b"):
+        cum, keep = 0, set()
+        for i, src, n in sorted(
+            rows, key=lambda r: (hashlib.md5(f"mx:{r[0]}".encode()).hexdigest(), r[0])
+        ):
+            if src != s:
+                continue
+            cum += n
+            if cum <= budgets[s]:
+                keep.add(i)
+        assert {r["doc_id"] for r in by_src.get(s, [])} == keep, s
+
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_by_token_budget(df, "source", {}, 100, "n")
+    with _pytest.raises(ValueError, match="total_budget"):
+        mixture_by_token_budget(df, "source", {"a": 1.0}, 0, "n")
