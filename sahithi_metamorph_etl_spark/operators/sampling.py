@@ -101,24 +101,21 @@ def select_by_token_budget(
     budget is dropped entirely (no partial documents). ``id_col`` is
     the deterministic tie-breaker, so the selected set is reproducible.
 
-    One shuffle on the group key; the running sum is a window over
-    already-grouped data — the standard "top quality docs until the
-    per-language budget fills" step of training-mix construction.
+    The standard "top quality docs until the per-language budget
+    fills" step of training-mix construction. Since r8 the running sum
+    is ``operators.windows.ranged_prefix_sum`` (range-partitioned
+    two-phase), not a per-group window partition — a language at
+    corpus scale would otherwise move through ONE task (and
+    ``group_col=None`` would be an unpartitioned global window).
     """
-    from pyspark.sql import Window
-
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    from .windows import ranged_prefix_sum
+
     order = list(order_by or []) + [F.col(id_col).asc()]
     part = [group_col] if group_col else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        df.withColumn(cum_col, F.sum(F.col(token_col)).over(w).cast("bigint"))
-        .filter(F.col(cum_col) <= budget)
+    return ranged_prefix_sum(df, part, order, token_col, out_col=cum_col).filter(
+        F.col(cum_col) <= budget
     )
 
 

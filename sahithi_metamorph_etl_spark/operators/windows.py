@@ -229,3 +229,58 @@ def bucketed_prefix_sum(
         .withColumn(out_col, (F.col("__off") + F.col("__cl")).cast("bigint"))
         .drop("__b", "__cl", "__off")
     )
+
+
+def ranged_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` within each group under an
+    ARBITRARY total order — the range-partitioned sibling of
+    :func:`bucketed_prefix_sum` (which needs a uniform hex key) and the
+    grouped form of :func:`global_rank`'s two-phase trick.
+
+    ``repartitionByRange(group_cols + order_cols)`` splits every group
+    across partitions while preserving its order; per-(group,
+    partition) local cumsums run under a PARTITIONED window, and the
+    per-(group, partition) totals (an aggregate-sized frame, never
+    collected) get group-wise offsets from a window over the partition
+    id — at most ``num_partitions`` rows per group. ``order_cols`` must
+    end in a unique tie-breaker (pass Columns or names; same contract
+    as ``global_rank``). The ranged frame is persisted spillable for
+    the totals pass.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n, *[F.col(g) for g in group_cols], *order)
+        .withColumn("_rp_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lw = (
+        Window.partitionBy(*group_cols, "_rp_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_rp_cl", F.sum(F.col(value_col)).over(lw).cast("bigint"))
+    totals = local.groupBy(*group_cols, "_rp_pid").agg(F.max("_rp_cl").alias("_rp_bt"))
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_rp_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "_rp_off", F.coalesce(F.sum("_rp_bt").over(ow), F.lit(0).cast("bigint"))
+    ).select(*group_cols, "_rp_pid", "_rp_off")
+    return (
+        local.join(F.broadcast(offs), [*group_cols, "_rp_pid"])
+        .withColumn(out_col, (F.col("_rp_off") + F.col("_rp_cl")).cast("bigint"))
+        .drop("_rp_pid", "_rp_cl", "_rp_off")
+    )

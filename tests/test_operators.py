@@ -1790,3 +1790,49 @@ def test_mixture_by_token_budget_fills_shares(spark):
         mixture_by_token_budget(df, "source", {}, 100, "n")
     with _pytest.raises(ValueError, match="total_budget"):
         mixture_by_token_budget(df, "source", {"a": 1.0}, 0, "n")
+
+
+def test_ranged_prefix_sum_arbitrary_order(spark):
+    """Range-partitioned grouped running sum must equal the sequential
+    per-group model under an ARBITRARY (non-hex) order key, for any
+    partition count, grouped or ungrouped, with partitioned windows
+    only in the grouped plan."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+    from sahithi_metamorph_etl_spark.operators.windows import ranged_prefix_sum
+
+    rng = random.Random(88)
+    rows = [
+        (i, "g" + str(i % 4), rng.randint(-50, 50), rng.randint(1, 9))
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, score bigint, v bigint")
+
+    def model(group):
+        exp = {}
+        for gname in {r[1] for r in rows}:
+            cum = 0
+            for i, g, s, v in sorted(rows, key=lambda r: (-r[2], r[0])):
+                if group and g != gname:
+                    continue
+                cum += v
+                exp[(gname, i) if group else i] = cum
+            if not group:
+                return exp
+        return exp
+
+    order = [F.col("score").desc(), F.col("id").asc()]
+    for n in (1, 5, 64):
+        out = ranged_prefix_sum(df, ["g"], order, "v", num_partitions=n)
+        got = {(r["g"], r["id"]): r["cum"] for r in out.collect()}
+        assert got == model(True), f"grouped n={n}"
+        assert plan_summary(out).unpartitioned_windows == 0
+    # ungrouped: single virtual group, still range-parallel
+    got = {
+        r["id"]: r["cum"]
+        for r in ranged_prefix_sum(df, [], order, "v", num_partitions=7).collect()
+    }
+    assert got == model(False)
