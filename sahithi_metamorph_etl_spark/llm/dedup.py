@@ -424,3 +424,30 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_against_seen(
+    df: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: keep only documents
+    whose content fingerprint does NOT appear in a prior snapshot's
+    fingerprint set — the daily-refresh complement of
+    ``exact_dedup_groups`` (dedup WITHIN a corpus). Returns
+    (id, fingerprint) of the novel documents; join back to ``df`` for
+    payloads.
+
+    SCALE SHAPE: fingerprint projection (zero shuffle) + ONE left-anti
+    join on the 32-hex key. The seen set is the small side in steady
+    state growth scans (yesterday's additions vs today's batch) and
+    broadcasts; for a full-history seen set both sides hash-shuffle on
+    the fingerprint — still linear, and bucketing the seen store by
+    fingerprint makes the daily anti-join co-located (see
+    sinks/warehouse.write_bucketed).
+    """
+    fp = content_fingerprint(df, text_col, id_col)
+    seen = seen_fingerprints.select(F.col(fingerprint_col).alias("fingerprint")).distinct()
+    return fp.join(seen, "fingerprint", "left_anti").select(id_col, "fingerprint")

@@ -361,6 +361,36 @@ def doc_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 
+# --- incremental (cross-snapshot) dedup -------------------------------------
+
+_INCR_DEDUP_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM documents
+), seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 = 0)
+SELECT f.doc_id, f.fingerprint
+FROM fp f LEFT JOIN seen s ON f.fingerprint = s.fingerprint
+WHERE s.fingerprint IS NULL
+"""
+
+
+@register("doc_incremental_dedup", oracle=_INCR_DEDUP_ORACLE,
+          doc="Incremental exact dedup against a prior snapshot: every doc_id%4==0 "
+              "document's fingerprint plays the previously-ingested corpus; the "
+              "daily batch keeps only content-novel documents (a %4!=0 doc that "
+              "duplicates a seen doc's normalized content drops too). Fingerprint "
+              "projection + ONE left-anti join on the md5 key — the daily-refresh "
+              "complement of within-corpus exact dedup (llm/dedup.py)")
+def doc_incremental_dedup(spark, sf_dir):
+    from ..llm.dedup import dedup_against_seen
+    from ..llm.textstats import content_fingerprint
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    seen = content_fingerprint(docs.filter(F.col("doc_id") % 4 == 0))
+    return dedup_against_seen(docs, seen)
+
+
 # --- source-weighted mixture sampling ---------------------------------------
 
 _MIXTURE_ORACLE = r"""

@@ -1836,3 +1836,26 @@ def test_ranged_prefix_sum_arbitrary_order(spark):
         for r in ranged_prefix_sum(df, [], order, "v", num_partitions=7).collect()
     }
     assert got == model(False)
+
+
+def test_dedup_against_seen_drops_known_content(spark):
+    """Cross-snapshot dedup: a new doc whose NORMALIZED content matches
+    any seen fingerprint drops, regardless of id; novel docs survive;
+    the seen set is consulted content-wise, not id-wise."""
+    from sahithi_metamorph_etl_spark.llm.dedup import dedup_against_seen
+    from sahithi_metamorph_etl_spark.llm.textstats import content_fingerprint
+
+    prior = spark.createDataFrame(
+        [(1, "Hello World"), (2, "unique old doc")], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "hello, WORLD!!"),   # normalization-dup of seen doc 1
+            (11, "hello world2"),     # novel
+            (12, "unique old doc"),   # exact dup of seen doc 2
+            (13, "brand new"),        # novel
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup_against_seen(batch, content_fingerprint(prior))
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
