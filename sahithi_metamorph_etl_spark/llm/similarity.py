@@ -71,8 +71,18 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     round_scale: int = 8,
     max_queries: int | None = None,
+    queries: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (vec_id, rank, neighbor_id, cos_sim).
+
+    ``queries`` turns this into a cross-frame KNN JOIN: the (bounded)
+    query set comes from another frame carrying the same ``id_col`` /
+    ``vec_col`` names (alias first) with NUMERIC ids — e.g. per-label
+    centroids asking "which corpus vectors sit nearest each class
+    center". Pass ``exclude_self=False`` there: the id namespaces
+    differ, so dropping a corpus row that merely shares a query's id
+    number would be wrong.
 
     Scale design: the (bounded) query set is collected once and shipped
     to executors as a unit-normalized float64 matrix inside the scoring
@@ -90,7 +100,8 @@ def cosine_topk_bruteforce(
     import numpy as np
 
     qrows = _bounded_query_rows(
-        embeddings, id_col, vec_col, query_filter, max_queries, "cosine_topk_bruteforce"
+        queries if queries is not None else embeddings,
+        id_col, vec_col, query_filter, max_queries, "cosine_topk_bruteforce",
     )
     if not qrows:
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
@@ -128,7 +139,7 @@ def cosine_topk_bruteforce(
                 idxs = np.nonzero(s >= heap[0][0])[0] if len(heap) >= k else range(len(nids))
                 for ci in idxs:
                     nid = int(nids[ci])
-                    if nid == qid:
+                    if exclude_self and nid == qid:
                         continue
                     # min-heap keyed (cos asc, neighbor desc): root is the
                     # WORST kept candidate under (cos desc, neighbor asc)

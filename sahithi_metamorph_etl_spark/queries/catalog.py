@@ -82,18 +82,18 @@ def _load() -> None:
 # doc_quality_score, multimodal_decode_stats, multimodal_png_roundtrip,
 # events_stream_dedup, events_interval_join), corpus_bpe_merges again
 # (its r7 row was rows-only; this round it carries a real DuckDB
-# oracle and needs the hash-grade row), the six r8-born entries
+# oracle and needs the hash-grade row), the seven r8-born entries
 # (rule 2: never checked — doc_bpe_tokenize, customer_scd2_merge,
-# orders_priority_daily_gapfill, parts_fuzzy_match,
-# doc_mixture_sample, doc_incremental_dedup), and 27 of the 41
-# streak-1 entries. OUT = the 41 r7-green entries (fresh history,
-# streak 1) plus fourteen streak-1 holdovers that reach streak 2 and
-# MUST return in r9: top10_orders, lineitem_union_slices,
+# orders_priority_daily_gapfill, parts_fuzzy_match, emb_centroid_knn,
+# doc_mixture_sample, doc_incremental_dedup, emb_centroid_knn), and
+# 26 of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
+# history, streak 1) plus fifteen streak-1 holdovers that reach streak
+# 2 and MUST return in r9: top10_orders, lineitem_union_slices,
 # orders_filter_case, doc_token_stats, doc_hot_shingles,
 # corpus_near_dup_prune, corpus_dedup_report, doc_exact_dedup,
-# emb_cosine_topk, multimodal_resize, multimodal_frame_sample,
-# events_hourly_tumbling, events_asof_join_forward,
-# events_incremental_slice — each left a same-family representative in
+# doc_train_split, emb_cosine_topk, multimodal_resize,
+# multimodal_frame_sample, events_hourly_tumbling,
+# events_asof_join_forward, events_incremental_slice — each left a same-family representative in
 # the 50 (top-k/union/filter via the relational block; token stats via
 # quality/vocabulary/tfidf/bpe; dedup via jaccard+minhash+simhash+
 # clusters; similarity via emb_lsh_near_dup; codec via
@@ -115,17 +115,18 @@ _PRIORITY: tuple[str, ...] = (
     # r7-born rows-only entry returning with its new DuckDB oracle,
     # plus the r8-born entries (rule 2): the apply half of the
     # tokenizer loop, the SCD2 dimension merge, per-key daily gap-fill,
-    # blocked fuzzy join, mixture sampling and incremental dedup
+    # blocked fuzzy join, mixture sampling, incremental dedup and the
+    # centroid cross-frame KNN join
     "corpus_bpe_merges", "doc_bpe_tokenize", "customer_scd2_merge",
     "orders_priority_daily_gapfill", "parts_fuzzy_match",
-    "doc_mixture_sample", "doc_incremental_dedup",
+    "doc_mixture_sample", "doc_incremental_dedup", "emb_centroid_knn",
     # streak-1 returns (out since r6)
     "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
     "parts_sales_left_join", "customer_running_total",
     "orders_grouping_sets", "orders_price_quantile_hist",
     "customer_tiers_percent_rank", "sketch_mergeable_distinct",
     "part_price_band_range_join", "adaptive_salted_skew_join",
-    "doc_decontaminate", "doc_train_split",
+    "doc_decontaminate",
     "doc_jaccard_pairs", "doc_dedup_clusters",
     "doc_minhash_lsh_pairs", "doc_simhash_pairs",
     "emb_lsh_near_dup", "corpus_text_profile",

@@ -782,6 +782,56 @@ def emb_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
 
 
+_CENTROID_KNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+x AS (SELECT label, CAST(i AS int) AS dim, ev[CAST(i + 1 AS int)] AS val
+      FROM e CROSS JOIN unnest(range(0, len(ev))) AS u(i)),
+m AS (SELECT label, dim,
+             (sign(s / n) * floor(abs(s / n) * 100000000.0 + 0.5) / 100000000.0) AS mean_value
+      FROM (SELECT label, dim,
+                   CAST(sum(CAST(val AS DECIMAL(38,12))) AS double) AS s,
+                   CAST(count(*) AS bigint) AS n
+            FROM x GROUP BY 1, 2)),
+c AS (SELECT label, list(mean_value ORDER BY dim) AS ce FROM m GROUP BY label),
+scored AS (
+    SELECT c.label, a.vec_id AS neighbor_id,
+           {o_round('list_dot_product(c.ce, a.ev) / (sqrt(list_dot_product(c.ce, c.ce)) * sqrt(list_dot_product(a.ev, a.ev)))', 8)} AS cos_sim
+    FROM c CROSS JOIN e a
+),
+ranked AS (
+    SELECT label, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(rnk AS int) AS rank, neighbor_id, cos_sim
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("emb_centroid_knn", oracle=_CENTROID_KNN_ORACLE,
+          doc="Cross-frame KNN join: the 10 per-label centroids (deterministic "
+              "decimal means) query the corpus for their 5 nearest vectors by "
+              "exact cosine — 'most representative examples per class'. The "
+              "corpus never leaves its partitions (BLAS matmul vs the broadcast "
+              "centroid matrix, per-partition heaps); exclude_self off because "
+              "centroid ids live in a different namespace than vec_ids")
+def emb_centroid_knn(spark, sf_dir):
+    from ..llm.embeddings import group_centroids
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, "label")
+    queries = cents.select(
+        F.col("label").cast("bigint").alias("vec_id"),
+        F.col("centroid").alias("embedding"),
+    )
+    out = cosine_topk_bruteforce(
+        emb, k=5, queries=queries, exclude_self=False, max_queries=1000
+    )
+    return out.select(
+        F.col("vec_id").alias("label"), "rank", "neighbor_id", "cos_sim"
+    )
+
+
 @register("emb_lsh_ann_topk", oracle=None,
           doc="Hyperplane-LSH approximate top-5 (bucketed scoring) vs exact brute force — "
               "returns ONE deterministic self-verifying recall summary row (seeded planes): "

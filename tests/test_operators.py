@@ -1859,3 +1859,35 @@ def test_dedup_against_seen_drops_known_content(spark):
     )
     out = dedup_against_seen(batch, content_fingerprint(prior))
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_cosine_topk_cross_frame_queries(spark, sf_dir):
+    """Cross-frame KNN: with queries from a separate frame and
+    exclude_self=False, a corpus row sharing a query's id number must
+    still be a candidate (and an identical vector must rank first with
+    cos_sim 1.0); same-frame behavior is unchanged."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import cosine_topk_bruteforce
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    got = sorted(
+        (r["vec_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk_bruteforce(
+            corpus, k=3, queries=queries, exclude_self=False, max_queries=10
+        ).collect()
+    )
+    # corpus vec 2 is identical to the query -> rank 1, cos 1.0;
+    # corpus vec 1 (same id as the query) is NOT excluded
+    assert got[0] == (1, 1, 2, 1.0)
+    assert {g[2] for g in got} == {1, 2, 3}
+
+    # same-frame default still excludes self
+    same = cosine_topk_bruteforce(corpus, k=3, query_filter=F.col("vec_id") == 1)
+    assert all(r["neighbor_id"] != 1 for r in same.collect())
