@@ -75,6 +75,17 @@ HEADLINE = [
     "orders_zorder_pruning",
     "doc_pack_sequences",
     "multimodal_gif_frames",
+    # round-8: tokenizer apply, SCD2 versioning, time-series gap-fill,
+    # blocked fuzzy join, mixture sampling, incremental dedup,
+    # cross-frame KNN — kept AFTER the stable prefix for cross-round
+    # comparability
+    "doc_bpe_tokenize",
+    "customer_scd2_merge",
+    "orders_priority_daily_gapfill",
+    "parts_fuzzy_match",
+    "doc_mixture_sample",
+    "doc_incremental_dedup",
+    "emb_centroid_knn",
 ]
 
 
