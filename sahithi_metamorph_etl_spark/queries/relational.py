@@ -1244,43 +1244,59 @@ def orders_priority_daily_gapfill(spark, sf_dir):
 # --- record linkage: blocked fuzzy join ------------------------------------
 
 _FUZZY_ORACLE = """
-WITH dirty AS (
-  SELECT p_partkey + 5000000 AS d_key,
-         CASE WHEN p_partkey % 3 = 0 THEN substr(p_name, 1, 2) || substr(p_name, 4)
-              WHEN p_partkey % 3 = 1 THEN p_name || 'x'
-              ELSE p_name END AS d_name
+WITH clean AS (
+  SELECT p_partkey,
+         substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8) || ' ' || p_name AS sku_name
   FROM part
-), lb AS (SELECT p_partkey, p_name, lower(substr(trim(p_name), 1, 2)) AS blk FROM part),
-rb AS (SELECT d_key, d_name, lower(substr(trim(d_name), 1, 2)) AS blk FROM dirty)
-SELECT lb.p_partkey, lb.p_name, rb.d_key, rb.d_name,
-       CAST(levenshtein(lb.p_name, rb.d_name) AS INTEGER) AS distance
+), dirty AS (
+  SELECT p_partkey + 5000000 AS d_key,
+         CASE WHEN p_partkey % 3 = 0 THEN substr(sku_name, 1, len(sku_name) - 1)
+              WHEN p_partkey % 3 = 1 THEN sku_name || 'x'
+              ELSE sku_name END AS d_name
+  FROM clean
+), lb AS (SELECT p_partkey, sku_name, lower(substr(trim(sku_name), 1, 8)) AS blk FROM clean),
+rb AS (SELECT d_key, d_name, lower(substr(trim(d_name), 1, 8)) AS blk FROM dirty)
+SELECT lb.p_partkey, lb.sku_name, rb.d_key, rb.d_name,
+       CAST(levenshtein(lb.sku_name, rb.d_name) AS INTEGER) AS distance
 FROM lb JOIN rb ON lb.blk = rb.blk
-WHERE levenshtein(lb.p_name, rb.d_name) <= 2
+WHERE levenshtein(lb.sku_name, rb.d_name) <= 2
 """
 
 
 @register("parts_fuzzy_match", oracle=_FUZZY_ORACLE,
-          doc="Record linkage via blocked fuzzy join: part names matched "
-              "against a deterministically-perturbed dirty copy (every k%3==0 "
-              "name drops its 3rd char, k%3==1 gains a suffix char) — "
-              "candidate pairs come from a prefix-2 blocking equi-join, only "
-              "within-block pairs pay levenshtein, matches kept at distance "
-              "<= 2. The LSH-dedup strategy for tabular entities: never "
-              "all-pairs (operators/linkage.py)")
+          doc="Record linkage via blocked fuzzy join: 'SKU + description' "
+              "entity strings matched against a deterministically-perturbed "
+              "dirty copy (every k%3==0 loses its last char, k%3==1 gains a "
+              "suffix char) — candidate pairs come from an 8-char SKU-prefix "
+              "blocking equi-join, only within-block pairs pay levenshtein, "
+              "matches kept at distance <= 2. Block-key design IS the "
+              "operator: this fixture's raw p_name has only 64 distinct "
+              "values across 20k parts, so name-prefix blocking makes "
+              "quadratic hot blocks (measured 42 s / 5.5M pairs at sf0.1); "
+              "blocking on the stable unique SKU prefix keeps blocks O(1) at "
+              "full recall for suffix dirt — the hot-block hazard "
+              "operators/linkage.py documents, demonstrated and avoided")
 def parts_fuzzy_match(spark, sf_dir):
     from ..operators.linkage import blocked_fuzzy_join
 
-    p = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p = read_testdata(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8),
+            F.lit(" "),
+            F.col("p_name"),
+        ).alias("sku_name"),
+    )
     dirty = p.select(
         (F.col("p_partkey") + 5_000_000).alias("d_key"),
         F.when(
             F.col("p_partkey") % 3 == 0,
-            F.concat(F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")),
+            F.expr("substring(sku_name, 1, length(sku_name) - 1)"),
         )
-        .when(F.col("p_partkey") % 3 == 1, F.concat(F.col("p_name"), F.lit("x")))
-        .otherwise(F.col("p_name"))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.col("sku_name"), F.lit("x")))
+        .otherwise(F.col("sku_name"))
         .alias("d_name"),
     )
     return blocked_fuzzy_join(
-        p, dirty, "p_name", "d_name", max_distance=2, block_len=2
-    ).select("p_partkey", "p_name", "d_key", "d_name", "distance")
+        p, dirty, "sku_name", "d_name", max_distance=2, block_len=8
+    ).select("p_partkey", "sku_name", "d_key", "d_name", "distance")
