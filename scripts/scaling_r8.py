@@ -93,13 +93,27 @@ def run_ops(spark, docs, orders_unused, customer, part):
             dim, upd, ["c_custkey"], ["c_mktsegment", "c_acctbal"], dt.date(2025, 2, 1)
         ).count()
     )
-    p = part.select("p_partkey", "p_name")
+    # SKU-prefix blocking (the parts_fuzzy_match design): raw p_name has
+    # only 64 distinct values, so name-prefix blocking was MEASURED
+    # quadratic per block — 38.6 s / 6.3M pairs at 1x, 100.7 s / 401M
+    # (64x = duplicate-group^2) at 8x. The stable unique prefix keeps
+    # blocks O(1); that anti-pattern measurement is recorded in
+    # SCALING.md as the hot-block exhibit.
+    p = part.select(
+        "p_partkey",
+        F.concat(
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 8),
+            F.lit(" "), F.col("p_name"),
+        ).alias("sku_name"),
+    )
     dirty = p.select(
         (F.col("p_partkey") + 50_000_000).alias("d_key"),
-        F.concat(F.col("p_name"), F.lit("x")).alias("d_name"),
+        F.concat(F.col("sku_name"), F.lit("x")).alias("d_name"),
     )
     out["fuzzy_join"], out["fuzzy_rows"] = timed(
-        lambda: blocked_fuzzy_join(p, dirty, "p_name", "d_name", max_distance=2).count()
+        lambda: blocked_fuzzy_join(
+            p, dirty, "sku_name", "d_name", max_distance=2, block_len=8
+        ).count()
     )
     return out
 
