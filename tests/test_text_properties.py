@@ -256,3 +256,77 @@ def test_apply_bpe_paths_match_python_replay(spark, sf_dir):
     # docs with zero words are absent by contract
     empty = spark.createDataFrame([(1, None), (2, "   ")], "doc_id bigint, text string")
     assert apply_bpe(empty, merges).count() == 0
+
+
+def test_select_merge_batch_safe_prefix_property():
+    """Driver-side stress (no Spark): the batched safe-prefix selection
+    must reproduce sequential (recount-between-merges) training on 150
+    random adversarial vocabularies — tiny alphabets (maximal merge
+    interaction), tie-heavy counts, and top-T windows as small as 3,
+    where an unsafe prefix bound would diverge."""
+    import random
+
+    from sahithi_metamorph_etl_spark.llm.bpe import END_TOKEN, _select_merge_batch
+
+    def pairs_of(vocab):
+        pc = Counter()
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += c
+        return pc
+
+    def apply_merge(vocab, a, b):
+        nv = {}
+        for toks, c in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        return nv
+
+    def sequential(vocab, n):
+        out = []
+        for _ in range(n):
+            pc = pairs_of(vocab)
+            if not pc:
+                break
+            (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a, b, f))
+            vocab = apply_merge(vocab, a, b)
+        return out
+
+    def batched(vocab, n, T):
+        out = []
+        while len(out) < n:
+            pc = pairs_of(vocab)
+            if not pc:
+                break
+            snap = sorted(
+                ((a, b, f) for (a, b), f in pc.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )[:T]
+            floor = snap[-1][2] if len(snap) == T else None
+            for a, b, f in _select_merge_batch(snap, floor, n - len(out)):
+                out.append((a, b, f))
+                vocab = apply_merge(vocab, a, b)
+        return out
+
+    rng = random.Random(1234)
+    for trial in range(150):
+        alpha = rng.choice(["ab", "abc", "abcd"])
+        words = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(2, 30))
+        ]
+        wc = Counter(rng.choices(words, k=rng.randint(2, 60)))
+        vocab = {}
+        for w, c in wc.items():
+            key = tuple(list(w) + [END_TOKEN])
+            vocab[key] = vocab.get(key, 0) + c
+        n, T = rng.randint(1, 20), rng.choice([3, 5, 50])
+        assert sequential(dict(vocab), n) == batched(dict(vocab), n, T), (trial, T)
