@@ -84,6 +84,12 @@ def scd2_merge(
     same-day re-version is representable but a BACKDATED merge is a
     caller error this operator cannot detect without an extra action).
     """
+    if not tracked_cols:
+        raise ValueError(
+            "tracked_cols must be non-empty — a key-presence-only dimension "
+            "has no change signal; model it with close_missing + inserts over "
+            "at least one tracked attribute"
+        )
     up = updates.select(
         *key_cols,
         *[F.col(t).alias(f"__u_{t}") for t in tracked_cols],

@@ -152,6 +152,12 @@ def global_rank(
     is persisted spillable for the bounded counts pass (one row per
     partition collected); the frame itself is never collected.
 
+    CACHE LIFETIME: the persisted ranged frame backs the RETURNED plan,
+    so it cannot be unpersisted here; it lives until cache eviction or
+    an explicit ``spark.catalog.clearCache()``. Long-lived sessions
+    calling this repeatedly should clear the cache once each result is
+    materialized (bench.py does).
+
     Returns ``(df + rank_col [1-based], total_rows)``.
     """
     from pyspark.storagelevel import StorageLevel
@@ -214,7 +220,12 @@ def bucketed_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = d.withColumn("__cl", F.sum(F.col(value_col)).over(lw).cast("bigint"))
-    totals = local.groupBy(*group_cols, "__b").agg(F.max("__cl").alias("__bt"))
+    # bucket total = SUM of values, NOT max of the running sum — those
+    # only coincide for non-negative values; deltas/adjustments would
+    # silently corrupt every later bucket's offset
+    totals = local.groupBy(*group_cols, "__b").agg(
+        F.sum(F.col(value_col)).cast("bigint").alias("__bt")
+    )
     # bounded frame: <= |groups| x 16^bucket_hex_chars rows
     ow = (
         Window.partitionBy(*group_cols)
@@ -252,7 +263,10 @@ def ranged_prefix_sum(
     id — at most ``num_partitions`` rows per group. ``order_cols`` must
     end in a unique tie-breaker (pass Columns or names; same contract
     as ``global_rank``). The ranged frame is persisted spillable for
-    the totals pass.
+    the totals pass — same cache-lifetime note as ``global_rank``: it
+    backs the returned plan, so release it via
+    ``spark.catalog.clearCache()`` once results are materialized in
+    long-lived sessions.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -270,7 +284,11 @@ def ranged_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = ranged.withColumn("_rp_cl", F.sum(F.col(value_col)).over(lw).cast("bigint"))
-    totals = local.groupBy(*group_cols, "_rp_pid").agg(F.max("_rp_cl").alias("_rp_bt"))
+    # partition total = SUM of values, NOT max of the running sum (they
+    # differ as soon as value_col goes negative)
+    totals = local.groupBy(*group_cols, "_rp_pid").agg(
+        F.sum(F.col(value_col)).cast("bigint").alias("_rp_bt")
+    )
     ow = (
         Window.partitionBy(*group_cols)
         .orderBy("_rp_pid")

@@ -85,7 +85,7 @@ def _load() -> None:
 # oracle and needs the hash-grade row), the seven r8-born entries
 # (rule 2: never checked — doc_bpe_tokenize, customer_scd2_merge,
 # orders_priority_daily_gapfill, parts_fuzzy_match, emb_centroid_knn,
-# doc_mixture_sample, doc_incremental_dedup, emb_centroid_knn), and
+# doc_mixture_sample, doc_incremental_dedup), and
 # 26 of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
 # history, streak 1) plus fifteen streak-1 holdovers that reach streak
 # 2 and MUST return in r9: top10_orders, lineitem_union_slices,

@@ -240,7 +240,9 @@ class LayeredWarehouse:
         )
         return path
 
-    def recover_compaction(self, spark: SparkSession, name: str) -> dict:
+    def recover_compaction(
+        self, spark: SparkSession, name: str, day_name: str | None = None
+    ) -> dict:
         """Heal interrupted ``compact_legacy_day`` swaps. The swap is
         two renames (day→trash, staging→day); a crash between them
         leaves the day's rows stranded in a dot-prefixed
@@ -252,9 +254,13 @@ class LayeredWarehouse:
         cleanup). Leftover ``.compact_staging_*`` dirs are always
         deleted (pre-swap output; the source day is intact either way).
 
-        Runs automatically at the start of every ``compact_legacy_day``
-        (next-run recovery); operators can also call it directly at
-        startup. Returns {"restored": [...], "cleaned": [...]}.
+        ``day_name`` (e.g. ``DAY_DT=2025-07-09``) restricts recovery to
+        that day's leftovers — the form ``compact_legacy_day`` runs
+        automatically, so compacting one day never touches a SIBLING
+        day's in-flight swap state. The unscoped full-table form is for
+        startup/on-call use and must not run while compactions are in
+        flight (it would mistake their live staging/trash dirs for
+        leftovers). Returns {"restored": [...], "cleaned": [...]}.
         """
         path = self._path("legacy", name)
         fs, root, jvm = self._fs(spark, path)
@@ -263,6 +269,8 @@ class LayeredWarehouse:
             return {"restored": restored, "cleaned": cleaned}
         for st in fs.listStatus(root):
             base = st.getPath().getName()
+            if day_name is not None and not base.endswith(day_name):
+                continue
             if base.startswith(".compact_staging_"):
                 fs.delete(st.getPath(), True)
                 cleaned.append(base)
@@ -308,12 +316,12 @@ class LayeredWarehouse:
         """
         if n_files < 1:
             raise ValueError("n_files must be >= 1")
-        self.recover_compaction(spark, name)
+        day_name = f"DAY_DT={run_date.isoformat()}"
+        self.recover_compaction(spark, name, day_name=day_name)
         layout = self._legacy_layout(spark, name)
         if layout is None:
             raise ValueError(f"legacy table {name!r} does not exist")
         path = self._path("legacy", name)
-        day_name = f"DAY_DT={run_date.isoformat()}"
         fs, root, jvm = self._fs(spark, path)
         day_path = jvm.org.apache.hadoop.fs.Path(root, day_name)
         if not fs.exists(day_path):
@@ -355,7 +363,12 @@ class LayeredWarehouse:
         if not fs.rename(day_path, trash):
             raise OSError(f"compaction could not move {day_name} aside")
         if not fs.rename(staging, day_path):
-            fs.rename(trash, day_path)  # roll back
+            if not fs.rename(trash, day_path):  # roll back
+                raise OSError(
+                    f"compaction could not install {day_name} AND the rollback "
+                    f"rename failed — day stranded in {trash}; run "
+                    "recover_compaction"
+                )
             raise OSError(f"compaction could not install the compacted {day_name}")
         fs.delete(trash, True)
         return {

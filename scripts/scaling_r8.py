@@ -57,7 +57,7 @@ def timed(fn):
     return round(time.perf_counter() - t0, 2), n
 
 
-def run_ops(spark, docs, orders_unused, customer, part):
+def run_ops(spark, docs, customer, part):
     out = {}
     merges = learn_bpe(docs, n_merges=10)
     out["apply_bpe"], out["apply_bpe_rows"] = timed(
@@ -125,7 +125,6 @@ def main() -> None:
     res["x1"] = run_ops(
         spark,
         spark.read.parquet(f"{sf_dir}/documents.parquet"),
-        None,
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
         spark.read.parquet(f"{sf_dir}/part.parquet"),
     )
@@ -134,7 +133,7 @@ def main() -> None:
         docs8 = spark.read.parquet(replicate_8x(spark, sf_dir, "documents", "doc_id", tmp))
         cust8 = spark.read.parquet(replicate_8x(spark, sf_dir, "customer", "c_custkey", tmp))
         part8 = spark.read.parquet(replicate_8x(spark, sf_dir, "part", "p_partkey", tmp))
-        res["x8"] = run_ops(spark, docs8, None, cust8, part8)
+        res["x8"] = run_ops(spark, docs8, cust8, part8)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(res))

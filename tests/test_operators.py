@@ -1724,7 +1724,9 @@ def test_bucketed_prefix_sum_equals_grouped_window(spark):
 
     rows = []
     for i in range(300):
-        rows.append((i, "g" + str(i % 3), (i * 7) % 23 + 1,
+        # values include negatives: bucket totals must be value sums,
+        # not maxima of the running sum
+        rows.append((i, "g" + str(i % 3), (i * 7) % 23 - 11,
                      hashlib.md5(f"s:{i}".encode()).hexdigest()))
     df = spark.createDataFrame(rows, "id bigint, g string, v bigint, k string")
 
@@ -1806,7 +1808,9 @@ def test_ranged_prefix_sum_arbitrary_order(spark):
 
     rng = random.Random(88)
     rows = [
-        (i, "g" + str(i % 4), rng.randint(-50, 50), rng.randint(1, 9))
+        # NEGATIVE values included: partition totals must be sums of
+        # values, not maxima of the running sum
+        (i, "g" + str(i % 4), rng.randint(-50, 50), rng.randint(-9, 9))
         for i in range(250)
     ]
     df = spark.createDataFrame(rows, "id bigint, g string, score bigint, v bigint")
@@ -1891,3 +1895,25 @@ def test_cosine_topk_cross_frame_queries(spark, sf_dir):
     # same-frame default still excludes self
     same = cosine_topk_bruteforce(corpus, k=3, query_filter=F.col("vec_id") == 1)
     assert all(r["neighbor_id"] != 1 for r in same.collect())
+
+
+def test_unpartitioned_window_detector_positive_case(spark):
+    """The un-partitioned-window counter must actually FIRE on a global
+    Window (and stay 0 on a partitioned one) — without this positive
+    case, a Spark plan-format change could silently reduce the whole
+    parity-suite gate to a vacuous == 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    global_w = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    part_w = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert plan_summary(global_w).unpartitioned_windows == 1
+    assert plan_summary(part_w).unpartitioned_windows == 0
+    # stacked: one of each still counts exactly the global one
+    both = part_w.withColumn("r2", F.row_number().over(Window.orderBy("r")))
+    assert plan_summary(both).unpartitioned_windows == 1

@@ -526,3 +526,35 @@ def test_compaction_crash_recovery_restores_stranded_day(spark, sf_dir, tmp_path
     # no-op on a healthy table
     out3 = wh.recover_compaction(spark, "events")
     assert out3 == {"restored": [], "cleaned": []}
+
+
+def test_compaction_recovery_scoped_to_its_day(spark, sf_dir, tmp_path):
+    """Compacting day B must NOT touch a sibling day A's in-flight swap
+    state (trash/staging dirs) — only the unscoped recover_compaction
+    form, documented as exclusive, handles those."""
+    import datetime as dt
+    import os
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    day_a, day_b = dt.date(2025, 7, 9), dt.date(2025, 7, 10)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    wh.append_legacy(ev.limit(30), "events", day_a)
+    wh.append_legacy(ev.limit(20), "events", day_b)
+    root = os.path.join(str(tmp_path / "wh"), "legacy", "events")
+    a_dir = os.path.join(root, f"DAY_DT={day_a.isoformat()}")
+    a_trash = os.path.join(root, f".compact_trash_DAY_DT={day_a.isoformat()}")
+
+    # day A mid-swap (as another process would leave it)
+    os.rename(a_dir, a_trash)
+    stats = wh.compact_legacy_day(spark, "events", day_b, n_files=1)
+    assert stats["rows"] == 20
+    # A's swap state untouched by B's compaction
+    assert os.path.exists(a_trash) and not os.path.exists(a_dir)
+    # the unscoped startup form restores it
+    out = wh.recover_compaction(spark, "events")
+    assert out["restored"] == [f"DAY_DT={day_a.isoformat()}"]
+    assert wh.read_legacy(spark, "events", run_date=day_a).count() == 30
