@@ -183,3 +183,77 @@ def quantile_histogram(
             F.max("_x").alias("hi"),
         )
     )
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    col: str,
+    k: int = 5,
+    counters: int = 64,
+) -> DataFrame:
+    """Misra-Gries heavy hitters with EXACT verification — the third
+    classic mergeable sketch next to HLL distinct and the percentile
+    buffers: find the k most frequent values of ``col`` WITHOUT ever
+    hash-shuffling the corpus by that key.
+
+    Phase 1 (one pass, ZERO corpus shuffle): each partition maintains a
+    Misra-Gries summary of ``counters`` counters (Arrow ``mapInPandas``;
+    per-batch exact value_counts merged into the capped dict with the
+    MG decrement — the mergeable-summaries merge op, Agarwal et al.).
+    Guarantee: any value with global frequency > N/(counters+1) appears
+    in the UNION of the partition summaries (missing from a summary
+    bounds its partition frequency; summing the bounds gives the global
+    one).
+
+    Phase 2: the candidate set (<= partitions x counters rows, never
+    collected) broadcast-joins back to the corpus for EXACT counts —
+    map-side combine caps the shuffle at candidates-per-partition. The
+    result is the exact top-k over candidates (count desc, value asc),
+    each row carrying ``guaranteed = exact_count x (counters+1) >
+    n_rows`` — rows where that holds are PROVABLY the true top values,
+    so the sketch's answer is oracle-checkable even though the sketch
+    state itself is partitioning-dependent.
+
+    At 100 TB this is the skew-diagnosis / hot-key-discovery pass: the
+    full groupBy alternative shuffles every distinct key; this shuffles
+    ``partitions x counters`` candidate rows plus their combined counts.
+    """
+    if k < 1 or counters < k:
+        raise ValueError("need counters >= k >= 1")
+
+    spark = df.sparkSession
+    src = df.select(F.col(col).alias("item"))
+
+    def mg(batches):
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                state[item] = state.get(item, 0) + int(c)
+            if len(state) > counters:
+                vals = sorted(state.values(), reverse=True)
+                dec = vals[counters]
+                state = {i: c - dec for i, c in state.items() if c > dec}
+        yield pd.DataFrame({"item": list(state.keys())})
+
+    item_type = src.schema["item"].dataType.simpleString()
+    candidates = src.mapInPandas(mg, schema=f"item {item_type}").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("n_rows"))
+    exact = (
+        src.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "exact_count",
+            "n_rows",
+            (F.col("exact_count") * (counters + 1) > F.col("n_rows")).alias("guaranteed"),
+        )
+    )

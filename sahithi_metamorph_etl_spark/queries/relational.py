@@ -1300,3 +1300,44 @@ def parts_fuzzy_match(spark, sf_dir):
     return blocked_fuzzy_join(
         p, dirty, "sku_name", "d_name", max_distance=2, block_len=8
     ).select("p_partkey", "sku_name", "d_key", "d_name", "distance")
+
+
+# --- heavy hitters (Misra-Gries + exact verification) -----------------------
+
+_HH_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN l_orderkey % 10 <= 5 THEN -(l_orderkey % 10) - 1
+              ELSE l_orderkey END AS item
+  FROM lineitem
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM s),
+c AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_count FROM s
+      GROUP BY 1 ORDER BY exact_count DESC, item ASC LIMIT 5)
+SELECT c.item, c.exact_count, t.n_rows,
+       c.exact_count * 65 > t.n_rows AS guaranteed
+FROM c CROSS JOIN t
+"""
+
+
+@register("lineitem_heavy_hitters", oracle=_HH_ORACLE,
+          doc="Misra-Gries heavy hitters with exact verification: six "
+              "synthesized hot keys (~6% of rows each, negative sentinels "
+              "disjoint from real orderkeys) against a long unique tail. One "
+              "zero-shuffle corpus pass builds per-partition 64-counter MG "
+              "summaries (Arrow mapInPandas); the bounded candidate union "
+              "broadcast-joins back for exact counts (map-side combined). "
+              "Every returned row is 'guaranteed' (freq > N/65), which is "
+              "what makes the sketch's top-5 provably equal the oracle's "
+              "full-groupBy top-5 — the third mergeable sketch next to HLL "
+              "distinct and percentile buffers (operators/profiling.py)")
+def lineitem_heavy_hitters(spark, sf_dir):
+    from ..operators.profiling import heavy_hitters_topk
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(
+            F.col("l_orderkey") % 10 <= 5, -(F.col("l_orderkey") % 10) - 1
+        )
+        .otherwise(F.col("l_orderkey"))
+        .alias("hot_key")
+    )
+    return heavy_hitters_topk(skewed, "hot_key", k=5, counters=64)

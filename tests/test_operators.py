@@ -1917,3 +1917,39 @@ def test_unpartitioned_window_detector_positive_case(spark):
     # stacked: one of each still counts exactly the global one
     both = part_w.withColumn("r2", F.row_number().over(Window.orderBy("r")))
     assert plan_summary(both).unpartitioned_windows == 1
+
+
+def test_heavy_hitters_mg_guarantee_and_exactness(spark):
+    """Misra-Gries + exact verification: on skewed data the sketch's
+    top-k equals the full-groupBy top-k with every row guaranteed; on
+    uniform data (no heavy hitters) any returned 'guaranteed' flag must
+    be false and exact counts are still exact for whatever candidates
+    surfaced. Tiny counter budgets stress the decrement path."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.profiling import heavy_hitters_topk
+
+    # skewed: keys 0..2 hold ~60% of 3000 rows; tail unique
+    rows = []
+    for i in range(3000):
+        rows.append((i % 3,) if i % 10 < 6 else (1000 + i,))
+    df = spark.createDataFrame(rows, "k bigint").repartition(8)
+    truth = Counter(r[0] for r in rows)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = heavy_hitters_topk(df, "k", k=3, counters=16).collect()
+    assert [(r["item"], r["exact_count"]) for r in got] == expect
+    assert all(r["guaranteed"] for r in got)
+    assert all(r["n_rows"] == 3000 for r in got)
+
+    # uniform: every key appears once -> nothing can be guaranteed
+    uni = spark.createDataFrame([(i,) for i in range(500)], "k bigint").repartition(4)
+    out = heavy_hitters_topk(uni, "k", k=3, counters=8).collect()
+    assert all(not r["guaranteed"] for r in out)
+    assert all(r["exact_count"] == 1 for r in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="counters"):
+        heavy_hitters_topk(df, "k", k=5, counters=3)
