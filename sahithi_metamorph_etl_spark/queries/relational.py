@@ -1341,3 +1341,106 @@ def lineitem_heavy_hitters(spark, sf_dir):
         .alias("hot_key")
     )
     return heavy_hitters_topk(skewed, "hot_key", k=5, counters=64)
+
+
+# --- canonical TPC-H multi-join aggregates (Q3 / Q5 shapes) -----------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {o_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", oracle=_Q3_ORACLE,
+          doc="TPC-H Q3 shape (shipping priority): customer segment filter + "
+              "3-table join + revenue aggregate + top-10. Customer and orders "
+              "filters push to the scans, the customer dim broadcasts, the "
+              "lineitem-orders fact join is the one legitimate shuffle pair, "
+              "then one aggregate shuffle and TakeOrderedAndProject")
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    return (
+        # orders is a FACT side — no broadcast hint (AQE may still
+        # broadcast the filtered side locally; at scale this is the one
+        # legitimate fact⋈fact shuffle join). Dimensions broadcast.
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name,
+       {o_dsum('l_extendedprice * (1 - l_discount)', 2)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_local_supplier_volume", oracle=_Q5_ORACLE,
+          doc="TPC-H Q5 shape (local supplier volume): 6-table join with the "
+              "customer-nation == supplier-nation locality predicate, region "
+              "filter and a two-year order window; every dimension broadcasts "
+              "(the fact shuffles only for the final nation aggregate)")
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_testdata(spark, sf_dir, "lineitem")
+    s = read_testdata(spark, sf_dir, "supplier")
+    n = read_testdata(spark, sf_dir, "nation")
+    r = read_testdata(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        # orders is a FACT side — no broadcast hint (see Q3 note)
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
