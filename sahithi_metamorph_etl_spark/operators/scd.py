@@ -140,3 +140,22 @@ def scd2_merge(
         .select("r.*")
     )
     return closed.select(*out.columns).unionByName(out)
+
+
+def scd2_snapshot_asof(
+    dim: DataFrame,
+    as_of: dt.date,
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+) -> DataFrame:
+    """The dimension AS OF a date: rows whose validity interval covers
+    ``as_of`` (``eff_from <= as_of < eff_to``, open rows have NULL
+    ``eff_to``). The read-side complement of ``scd2_merge`` — a
+    point-in-time join feeds facts from this snapshot. Pure filter:
+    predicate pushes to the scan, zero shuffle; at 100 TB pair it with
+    a partition/Z-order layout on ``eff_from`` for pruning."""
+    d = F.lit(as_of).cast("date")
+    return dim.filter(
+        (F.col(eff_from) <= d)
+        & (F.col(eff_to).isNull() | (F.col(eff_to) > d))
+    )

@@ -1444,3 +1444,81 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
             )
         )
     )
+
+
+_SCD2_ASOF_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '2025-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to,
+         true AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'RELOCATED' ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEWCOMER', 0.0 FROM customer WHERE c_custkey % 97 = 0
+), j AS (
+  SELECT d.c_custkey AS dk, u.c_custkey AS uk,
+         d.c_mktsegment AS dm, d.c_acctbal AS da, d.effective_from AS df,
+         u.c_mktsegment AS um, u.c_acctbal AS ua,
+         (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+          AND NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+                   AND d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)) AS changed
+  FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+), state AS (
+  SELECT dk AS c_custkey, dm AS c_mktsegment, da AS c_acctbal,
+         df AS effective_from, CAST(NULL AS DATE) AS effective_to, true AS is_current
+  FROM j WHERE dk IS NOT NULL AND NOT changed
+  UNION ALL
+  SELECT dk, dm, da, df, DATE '2025-02-01', false FROM j WHERE changed
+  UNION ALL
+  SELECT uk, um, ua, DATE '2025-02-01', CAST(NULL AS DATE), true FROM j WHERE changed
+  UNION ALL
+  SELECT uk, um, ua, DATE '2025-02-01', CAST(NULL AS DATE), true FROM j WHERE dk IS NULL
+)
+SELECT c_custkey, c_mktsegment, c_acctbal, effective_from, effective_to, is_current
+FROM state
+WHERE effective_from <= DATE '2025-01-15'
+  AND (effective_to IS NULL OR effective_to > DATE '2025-01-15')
+"""
+
+
+@register("customer_scd2_asof", oracle=_SCD2_ASOF_ORACLE,
+          doc="Point-in-time dimension read: the customer SCD2 state (after the "
+              "2025-02-01 merge) AS OF 2025-01-15 — every key's pre-merge "
+              "version and none of the 02-01 versions; rows whose validity "
+              "interval covers the date. Pure pushed-down filter on the "
+              "versioned table, zero shuffle beyond building the state "
+              "(operators/scd.scd2_snapshot_asof — the read-side complement "
+              "of scd2_merge)")
+def customer_scd2_asof(spark, sf_dir):
+    import datetime as dt
+
+    from ..operators.scd import scd2_init, scd2_merge, scd2_snapshot_asof
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    dim = scd2_init(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_custkey"], ["c_mktsegment", "c_acctbal"], dt.date(2025, 1, 1),
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "RELOCATED")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 6 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEWCOMER").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    state = scd2_merge(
+        dim, updates, ["c_custkey"], ["c_mktsegment", "c_acctbal"],
+        dt.date(2025, 2, 1),
+    )
+    return scd2_snapshot_asof(state, dt.date(2025, 1, 15))

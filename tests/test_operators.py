@@ -1953,3 +1953,33 @@ def test_heavy_hitters_mg_guarantee_and_exactness(spark):
 
     with _pytest.raises(ValueError, match="counters"):
         heavy_hitters_topk(df, "k", k=5, counters=3)
+
+
+def test_scd2_snapshot_asof_interval_boundaries(spark):
+    """As-of reads: eff_from day itself is INCLUDED, the close day is
+    EXCLUDED (half-open intervals), open rows always visible from their
+    start — so chaining merge then as-of reconstructs any past state."""
+    import datetime as dt
+
+    from sahithi_metamorph_etl_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+        scd2_snapshot_asof,
+    )
+
+    d1, d2 = dt.date(2025, 1, 1), dt.date(2025, 2, 1)
+    dim = scd2_init(
+        spark.createDataFrame([(1, "A")], "k bigint, v string"), ["k"], ["v"], d1
+    )
+    state = scd2_merge(
+        dim, spark.createDataFrame([(1, "B")], "k bigint, v string"), ["k"], ["v"], d2
+    )
+
+    def vals(day):
+        return sorted(r["v"] for r in scd2_snapshot_asof(state, day).collect())
+
+    assert vals(dt.date(2024, 12, 31)) == []     # before history
+    assert vals(d1) == ["A"]                      # start day included
+    assert vals(dt.date(2025, 1, 15)) == ["A"]
+    assert vals(d2) == ["B"]                      # close day excluded, new starts
+    assert vals(dt.date(2026, 1, 1)) == ["B"]     # open row visible forever
