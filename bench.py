@@ -86,6 +86,10 @@ HEADLINE = [
     "doc_mixture_sample",
     "doc_incremental_dedup",
     "emb_centroid_knn",
+    "lineitem_heavy_hitters",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "customer_scd2_asof",
 ]
 
 
