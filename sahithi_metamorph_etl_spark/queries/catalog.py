@@ -82,13 +82,14 @@ def _load() -> None:
 # doc_quality_score, multimodal_decode_stats, multimodal_png_roundtrip,
 # events_stream_dedup, events_interval_join), corpus_bpe_merges again
 # (its r7 row was rows-only; this round it carries a real DuckDB
-# oracle and needs the hash-grade row), the eleven r8-born entries
+# oracle and needs the hash-grade row), the twelve r8-born entries
 # (rule 2: never checked — doc_bpe_tokenize, customer_scd2_merge,
 # orders_priority_daily_gapfill, parts_fuzzy_match, emb_centroid_knn,
 # doc_mixture_sample, doc_incremental_dedup), and
 # 26 of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
 # history, streak 1) plus the streak-1 holdovers that reach streak
-# 2 and MUST return in r9 (nineteen now): top10_orders,
+# 2 and MUST return in r9 (twenty now): top10_orders,
+# sketch_mergeable_distinct,
 # orders_grouping_sets,
 # customer_running_total, doc_jaccard_pairs, lineitem_union_slices,
 # orders_filter_case, doc_token_stats, doc_hot_shingles,
@@ -125,11 +126,12 @@ _PRIORITY: tuple[str, ...] = (
     "doc_mixture_sample", "doc_incremental_dedup", "emb_centroid_knn",
     "lineitem_heavy_hitters", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "customer_scd2_asof",
+    "recon_bucketed_zero_shuffle",
     # streak-1 returns (out since r6)
     "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
     "parts_sales_left_join",
     "orders_price_quantile_hist",
-    "customer_tiers_percent_rank", "sketch_mergeable_distinct",
+    "customer_tiers_percent_rank",
     "part_price_band_range_join", "adaptive_salted_skew_join",
     "doc_decontaminate",
     "doc_dedup_clusters",

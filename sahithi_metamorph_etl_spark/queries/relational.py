@@ -1522,3 +1522,73 @@ def customer_scd2_asof(spark, sf_dir):
         dt.date(2025, 2, 1),
     )
     return scd2_snapshot_asof(state, dt.date(2025, 1, 15))
+
+
+# --- bucketed zero-shuffle reconciliation join ------------------------------
+
+_BK_RECON_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_price_mismatch,
+       true AS zero_shuffle_join
+FROM orders
+"""
+
+
+@register("recon_bucketed_zero_shuffle", oracle=_BK_RECON_ORACLE,
+          doc="The 100 TB answer to recurring fact-vs-fact reconciliation, "
+              "driver-visible: both sides written bucketed+sorted on the PK "
+              "(8 buckets), then joined with broadcast DISABLED — the bucket "
+              "layout satisfies the join distribution so the plan carries "
+              "ZERO shuffle exchanges (asserted in-plan via plancheck; the "
+              "entry raises if a shuffle appears). Pay the shuffle once at "
+              "ingest, never per recon run. Returns the recon summary (row "
+              "count + price mismatches on the perturbed k%7==0 copy) so the "
+              "oracle checks the data path too")
+def recon_bucketed_zero_shuffle(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..operators.plancheck import plan_summary
+    from ..sinks.warehouse import LayeredWarehouse
+
+    base = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    target = base.select(
+        F.col("o_orderkey").alias("t_orderkey"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("t_totalprice"),
+    )
+    ta, tb = "bkq_recon_src", "bkq_recon_tgt"
+    root = tempfile.mkdtemp(prefix="bkq_recon_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        wh = LayeredWarehouse(root)
+        wh.write_bucketed(base, ta, ["o_orderkey"], num_buckets=8, path=f"{root}/a")
+        wh.write_bucketed(target, tb, ["t_orderkey"], num_buckets=8, path=f"{root}/b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(
+            spark.table(tb), F.col("o_orderkey") == F.col("t_orderkey")
+        )
+        s = plan_summary(joined)
+        if s.shuffles != 0:
+            raise AssertionError(
+                f"bucketed recon join must be shuffle-free, plan has {s.shuffles}"
+            )
+        row = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice") != F.col("t_totalprice")).cast("bigint")
+            ).alias("n_price_mismatch"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["n_rows"], row["n_price_mismatch"], True)],
+            "n_rows bigint, n_price_mismatch bigint, zero_shuffle_join boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        shutil.rmtree(root, ignore_errors=True)
