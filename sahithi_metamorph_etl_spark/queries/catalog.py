@@ -82,25 +82,31 @@ def _load() -> None:
 # doc_quality_score, multimodal_decode_stats, multimodal_png_roundtrip,
 # events_stream_dedup, events_interval_join), corpus_bpe_merges again
 # (its r7 row was rows-only; this round it carries a real DuckDB
-# oracle and needs the hash-grade row), the twelve r8-born entries
+# oracle and needs the hash-grade row), all twelve r8-born entries
 # (rule 2: never checked — doc_bpe_tokenize, customer_scd2_merge,
-# orders_priority_daily_gapfill, parts_fuzzy_match, emb_centroid_knn,
-# doc_mixture_sample, doc_incremental_dedup), and
-# 26 of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
-# history, streak 1) plus the streak-1 holdovers that reach streak
-# 2 and MUST return in r9 (twenty now): top10_orders,
-# sketch_mergeable_distinct,
-# orders_grouping_sets,
-# customer_running_total, doc_jaccard_pairs, lineitem_union_slices,
-# orders_filter_case, doc_token_stats, doc_hot_shingles,
-# corpus_near_dup_prune, corpus_dedup_report, doc_exact_dedup,
-# doc_train_split, corpus_text_profile, emb_cosine_topk,
-# multimodal_resize, multimodal_frame_sample, events_hourly_tumbling,
-# events_asof_join_forward, events_incremental_slice — each left a same-family representative in
-# the 50 (top-k/union/filter via the relational block; token stats via
-# quality/vocabulary/tfidf/bpe; dedup via jaccard+minhash+simhash+
-# clusters; similarity via emb_lsh_near_dup; codec via
-# decode/png/wav/frame-sample; events via asof/tumbling/session/json).
+# customer_scd2_asof, orders_priority_daily_gapfill, parts_fuzzy_match,
+# doc_mixture_sample, doc_incremental_dedup, emb_centroid_knn,
+# lineitem_heavy_hitters, tpch_q3_shipping_priority,
+# tpch_q5_local_supplier_volume, recon_bucketed_zero_shuffle), and 21
+# of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
+# history, streak 1) plus the TWENTY streak-1 holdovers that reach
+# streak 2 and MUST return in r9 (scripts/rotation_plan.py recomputes
+# this list authoritatively from the shipped CORRECTNESS files):
+# corpus_dedup_report, corpus_near_dup_prune, corpus_text_profile,
+# customer_running_total, doc_exact_dedup, doc_hot_shingles,
+# doc_jaccard_pairs, doc_token_stats, doc_train_split, emb_cosine_topk,
+# events_asof_join_forward, events_hourly_tumbling,
+# events_incremental_slice, lineitem_union_slices,
+# multimodal_frame_sample, multimodal_resize, orders_filter_case,
+# orders_grouping_sets, sketch_mergeable_distinct, top10_orders —
+# each left a same-family representative in the 50 (top-k/union/filter/
+# grouping via the relational block incl. the new TPC-H Q3/Q5; token
+# stats via quality/vocabulary/tfidf/bpe; dedup via minhash+simhash+
+# clusters+incremental; sketches via heavy-hitters+quantile-hist;
+# similarity via emb_lsh_near_dup+centroid-knn; codec via
+# decode/png/wav/gif; events via asof/session/json/streaming). With 9
+# anchors + 20 must-returns, r9 has ~21 free slots — budget r9-born
+# entries accordingly.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
