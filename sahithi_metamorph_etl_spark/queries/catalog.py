@@ -82,16 +82,17 @@ def _load() -> None:
 # doc_quality_score, multimodal_decode_stats, multimodal_png_roundtrip,
 # events_stream_dedup, events_interval_join), corpus_bpe_merges again
 # (its r7 row was rows-only; this round it carries a real DuckDB
-# oracle and needs the hash-grade row), all twelve r8-born entries
+# oracle and needs the hash-grade row), all thirteen r8-born entries
 # (rule 2: never checked — doc_bpe_tokenize, customer_scd2_merge,
 # customer_scd2_asof, orders_priority_daily_gapfill, parts_fuzzy_match,
 # doc_mixture_sample, doc_incremental_dedup, emb_centroid_knn,
 # lineitem_heavy_hitters, tpch_q3_shipping_priority,
-# tpch_q5_local_supplier_volume, recon_bucketed_zero_shuffle), and 21
-# of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
+# tpch_q5_local_supplier_volume, recon_bucketed_zero_shuffle,
+# events_cumulative_new_users), and 20 of the 41 streak-1 entries. OUT = the 41 r7-green entries (fresh
 # history, streak 1) plus the TWENTY streak-1 holdovers that reach
 # streak 2 and MUST return in r9 (scripts/rotation_plan.py recomputes
-# this list authoritatively from the shipped CORRECTNESS files):
+# this list authoritatively from the shipped CORRECTNESS files;
+# twenty-one with orders_price_quantile_hist):
 # corpus_dedup_report, corpus_near_dup_prune, corpus_text_profile,
 # customer_running_total, doc_exact_dedup, doc_hot_shingles,
 # doc_jaccard_pairs, doc_token_stats, doc_train_split, emb_cosine_topk,
@@ -105,7 +106,7 @@ def _load() -> None:
 # clusters+incremental; sketches via heavy-hitters+quantile-hist;
 # similarity via emb_lsh_near_dup+centroid-knn; codec via
 # decode/png/wav/gif; events via asof/session/json/streaming). With 9
-# anchors + 20 must-returns, r9 has ~21 free slots — budget r9-born
+# anchors + 21 must-returns, r9 has ~20 free slots — budget r9-born
 # entries accordingly.
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
@@ -122,21 +123,17 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_decode_stats", "multimodal_png_roundtrip",
     "events_stream_dedup", "events_interval_join",
     # r7-born rows-only entry returning with its new DuckDB oracle,
-    # plus the r8-born entries (rule 2): the apply half of the
-    # tokenizer loop, the SCD2 dimension merge, per-key daily gap-fill,
-    # blocked fuzzy join, mixture sampling, incremental dedup and the
-    # centroid cross-frame KNN join, Misra-Gries heavy hitters and the
-    # canonical TPC-H Q3/Q5 multi-join shapes
+    # plus all thirteen r8-born entries (rule 2 — full list and family
+    # rationale in the ledger comment above)
     "corpus_bpe_merges", "doc_bpe_tokenize", "customer_scd2_merge",
     "orders_priority_daily_gapfill", "parts_fuzzy_match",
     "doc_mixture_sample", "doc_incremental_dedup", "emb_centroid_knn",
     "lineitem_heavy_hitters", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "customer_scd2_asof",
-    "recon_bucketed_zero_shuffle",
+    "recon_bucketed_zero_shuffle", "events_cumulative_new_users",
     # streak-1 returns (out since r6)
     "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
     "parts_sales_left_join",
-    "orders_price_quantile_hist",
     "customer_tiers_percent_rank",
     "part_price_band_range_join", "adaptive_salted_skew_join",
     "doc_decontaminate",

@@ -433,3 +433,63 @@ def events_stream_funnel(spark, sf_dir):
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- growth analytics: daily activity + cumulative new users ----------------
+
+_CUM_USERS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), new_by_day AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+  FROM first_seen GROUP BY 1
+)
+SELECT d.day, d.n_events, d.n_active_users,
+       coalesce(n.n_new_users, 0) AS n_new_users,
+       CAST(sum(coalesce(n.n_new_users, 0)) OVER (
+         ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM daily d LEFT JOIN new_by_day n ON d.day = n.day
+"""
+
+
+@register("events_cumulative_new_users", oracle=_CUM_USERS_ORACLE,
+          doc="Growth analytics: per day — event volume, distinct active "
+              "users, first-seen new users, and the cumulative user count. "
+              "Two fact aggregations (per-day activity; per-user first-seen "
+              "then per-day new-user counts) joined on the BOUNDED calendar "
+              "frame; the running total is a window over that day-cardinality "
+              "frame only (documented bounded exception, same class as "
+              "doc_pack_sequences' bucket-offset window — the corpus itself "
+              "never crosses a single-partition boundary)")
+def events_cumulative_new_users(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    day = F.col("ts").cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_active_users"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    new_by_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    from pyspark.sql import Window
+
+    joined = daily.join(new_by_day, "day", "left").withColumn(
+        "n_new_users", F.coalesce(F.col("n_new_users"), F.lit(0).cast("bigint"))
+    )
+    # bounded-by-construction frame: one row per calendar day
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "n_events",
+        "n_active_users",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("cum_users"),
+    )

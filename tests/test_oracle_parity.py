@@ -12,10 +12,11 @@ _NAMES = sorted(all_queries())
 
 # Entries allowed an un-partitioned WindowExec: ONLY frames bounded by
 # construction may appear here (doc_pack_sequences' window runs over
-# the ~num_buckets-row bucket-totals frame — PLANS.md documents it).
-# Everything else funnelling a frame through one task is a 100 TB
-# scale-killer and fails below.
-_BOUNDED_GLOBAL_WINDOW_OK = {"doc_pack_sequences"}
+# the ~num_buckets-row bucket-totals frame; events_cumulative_new_users'
+# runs over the one-row-per-calendar-day frame — PLANS.md documents
+# both). Everything else funnelling a frame through one task is a
+# 100 TB scale-killer and fails below.
+_BOUNDED_GLOBAL_WINDOW_OK = {"doc_pack_sequences", "events_cumulative_new_users"}
 
 
 @pytest.mark.parametrize("name", _NAMES)
