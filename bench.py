@@ -90,6 +90,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "customer_scd2_asof",
+    "recon_bucketed_zero_shuffle",
+    "events_cumulative_new_users",
 ]
 
 
