@@ -108,6 +108,24 @@ def _load() -> None:
 # decode/png/wav/gif; events via asof/session/json/streaming). With 9
 # anchors + 21 must-returns, r9 has ~20 free slots — budget r9-born
 # entries accordingly.
+# r9 rotation: IN = the 21 rule-3 must-returns (out-streak 2 after
+# r8; scripts/rotation_plan.py recomputes the list authoritatively
+# from the shipped CORRECTNESS files), the three ANN-index entries
+# (emb_pq_topk, emb_lsh_ann_topk, emb_ivf_topk — streak 1, rule 3
+# would bind after r9 anyway, and this round they return carrying
+# REAL exact-recall DuckDB oracles instead of rows-only counts), and
+# every r9-born entry (rule 2). Remaining slots are streak-1 fillers,
+# one strong representative per family. OUT = the r8-green entries
+# (fresh history, streak 1 — legal to sit out one round) and the
+# unchosen streak-1 holdovers; each leaves a same-family
+# representative in the 50 (relational variants via grouping-sets/
+# cube/top-k/setops; sketches via mergeable-distinct+quantile-hist+
+# distinct-counts; text via token-stats/language/fingerprint/pii;
+# dedup via exact+jaccard+hot-shingles+near-dup-prune+dedup-report;
+# similarity via cosine-topk + the three ANN indexes; codecs via
+# png/jpeg/resize/frame-sample; events via tumbling/asof-fwd/
+# incremental/funnel; streaming via events_funnel's batch twin plus
+# pytest-live streaming suites).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -118,32 +136,28 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r7)
-    "part_price_class", "orders_status_pivot", "doc_quality_score",
-    "multimodal_decode_stats", "multimodal_png_roundtrip",
-    "events_stream_dedup", "events_interval_join",
-    # r7-born rows-only entry returning with its new DuckDB oracle,
-    # plus all thirteen r8-born entries (rule 2 — full list and family
-    # rationale in the ledger comment above)
-    "corpus_bpe_merges", "doc_bpe_tokenize", "customer_scd2_merge",
-    "orders_priority_daily_gapfill", "parts_fuzzy_match",
-    "doc_mixture_sample", "doc_incremental_dedup", "emb_centroid_knn",
-    "lineitem_heavy_hitters", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "customer_scd2_asof",
-    "recon_bucketed_zero_shuffle", "events_cumulative_new_users",
-    # streak-1 returns (out since r6)
-    "pricing_summary", "supplier_part_agg", "top_part_per_supplier",
-    "parts_sales_left_join",
-    "customer_tiers_percent_rank",
-    "part_price_band_range_join", "adaptive_salted_skew_join",
-    "doc_decontaminate",
-    "doc_dedup_clusters",
-    "doc_minhash_lsh_pairs", "doc_simhash_pairs",
-    "emb_lsh_near_dup",
-    "corpus_vocabulary", "doc_tfidf_keywords", "corpus_clean_pipeline",
-    "multimodal_wav_roundtrip",
-    "events_stream_running_counts",
-    "events_sessionization", "events_asof_join", "events_json_extract",
+    # rule-3 must-returns (out-streak 2 after r8)
+    "orders_filter_case", "top10_orders", "lineitem_union_slices",
+    "customer_running_total", "orders_grouping_sets",
+    "orders_price_quantile_hist", "sketch_mergeable_distinct",
+    "doc_token_stats", "doc_train_split", "doc_exact_dedup",
+    "doc_jaccard_pairs", "doc_hot_shingles", "corpus_near_dup_prune",
+    "corpus_dedup_report", "emb_cosine_topk", "corpus_text_profile",
+    "multimodal_resize", "multimodal_frame_sample",
+    "events_hourly_tumbling", "events_asof_join_forward",
+    "events_incremental_slice",
+    # ANN indexes returning with new exact-recall DuckDB oracles
+    # (streak 1; rule 3 would bind after r9 — see llm_q.py)
+    "emb_pq_topk", "emb_lsh_ann_topk", "emb_ivf_topk",
+    # streak-1 fillers, one per family (swapped for r9-born entries
+    # as they land — rule 2)
+    "duplicate_order_lines", "orders_by_month",
+    "customer_segments_setops", "customer_order_gaps", "orders_cube",
+    "lineitem_key_skew", "sketch_distinct_counts", "salted_skew_join",
+    "supplier_region_rollup", "orders_column_profile",
+    "warehouse_upsert_roundtrip", "doc_language_guess",
+    "doc_fingerprint", "doc_pii_scrub", "multimodal_jpeg_roundtrip",
+    "events_funnel", "doc_pack_sequences",
 )
 
 
