@@ -275,15 +275,19 @@ class LayeredWarehouse:
                 fs.delete(st.getPath(), True)
                 cleaned.append(base)
             elif base.startswith(".compact_trash_"):
-                day_name = base[len(".compact_trash_"):]
-                live = jvm.org.apache.hadoop.fs.Path(root, day_name)
+                # local name, NOT the day_name parameter: rebinding the
+                # parameter here would activate the endswith filter
+                # mid-scan and silently skip every other stranded day
+                # in the unscoped (day_name=None) startup form
+                restored_day = base[len(".compact_trash_"):]
+                live = jvm.org.apache.hadoop.fs.Path(root, restored_day)
                 if fs.exists(live):
                     fs.delete(st.getPath(), True)
                     cleaned.append(base)
                 else:
                     if not fs.rename(st.getPath(), live):
-                        raise OSError(f"could not restore {day_name} from {base}")
-                    restored.append(day_name)
+                        raise OSError(f"could not restore {restored_day} from {base}")
+                    restored.append(restored_day)
         return {"restored": restored, "cleaned": cleaned}
 
     def compact_legacy_day(

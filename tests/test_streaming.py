@@ -558,3 +558,47 @@ def test_compaction_recovery_scoped_to_its_day(spark, sf_dir, tmp_path):
     out = wh.recover_compaction(spark, "events")
     assert out["restored"] == [f"DAY_DT={day_a.isoformat()}"]
     assert wh.read_legacy(spark, "events", run_date=day_a).count() == 30
+
+
+def test_compaction_recovery_unscoped_restores_multiple_days(spark, sf_dir, tmp_path):
+    """TWO stranded days, one unscoped recover_compaction call: both
+    must be restored. Regression for a parameter-rebinding bug where
+    the first .compact_trash_* dir encountered set day_name and the
+    now-active endswith filter silently skipped every other stranded
+    day while the function reported success."""
+    import datetime as dt
+    import os
+
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    day_a, day_b, day_c = (
+        dt.date(2025, 7, 9), dt.date(2025, 7, 10), dt.date(2025, 7, 11),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    wh = LayeredWarehouse(str(tmp_path / "wh"))
+    wh.append_legacy(ev.limit(30), "events", day_a)
+    wh.append_legacy(ev.limit(20), "events", day_b)
+    wh.append_legacy(ev.limit(10), "events", day_c)
+    root = os.path.join(str(tmp_path / "wh"), "legacy", "events")
+
+    # strand A and C mid-swap; leave B healthy between them so the
+    # scan order interleaves stranded and live days
+    for d in (day_a, day_c):
+        os.rename(
+            os.path.join(root, f"DAY_DT={d.isoformat()}"),
+            os.path.join(root, f".compact_trash_DAY_DT={d.isoformat()}"),
+        )
+    # plus a stale staging dir for a third day
+    staging = os.path.join(root, f".compact_staging_DAY_DT={day_b.isoformat()}")
+    os.makedirs(staging)
+
+    out = wh.recover_compaction(spark, "events")
+    assert sorted(out["restored"]) == [
+        f"DAY_DT={day_a.isoformat()}", f"DAY_DT={day_c.isoformat()}",
+    ]
+    assert out["cleaned"] == [f".compact_staging_DAY_DT={day_b.isoformat()}"]
+    for d, n in ((day_a, 30), (day_b, 20), (day_c, 10)):
+        assert wh.read_legacy(spark, "events", run_date=d).count() == n
+    assert not os.path.exists(staging)
