@@ -87,7 +87,7 @@ def _greedy_merge_expr(toks_col, a: str, b: str):
     return F.aggregate(toks_col, init, step, finish)
 
 
-def _select_merge_batch(snap, floor, max_k):
+def _select_merge_batch(snap, floor, max_k, preexisting=frozenset()):
     """Maximal PREFIX of the snapshot's sorted pair candidates that is
     provably identical to sequential (recount-between) selection.
 
@@ -107,9 +107,43 @@ def _select_merge_batch(snap, floor, max_k):
     lexicographic tie). Rejection STOPS the batch (skipping would
     break the prefix argument: a conflicting candidate's count may
     survive the recount and outrank everything after it).
+
+    The neighbor bound above identifies post-merge pairs BY NAME, so it
+    additionally requires every accepted merged name to be FRESH — if
+    ``a_i + b_i`` equals a token that can already exist in the state
+    (``preexisting``: ``</w>`` plus every merged name learned earlier
+    in the run; in-batch reuse is covered by ``used``), the created
+    adjacencies to ``m_i`` COMBINE with the pre-existing pairs of the
+    same name and the combined recount can exceed both visible bounds
+    separately (e.g. old ``(x, abc)``=40 + created-from-``(x, a)``=50
+    beats a later 85-count candidate). An accepted candidate whose
+    merged name collides therefore ENDS the batch: its own turn is
+    still sequentially correct (the collision only perturbs counts
+    after its merge applies), but no later candidate can be certified.
+
+    The conflict check is O(1) per candidate: the snapshot is
+    pre-indexed once into per-token max-neighbor-count maps (max count
+    of any pair whose RIGHT side is t / whose LEFT side is t), and a
+    running threshold over the accepted pairs' sides replaces the
+    previous rescans of the whole top-T per (candidate, accepted) pair
+    — same accept/reject decisions, O(T) total instead of O(T^3).
     """
     accepted: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    # max snapshot count of any pair (x, y): by_right[t] over pairs with
+    # y == t (neighbors created left of a merged token via its LEFT
+    # side), by_left[t] over pairs with x == t (right via RIGHT side)
+    by_right: dict[str, int] = {}
+    by_left: dict[str, int] = {}
+    for x, y, fq in snap:
+        if fq > by_right.get(y, -1):
+            by_right[y] = fq
+        if fq > by_left.get(x, -1):
+            by_left[x] = fq
+    # running max over accepted (a_i, b_i) of the visible counts that
+    # bound pairs creatable by their merges; a candidate is safe iff
+    # strictly above it (snap is sorted desc, so failure is terminal)
+    neighbor_cap = -1
     for a, b, f in snap:
         if len(accepted) >= max_k:
             break
@@ -118,18 +152,15 @@ def _select_merge_batch(snap, floor, max_k):
                 break
             if a in used or b in used or (a + b) in used:
                 break
-            safe = True
-            for ai, bi, _fi in accepted:
-                for x, y, fq in snap:
-                    if (y == ai or x == bi) and fq >= f:
-                        safe = False
-                        break
-                if not safe:
-                    break
-            if not safe:
+            if neighbor_cap >= f:
                 break
         accepted.append((a, b, f))
         used.update((a, b, a + b))
+        if (a + b) in preexisting:
+            break
+        cap = max(by_right.get(a, -1), by_left.get(b, -1))
+        if cap > neighbor_cap:
+            neighbor_cap = cap
     return accepted
 
 
@@ -171,6 +202,10 @@ def learn_bpe(
     iterations = 0
     folds_since_ckpt = 0
     T = max(2, batch_top)
+    # multi-char token names that can already exist in the state — the
+    # end marker plus every merged name learned so far; a batch stops
+    # at a candidate whose merged name collides (see _select_merge_batch)
+    known_names: set[str] = {END_TOKEN}
     while len(merges) < n_merges:
         iterations += 1
         n = F.size("toks")
@@ -195,10 +230,11 @@ def learn_bpe(
         snap = [(r["a"], r["b"], int(r["freq"])) for r in top]
         # pairs beyond the collected top-T are bounded by the T-th count
         floor = snap[-1][2] if len(snap) == T else None
-        batch = _select_merge_batch(snap, floor, n_merges - len(merges))
+        batch = _select_merge_batch(snap, floor, n_merges - len(merges), known_names)
         sel = F.col("toks")
         for a, b, freq in batch:
             merges.append((len(merges) + 1, a, b, a + b, freq))
+            known_names.add(a + b)
             # left-to-right greedy merge of (a, b) inside every token
             # array; disjointness makes the in-batch chain order-free
             sel = _greedy_merge_expr(sel, a, b)

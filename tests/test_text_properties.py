@@ -302,6 +302,7 @@ def test_select_merge_batch_safe_prefix_property():
 
     def batched(vocab, n, T):
         out = []
+        known = {END_TOKEN}
         while len(out) < n:
             pc = pairs_of(vocab)
             if not pc:
@@ -311,8 +312,9 @@ def test_select_merge_batch_safe_prefix_property():
                 key=lambda t: (-t[2], t[0], t[1]),
             )[:T]
             floor = snap[-1][2] if len(snap) == T else None
-            for a, b, f in _select_merge_batch(snap, floor, n - len(out)):
+            for a, b, f in _select_merge_batch(snap, floor, n - len(out), known):
                 out.append((a, b, f))
+                known.add(a + b)
                 vocab = apply_merge(vocab, a, b)
         return out
 
@@ -330,3 +332,86 @@ def test_select_merge_batch_safe_prefix_property():
             vocab[key] = vocab.get(key, 0) + c
         n, T = rng.randint(1, 20), rng.choice([3, 5, 50])
         assert sequential(dict(vocab), n) == batched(dict(vocab), n, T), (trial, T)
+
+
+def test_select_merge_batch_merged_name_collision_regression():
+    """Regression: a batch must STOP after accepting a candidate whose
+    merged name collides with a token that can already exist (a merge
+    learned earlier in the run). Post-merge, old ``(x, abc)`` pairs and
+    adjacencies newly created from ``(x, a)`` COMBINE under the same
+    name, so the separate visible bounds (40 and 50 here) do not bound
+    the recount (90) — an unguarded batch accepts the 85-count
+    ``(p, q)`` out of sequential order.
+
+    State modeled: token ``abc`` learned earlier (e.g. from
+    ``(ab, c)``); current vocab gives counts (a,bc)=100, (p,q)=85,
+    (x,a)=50, (x,abc)=40.
+    """
+    from sahithi_metamorph_etl_spark.llm.bpe import END_TOKEN, _select_merge_batch
+
+    def pairs_of(vocab):
+        pc = Counter()
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += c
+        return pc
+
+    def apply_merge(vocab, a, b):
+        nv = {}
+        for toks, c in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        return nv
+
+    def sequential(vocab, n):
+        out = []
+        for _ in range(n):
+            pc = pairs_of(vocab)
+            if not pc:
+                break
+            (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a, b, f))
+            vocab = apply_merge(vocab, a, b)
+        return out
+
+    def batched(vocab, n, T, known):
+        out = []
+        known = set(known)
+        while len(out) < n:
+            pc = pairs_of(vocab)
+            if not pc:
+                break
+            snap = sorted(
+                ((a, b, f) for (a, b), f in pc.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )[:T]
+            floor = snap[-1][2] if len(snap) == T else None
+            for a, b, f in _select_merge_batch(snap, floor, n - len(out), known):
+                out.append((a, b, f))
+                known.add(a + b)
+                vocab = apply_merge(vocab, a, b)
+        return out
+
+    vocab = {
+        ("a", "bc"): 50,
+        ("x", "a", "bc"): 50,
+        ("p", "q"): 85,
+        ("x", "abc"): 40,
+    }
+    known = {END_TOKEN, "ab", "abc", "bc"}  # names learned in earlier rounds
+    seq = sequential(dict(vocab), 3)
+    assert seq == [("a", "bc", 100), ("x", "abc", 90), ("p", "q", 85)]
+    assert batched(dict(vocab), 3, 50, known) == seq
+    # the guarded single batch accepts ONLY the colliding candidate
+    snap = sorted(
+        ((a, b, f) for (a, b), f in pairs_of(vocab).items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert _select_merge_batch(snap, None, 3, known) == [("a", "bc", 100)]
