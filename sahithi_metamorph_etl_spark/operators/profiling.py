@@ -224,11 +224,20 @@ def heavy_hitters_topk(
     spark = df.sparkSession
     src = df.select(F.col(col).alias("item"))
 
+    # NULL is the classic hot key in skew diagnosis, so it competes as
+    # a candidate like any value: counted via an explicit isna() sum (a
+    # lone sentinel key — NaN floats do not hash equal across batches),
+    # and exact-counted through a null-safe equi-join below.
+    _NULL = object()
+
     def mg(batches):
         import pandas as pd
 
         state: dict = {}
         for pdf in batches:
+            n_null = int(pdf["item"].isna().sum())
+            if n_null:
+                state[_NULL] = state.get(_NULL, 0) + n_null
             vc = pdf["item"].value_counts()
             for item, c in vc.items():
                 state[item] = state.get(item, 0) + int(c)
@@ -236,14 +245,18 @@ def heavy_hitters_topk(
                 vals = sorted(state.values(), reverse=True)
                 dec = vals[counters]
                 state = {i: c - dec for i, c in state.items() if c > dec}
-        yield pd.DataFrame({"item": list(state.keys())})
+        yield pd.DataFrame(
+            {"item": [None if i is _NULL else i for i in state]}
+        )
 
     item_type = src.schema["item"].dataType.simpleString()
     candidates = src.mapInPandas(mg, schema=f"item {item_type}").distinct()
     total = src.agg(F.count(F.lit(1)).alias("n_rows"))
+    cand = F.broadcast(candidates).alias("cand")
     exact = (
-        src.join(F.broadcast(candidates), "item")
-        .groupBy("item")
+        src.alias("src")
+        .join(cand, F.col("src.item").eqNullSafe(F.col("cand.item")))
+        .groupBy(F.col("cand.item").alias("item"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     return (

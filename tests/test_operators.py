@@ -1983,3 +1983,43 @@ def test_scd2_snapshot_asof_interval_boundaries(spark):
     assert vals(dt.date(2025, 1, 15)) == ["A"]
     assert vals(d2) == ["B"]                      # close day excluded, new starts
     assert vals(dt.date(2026, 1, 1)) == ["B"]     # open row visible forever
+
+
+def test_heavy_hitters_null_is_a_first_class_hot_key(spark):
+    """NULL-dominated columns are the classic skew case the operator
+    exists to diagnose: NULL must surface as a candidate, exact-count
+    through the null-safe join, and carry the guarantee flag like any
+    value. Regression for dropna value_counts + null-dropping equi-join
+    silently returning only non-null candidates."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.profiling import heavy_hitters_topk
+
+    # 2000 rows: 55% NULL, 25% key 7, tail unique
+    rows = []
+    for i in range(2000):
+        if i % 20 < 11:
+            rows.append((None,))
+        elif i % 20 < 16:
+            rows.append((7,))
+        else:
+            rows.append((1000 + i,))
+    df = spark.createDataFrame(rows, "k bigint").repartition(8)
+    got = heavy_hitters_topk(df, "k", k=2, counters=16).collect()
+    n_null = sum(1 for (v,) in rows if v is None)
+    n_seven = sum(1 for (v,) in rows if v == 7)
+    by_item = {r["item"]: r for r in got}
+    assert set(by_item) == {None, 7}
+    assert by_item[None]["exact_count"] == n_null
+    assert by_item[None]["guaranteed"]
+    assert by_item[7]["exact_count"] == n_seven
+    assert all(r["n_rows"] == 2000 for r in got)
+
+    # string column with NULL majority — exercises the object-dtype path
+    sdf = spark.createDataFrame(
+        [(None,)] * 40 + [("x",)] * 10 + [(f"t{i}",) for i in range(30)],
+        "k string",
+    ).repartition(4)
+    out = {r["item"]: r["exact_count"] for r in
+           heavy_hitters_topk(sdf, "k", k=2, counters=8).collect()}
+    assert out == {None: 40, "x": 10}
