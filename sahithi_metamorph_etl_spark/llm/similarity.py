@@ -465,6 +465,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     seed: int = 42,
     train_sample: int = 2048,
+    centroids=None,
 ):
     """Materialize the IVF physical layout: the corpus written to
     ``{index_path}/lists`` PARTITIONED BY ``list_id`` (one directory
@@ -476,10 +477,19 @@ def ivf_build_index(
     are never opened, not scanned-then-discarded. Assignment is an
     Arrow-batched argmax over the (tiny) centroid matrix shipped by
     value — partition-parallel, no shuffle beyond the partitioned
-    write. Returns the centroid matrix for convenience."""
+    write. Returns the centroid matrix for convenience.
+
+    ``centroids`` (an (n_lists, dim) array-like) skips k-means training
+    and quantizes against the given coarse centroids — e.g. seed
+    vectors chosen by a rule an external oracle can replay exactly
+    (the catalog's hash-checked IVF entry passes the unit-normalized
+    lowest-id corpus vectors)."""
     import numpy as np
 
-    cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    else:
+        cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
     spark = embeddings.sparkSession
     spark.createDataFrame(
         [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
@@ -770,6 +780,7 @@ def pq_topk(
     seed: int = 42,
     train_sample: int = 2048,
     max_queries: int | None = None,
+    books=None,
 ) -> DataFrame:
     """Product-quantization approximate top-k with exact re-rank —
     the MEMORY-scale ANN path (IVF prunes what is READ, LSH prunes what
@@ -789,14 +800,20 @@ def pq_topk(
 
     Determinism: the codebooks are layout-independent (seeded k-means
     on the ``train_sample`` LOWEST ids — an ordered take, not an
-    un-ordered limit) and every per-row step breaks ties
-    deterministically (argmin first-index, id tie-breaks), so results
-    are exactly reproducible for a FIXED partitioning. Across
-    repartitioning the per-partition candidate heaps change — each
-    partition's ADC top-(k+rerank) is a superset of its share of the
-    global ADC top list, so more partitions can only ADD exact-scored
-    candidates (recall never drops) — and the reported similarities of
-    survivors are always exact cosine either way.
+    un-ordered limit; or caller-supplied via ``books``), every per-row
+    step breaks ties deterministically (argmin first-index, id
+    tie-breaks), and the candidate set is PARTITION-INDEPENDENT: the
+    per-partition heaps order by the ROUNDED ADC score (6dp, so float
+    accumulation noise can't flip the ordering) with an id tie-break,
+    and a global ADC top-(k+rerank) cut applies before the exact
+    re-rank. Each partition's heap holds a superset of its share of
+    that global ADC top list, so the cut — and therefore the result —
+    is identical under any repartitioning, and an external oracle can
+    replay the whole pipeline.
+
+    ``books`` (an (m, ksub, dim//m) array-like) skips k-means training
+    and encodes against the given codebooks — e.g. subvectors of the
+    lowest-id corpus vectors, which a SQL oracle can reconstruct.
     """
     import numpy as np
 
@@ -808,7 +825,12 @@ def pq_topk(
         # frame), so codebook training below always has sample vectors
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
-    books = _train_pq_codebooks(embeddings, id_col, vec_col, m, ksub, seed, train_sample)
+    if books is not None:
+        books = np.asarray(books, dtype=np.float64)
+        if books.shape[0] != m or books.shape[1] != ksub:
+            raise ValueError(f"books shape {books.shape} != (m={m}, ksub={ksub}, dsub)")
+    else:
+        books = _train_pq_codebooks(embeddings, id_col, vec_col, m, ksub, seed, train_sample)
     dsub = books.shape[2]
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -843,8 +865,12 @@ def pq_topk(
             nids = pdf["neighbor_id"].to_numpy()
             js = np.arange(m)
             for qi, qid in enumerate(q_ids):
-                # ADC score: sum of table lookups over the m codes
+                # ADC score: sum of table lookups over the m codes —
+                # ROUNDED (6dp, half-away like dround) so the heap /
+                # global-cut ordering is reproducible across engines and
+                # accumulation orders; ties break by neighbor id
                 adc = tables[qi][js, codes].sum(axis=1)
+                adc = np.sign(adc) * np.floor(np.abs(adc) * 1e6 + 0.5) / 1e6
                 heap = heaps[int(qid)]
                 floor = heap[0][0] if len(heap) >= keep else -2.0
                 for ci in np.nonzero(adc >= floor)[0]:
@@ -860,22 +886,34 @@ def pq_topk(
                     elif item[:2] > heap[0][:2]:
                         heapq.heapreplace(heap, item)
         out = [
-            (int(qid), -neg_nid,
+            (int(qid), -neg_nid, adc_r,
              float(np.sign(exact) * np.floor(abs(exact) * rf + 0.5) / rf))
             for qid, heap in heaps.items()
-            for _adc, neg_nid, exact in heap
+            for adc_r, neg_nid, exact in heap
         ]
-        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
-            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        yield pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "adc", "cos_sim"]
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64",
+             "adc": "float64", "cos_sim": "float64"}
         )
 
     candidates = corpus.mapInPandas(
-        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+        score_partition,
+        schema="vec_id bigint, neighbor_id bigint, adc double, cos_sim double",
     )
-    # global re-rank by EXACT cosine over the (partitions x queries x
-    # (k+rerank)) candidate rows — the ADC ordering only chose survivors
-    return top_k_per_group(
+    # global ADC top-(k+rerank) cut first — every partition heap holds a
+    # superset of its share of this list, so the cut is
+    # partition-independent — then re-rank the survivors by EXACT
+    # cosine: ADC only ever chooses candidates, never reported scores
+    adc_cut = top_k_per_group(
         candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k=keep,
+    )
+    return top_k_per_group(
+        adc_cut,
         partition_by=["vec_id"],
         order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k=k,
