@@ -132,12 +132,31 @@ def funnel(
     )
 
 
+class CacheRelease:
+    """Release hook for an operator-persisted frame that backs a
+    returned plan (``global_rank`` / ``ranged_prefix_sum``). Call
+    :meth:`release` AFTER materializing the result: the pinned
+    partitions drop immediately instead of waiting for cache eviction
+    or a blanket ``spark.catalog.clearCache()``. Idempotent; releasing
+    before an action is safe too (the plan recomputes the range shuffle
+    instead of reading cache — correct, just slower)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def release(self) -> None:
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+    return_release: bool = False,
+):
     """Scale-safe global row numbering over a total order — the
     replacement for ``Window.orderBy(...)`` without a partition spec,
     which funnels the ENTIRE frame through one task (Spark's
@@ -154,11 +173,14 @@ def global_rank(
 
     CACHE LIFETIME: the persisted ranged frame backs the RETURNED plan,
     so it cannot be unpersisted here; it lives until cache eviction or
-    an explicit ``spark.catalog.clearCache()``. Long-lived sessions
-    calling this repeatedly should clear the cache once each result is
-    materialized (bench.py does).
+    an explicit release. Long-lived sessions calling this repeatedly
+    should pass ``return_release=True`` and call ``release()`` on the
+    returned :class:`CacheRelease` once each result is materialized
+    (or fall back to a blanket ``spark.catalog.clearCache()``, as
+    bench.py does).
 
-    Returns ``(df + rank_col [1-based], total_rows)``.
+    Returns ``(df + rank_col [1-based], total_rows)``, plus the
+    :class:`CacheRelease` handle when ``return_release=True``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -184,7 +206,10 @@ def global_rank(
         rank = local + F.coalesce(off_map[F.col("_gr_pid")], F.lit(0)).cast("long")
     else:
         rank = local
-    return ranged.withColumn(rank_col, rank).drop("_gr_pid"), total
+    out = ranged.withColumn(rank_col, rank).drop("_gr_pid")
+    if return_release:
+        return out, total, CacheRelease(ranged)
+    return out, total
 
 
 def bucketed_prefix_sum(
@@ -249,7 +274,8 @@ def ranged_prefix_sum(
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_release: bool = False,
+):
     """Running sum of ``value_col`` within each group under an
     ARBITRARY total order — the range-partitioned sibling of
     :func:`bucketed_prefix_sum` (which needs a uniform hex key) and the
@@ -263,10 +289,10 @@ def ranged_prefix_sum(
     id — at most ``num_partitions`` rows per group. ``order_cols`` must
     end in a unique tie-breaker (pass Columns or names; same contract
     as ``global_rank``). The ranged frame is persisted spillable for
-    the totals pass — same cache-lifetime note as ``global_rank``: it
-    backs the returned plan, so release it via
-    ``spark.catalog.clearCache()`` once results are materialized in
-    long-lived sessions.
+    the totals pass — same cache-lifetime note as ``global_rank``:
+    pass ``return_release=True`` to get a :class:`CacheRelease` handle
+    back (then ``(df, release)`` is returned) and release after
+    materializing in long-lived sessions.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -297,8 +323,11 @@ def ranged_prefix_sum(
     offs = totals.withColumn(
         "_rp_off", F.coalesce(F.sum("_rp_bt").over(ow), F.lit(0).cast("bigint"))
     ).select(*group_cols, "_rp_pid", "_rp_off")
-    return (
+    out = (
         local.join(F.broadcast(offs), [*group_cols, "_rp_pid"])
         .withColumn(out_col, (F.col("_rp_off") + F.col("_rp_cl")).cast("bigint"))
         .drop("_rp_pid", "_rp_cl", "_rp_off")
     )
+    if return_release:
+        return out, CacheRelease(ranged)
+    return out

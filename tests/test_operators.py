@@ -2023,3 +2023,52 @@ def test_heavy_hitters_null_is_a_first_class_hot_key(spark):
     out = {r["item"]: r["exact_count"] for r in
            heavy_hitters_topk(sdf, "k", k=2, counters=8).collect()}
     assert out == {None: 40, "x": 10}
+
+
+def test_global_rank_cache_release_drops_pinned_storage(spark):
+    """Long-lived-service contract: materialize, then release() — the
+    operator-persisted ranged frame must leave the cache immediately
+    (no pinned partitions surviving until clearCache), the handle must
+    be idempotent, and the released plan must still recompute
+    correctly."""
+    from sahithi_metamorph_etl_spark.operators.windows import (
+        global_rank,
+        ranged_prefix_sum,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(500)], "id bigint, v bigint"
+    )
+    ranked, total, release = global_rank(
+        df, ["v", "id"], rank_col="rk", num_partitions=8, return_release=True
+    )
+    assert total == 500
+    rows = {r["id"]: r["rk"] for r in ranked.collect()}  # materialize
+    assert n_persistent() > base  # pinned while the plan is live
+    release.release()
+    assert n_persistent() == base  # gone immediately, not at clearCache
+    release.release()  # idempotent
+    # released plan still computes (recomputes the range shuffle)
+    assert {r["id"]: r["rk"] for r in ranked.collect()} == rows
+    expect = {
+        id_: i + 1
+        for i, (id_, _) in enumerate(
+            sorted(((i, (i * 37) % 101) for i in range(500)), key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert rows == expect
+
+    # the grouped sibling exposes the same handle
+    out, rel2 = ranged_prefix_sum(
+        df.withColumn("g", df.id % 3),
+        ["g"], ["v", "id"], "v", out_col="cum",
+        num_partitions=4, return_release=True,
+    )
+    out.collect()
+    assert n_persistent() > base
+    rel2.release()
+    assert n_persistent() == base
