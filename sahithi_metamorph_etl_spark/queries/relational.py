@@ -1188,6 +1188,131 @@ def customer_scd2_merge(spark, sf_dir):
     )
 
 
+def _scd2_step_sql(dim_cte: str, upd_cte: str, out_cte: str, day: str,
+                   close_missing: bool) -> str:
+    """One generated-CTE SCD2 merge step (the corpus_bpe_merges
+    precedent): full-outer join the current slice with the update
+    snapshot, emit keep/close/open/delete fates, pass closed history
+    through. Chained by customer_scd2_chain's oracle to replay
+    operators/scd.scd2_merge sequentially in DuckDB."""
+    tag = out_cte
+    if close_missing:
+        missing = (f"SELECT dk, dm, da, df, DATE '{day}', false "
+                   f"FROM j_{tag} WHERE dk IS NOT NULL AND uk IS NULL")
+    else:
+        missing = (f"SELECT dk, dm, da, df, CAST(NULL AS DATE), true "
+                   f"FROM j_{tag} WHERE dk IS NOT NULL AND uk IS NULL")
+    return f"""j_{tag} AS (
+  SELECT d.c_custkey AS dk, u.c_custkey AS uk,
+         d.c_mktsegment AS dm, d.c_acctbal AS da, d.effective_from AS df,
+         u.c_mktsegment AS um, u.c_acctbal AS ua,
+         (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+          AND NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+                   AND d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal)) AS changed
+  FROM (SELECT * FROM {dim_cte} WHERE is_current) d
+  FULL OUTER JOIN {upd_cte} u ON d.c_custkey = u.c_custkey
+),
+{out_cte} AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, effective_from, effective_to, is_current
+  FROM {dim_cte} WHERE NOT is_current
+  UNION ALL
+  SELECT dk, dm, da, df, CAST(NULL AS DATE), true
+  FROM j_{tag} WHERE dk IS NOT NULL AND uk IS NOT NULL AND NOT changed
+  UNION ALL
+  SELECT dk, dm, da, df, DATE '{day}', false FROM j_{tag} WHERE changed
+  UNION ALL
+  SELECT uk, um, ua, DATE '{day}', CAST(NULL AS DATE), true
+  FROM j_{tag} WHERE changed OR dk IS NULL
+  UNION ALL
+  {missing}
+)"""
+
+
+_SCD2_CHAIN_ORACLE = f"""
+WITH dim0 AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '2025-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to,
+         true AS is_current
+  FROM customer
+), u1 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+), u2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED2' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+), u3 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'FINAL'
+              WHEN c_custkey % 7 = 0 THEN 'MOVED2'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 6 = 0 THEN c_acctbal - 25.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+{_scd2_step_sql('dim0', 'u1', 'dim1', '2025-02-01', close_missing=True)},
+{_scd2_step_sql('dim1', 'u2', 'dim2', '2025-03-01', close_missing=True)},
+{_scd2_step_sql('dim2', 'u3', 'dim3', '2025-04-01', close_missing=False)}
+SELECT c_custkey, c_mktsegment, c_acctbal, effective_from, effective_to, is_current
+FROM dim3
+"""
+
+
+@register("customer_scd2_chain", oracle=_SCD2_CHAIN_ORACLE,
+          doc="SCD2 dimension accumulated across THREE chained daily merges — "
+              "the real production regime (customer_scd2_merge covers one day). "
+              "Day1 (close_missing): every k%3==0 key is DELETED (its row "
+              "closes), k%5 segments move, k%4 balances shift. Day2 "
+              "(close_missing): deleted keys REINSERT (a gap in their validity "
+              "history — deletion is representable), k%5 segments REVERT, k%4 "
+              "balances revert, k%7 move again. Day3 (partial snapshot, no "
+              "close): odd keys silently keep their open rows while k%10 keys "
+              "take a third segment and k%6 balances shift down. The oracle "
+              "replays all three merges as generated full-outer-join CTEs "
+              "(_scd2_step_sql), so every interval boundary, reopened key and "
+              "pass-through row hash-checks. Closed history unions through "
+              "each merge un-shuffled — the merge cost tracks the CURRENT "
+              "slice + snapshot, not accumulated history depth")
+def customer_scd2_chain(spark, sf_dir):
+    import datetime as dt
+
+    from ..operators.scd import scd2_init, scd2_merge
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim = scd2_init(
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_custkey"], ["c_mktsegment", "c_acctbal"], dt.date(2025, 1, 1),
+    )
+    u1 = cust.filter(k % 3 != 0).select(
+        "c_custkey",
+        F.when(k % 5 == 0, "MOVED").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 4 == 0, F.col("c_acctbal") + 50.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    u2 = cust.select(
+        "c_custkey",
+        F.when(k % 7 == 0, "MOVED2").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.col("c_acctbal"),
+    )
+    u3 = cust.filter(k % 2 == 0).select(
+        "c_custkey",
+        F.when(k % 10 == 0, "FINAL")
+        .when(k % 7 == 0, "MOVED2")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 6 == 0, F.col("c_acctbal") - 25.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    dim = scd2_merge(dim, u1, keys, tracked, dt.date(2025, 2, 1), close_missing=True)
+    dim = scd2_merge(dim, u2, keys, tracked, dt.date(2025, 3, 1), close_missing=True)
+    dim = scd2_merge(dim, u3, keys, tracked, dt.date(2025, 4, 1))
+    return dim
+
+
 # --- time-series gap fill ---------------------------------------------------
 
 _GAPFILL_ORACLE = f"""
