@@ -38,6 +38,20 @@ def _norm(a: Column) -> Column:
     return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12))
 
 
+def _nround(t, scale: int = 8):
+    """numpy twin of functions.money.dround (half-away-from-zero via
+    sign/abs/floor — bit-identical in any engine evaluating the same
+    double). Every ANN ordering key — cos_sim, ADC, and since r10 the
+    IVF assignment/probe argmax, PQ encode argmin and LSH sign bit —
+    rounds through this before compare, so oracle determinism never
+    rides on bit-identical unrounded accumulation (BLAS vs DuckDB
+    list_dot_product can differ by an ulp on near-ties)."""
+    import numpy as np
+
+    f = float(10**scale)
+    return np.sign(t) * np.floor(np.abs(t) * f + 0.5) / f
+
+
 def _bounded_query_rows(embeddings, id_col, vec_col, query_filter, max_queries, op_name):
     """Collect the query set with an explicit bound — an unbounded
     ``collect()`` of the whole corpus is a driver OOM at scale, so it is
@@ -394,8 +408,9 @@ def ivf_topk(
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    # each query probes its n_probe nearest lists
-    q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    # each query probes its n_probe nearest lists (rounded key + stable
+    # sort: deterministic lowest-list-id tie-break, same as ivf_search)
+    q_probes = np.argsort(-_nround(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
 
     rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -413,7 +428,7 @@ def ivf_topk(
                 continue
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
             cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-            c_assign = (cm @ cents.T).argmax(axis=1)
+            c_assign = _nround(cm @ cents.T).argmax(axis=1)
             t = qm @ cm.T
             # half-AWAY-from-zero (functions.money.dround twin): np.round
             # is half-to-even and can disagree with the oracle on .5 ties
@@ -507,11 +522,14 @@ def ivf_build_index(
                 continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            # assignment argmax on the ROUNDED dot (8dp): ties break
+            # first-index = lowest list_id, matching the oracle's
+            # (dot DESC, list_id) window
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "list_id": (m @ cents_ship.T).argmax(axis=1).astype("int32"),
+                    "list_id": _nround(m @ cents_ship.T).argmax(axis=1).astype("int32"),
                 }
             )
 
@@ -569,7 +587,9 @@ def ivf_search(
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([r[1] for r in qrows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    q_probes = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    # probe ranking on the ROUNDED dot; stable sort so ties break by
+    # lowest list_id like the oracle's (dot DESC, list_id) window
+    q_probes = np.argsort(-_nround(qm @ cents.T), axis=1, kind="stable")[:, :n_probe]
     probe_union = sorted({int(p) for row in q_probes for p in row})
 
     corpus = (
@@ -702,9 +722,15 @@ def hyperplane_lsh_topk(
         dim = len(first[0])
     planes = _planes(n_planes, dim)
     plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    # sign bit on the ROUNDED dot (8dp dround, oracle twin o_round):
+    # an ulp of accumulation skew at the 0 boundary must not flip a
+    # bucket between engines
     sig = F.concat_ws(
         "",
-        F.transform(plane_arr, lambda p: F.when(_dot(F.col(vec_col), p) >= 0, "1").otherwise("0")),
+        F.transform(
+            plane_arr,
+            lambda p: F.when(dround(_dot(F.col(vec_col), p), 8) >= 0, "1").otherwise("0"),
+        ),
     )
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), sig.alias("bucket")
@@ -856,12 +882,15 @@ def pq_topk(
             cm = np.array(list(pdf["cv"]), dtype=np.float64)
             cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
             sub = cm.reshape(len(cm), m, dsub)
-            # encode: nearest codebook entry per subspace (L2, argmin
-            # first-index ties) -> (n, m) uint8 codes
+            # encode: nearest codebook entry per subspace — argmin on
+            # the ROUNDED Euclidean distance (8dp, mirroring the
+            # oracle's o_round(list_distance) key) so a near-tie can't
+            # flip a code between engines; first-index ties = lowest
+            # cid, matching the oracle's (dist, cid) window
             codes = np.empty((len(cm), m), dtype=np.int64)
             for j in range(m):
                 d2 = ((sub[:, j, None, :] - books[None, j]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _nround(np.sqrt(d2)).argmin(axis=1)
             nids = pdf["neighbor_id"].to_numpy()
             js = np.arange(m)
             for qi, qid in enumerate(q_ids):

@@ -126,6 +126,34 @@ def _load() -> None:
 # png/jpeg/resize/frame-sample; events via tumbling/asof-fwd/
 # incremental/funnel; streaming via events_funnel's batch twin plus
 # pytest-live streaming suites).
+# NOTE: the r9-born customer_scd2_chain landed in the final r9
+# snapshot commit, AFTER the r9 priority-50 was frozen, so rule 2
+# deferred to r10 — it leads the r10 rotation below and got its
+# first external row there.
+# r10 rotation: IN = the 20 rule-3 must-returns (out-streak 2 after
+# r9; scripts/rotation_plan.py recomputes authoritatively:
+# customers_without_orders, customers_with_orders,
+# orders_price_histogram, sketch_price_percentiles,
+# orders_expectations, orders_zorder_pruning, doc_bpe_tokens,
+# doc_repetition_stats, emb_label_centroids, doc_chunks,
+# doc_token_budget, doc_stratified_sample, corpus_near_dup_prune_lsh,
+# doc_simhash, emb_cosine_near_dup, doc_rarity_score,
+# multimodal_audio_stats, multimodal_gif_frames,
+# events_sliding_window, events_stream_funnel), customer_scd2_chain
+# (rule 2 — the only never-externally-checked entry), and 20
+# streak-1 fillers chosen one-per-family, preferring entries whose
+# code paths this round touches (doc_bpe_tokenize for the BPE batch
+# retune; the SCD2 merge/asof siblings next to the chain's first
+# external row). OUT = the r9-green entries (fresh history, streak 1)
+# and 17 unchosen streak-1 holdovers that become r11 must-returns;
+# each leaves a same-family representative in the 50 (relational via
+# without/with-orders + histogram + expectations + Q3 + heavy-hitters;
+# sketches via price-percentiles; text via repetition/rarity/quality/
+# bpe-tokens; dedup via simhash + minhash-pairs + clusters +
+# near-dup-prune-lsh + decontaminate; similarity via cosine-near-dup +
+# label-centroids + centroid-knn; codecs via audio/gif/png; events via
+# sliding + sessionization + stream-funnel; warehouse via zorder +
+# scd2 merge/asof/chain).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -136,28 +164,29 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r8)
-    "orders_filter_case", "top10_orders", "lineitem_union_slices",
-    "customer_running_total", "orders_grouping_sets",
-    "orders_price_quantile_hist", "sketch_mergeable_distinct",
-    "doc_token_stats", "doc_train_split", "doc_exact_dedup",
-    "doc_jaccard_pairs", "doc_hot_shingles", "corpus_near_dup_prune",
-    "corpus_dedup_report", "emb_cosine_topk", "corpus_text_profile",
-    "multimodal_resize", "multimodal_frame_sample",
-    "events_hourly_tumbling", "events_asof_join_forward",
-    "events_incremental_slice",
-    # ANN indexes returning with new exact-recall DuckDB oracles
-    # (streak 1; rule 3 would bind after r9 — see llm_q.py)
-    "emb_pq_topk", "emb_lsh_ann_topk", "emb_ivf_topk",
-    # streak-1 fillers, one per family (swapped for r9-born entries
-    # as they land — rule 2)
-    "duplicate_order_lines", "orders_by_month",
-    "customer_segments_setops", "customer_order_gaps", "orders_cube",
-    "lineitem_key_skew", "sketch_distinct_counts", "salted_skew_join",
-    "supplier_region_rollup", "orders_column_profile",
-    "warehouse_upsert_roundtrip", "doc_language_guess",
-    "doc_fingerprint", "doc_pii_scrub", "multimodal_jpeg_roundtrip",
-    "events_funnel", "doc_pack_sequences",
+    # rule 2: never externally checked (born in the final r9 commit)
+    "customer_scd2_chain",
+    # rule-3 must-returns (out-streak 2 after r9)
+    "customers_without_orders", "customers_with_orders",
+    "orders_price_histogram", "sketch_price_percentiles",
+    "orders_expectations", "orders_zorder_pruning",
+    "doc_bpe_tokens", "doc_repetition_stats", "emb_label_centroids",
+    "doc_chunks", "doc_token_budget", "doc_stratified_sample",
+    "corpus_near_dup_prune_lsh", "doc_simhash", "emb_cosine_near_dup",
+    "doc_rarity_score", "multimodal_audio_stats",
+    "multimodal_gif_frames", "events_sliding_window",
+    "events_stream_funnel",
+    # streak-1 fillers, one per family; BPE + SCD2 siblings preferred
+    # because this round touches those code paths
+    "pricing_summary", "supplier_part_agg", "parts_sales_left_join",
+    "part_price_class", "orders_status_pivot",
+    "customer_tiers_percent_rank", "part_price_band_range_join",
+    "customer_scd2_merge", "customer_scd2_asof",
+    "tpch_q3_shipping_priority", "lineitem_heavy_hitters",
+    "doc_bpe_tokenize", "doc_quality_score", "doc_decontaminate",
+    "doc_dedup_clusters", "doc_minhash_lsh_pairs", "emb_centroid_knn",
+    "corpus_vocabulary", "multimodal_png_roundtrip",
+    "events_sessionization",
 )
 
 

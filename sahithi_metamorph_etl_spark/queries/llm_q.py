@@ -852,7 +852,10 @@ def emb_centroid_knn(spark, sf_dir):
 #     (same reconstruction trick), and pq_topk's candidate cut is
 #     partition-independent (global rounded-ADC top-(k+rerank)).
 # Ties everywhere break (score DESC, id ASC) on both engines; scores
-# are rounded (cos 8dp, ADC 6dp, recall 4dp) half-away-from-zero.
+# are rounded (cos 8dp, ADC 6dp, recall 4dp) half-away-from-zero —
+# and since r10 so is EVERY ordering key (IVF assignment/probe argmax,
+# PQ encode argmin, LSH sign bit, all 8dp), so no bucket/assignment
+# ever depends on bit-identical unrounded accumulation across engines.
 
 _ANN_EXACT_CTES = f"""
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
@@ -907,8 +910,10 @@ def _lsh_plane_literals(n_planes: int, dim: int) -> list[str]:
 
 
 def _lsh_ann_ctes(n_planes: int = 4, dim: int = 64) -> str:
+    # sign bit on the ROUNDED dot (o_round 8dp, mirroring the Spark
+    # side's dround): an ulp of skew at the 0 boundary can't flip a bit
     bits = " || ".join(
-        f"(CASE WHEN list_dot_product(e, {p}) >= 0 THEN '1' ELSE '0' END)"
+        f"(CASE WHEN {o_round(f'list_dot_product(e, {p})', 8)} >= 0 THEN '1' ELSE '0' END)"
         for p in _lsh_plane_literals(n_planes, dim)
     )
     cos = ("list_dot_product(qb.e, cb.e) / "
@@ -931,12 +936,12 @@ _IVF_ANN_CTES = f"""cents AS (SELECT CAST(rn - 1 AS INT) AS list_id, u AS c FROM
 assign AS (SELECT vec_id, list_id FROM (
     SELECT nv.vec_id, c.list_id,
            row_number() OVER (PARTITION BY nv.vec_id
-                              ORDER BY list_dot_product(nv.u, c.c) DESC, c.list_id) AS rnk
+                              ORDER BY {o_round('list_dot_product(nv.u, c.c)', 8)} DESC, c.list_id) AS rnk
     FROM n nv CROSS JOIN cents c) WHERE rnk = 1),
 probes AS (SELECT vec_id, list_id FROM (
     SELECT nq.vec_id, c.list_id,
            row_number() OVER (PARTITION BY nq.vec_id
-                              ORDER BY list_dot_product(nq.u, c.c) DESC, c.list_id) AS rnk
+                              ORDER BY {o_round('list_dot_product(nq.u, c.c)', 8)} DESC, c.list_id) AS rnk
     FROM n nq CROSS JOIN cents c WHERE nq.vec_id < 100) WHERE rnk <= 4),
 ann_scored AS (
     SELECT p.vec_id, a.vec_id AS neighbor_id,
@@ -988,7 +993,10 @@ def emb_lsh_ann_topk(spark, sf_dir):
               "row. HASH-GRADE: quantizes against seed-vector centroids (unit-normalized "
               "16 lowest-id vectors) so the oracle replays assignment, probing, scoring "
               "and the exact twin entirely in DuckDB; the k-means coarse quantizer stays "
-              "the operator default (pytest recall floors)")
+              "the operator default (pytest recall floors). Measured seed-centroid "
+              "recall: 0.564 at sf0.001, 0.544 at sf0.01 (4/16 probes) — the 0.2 floor "
+              "is ~2.7x margin below that, wide because seed centroids quantize worse "
+              "than k-means (whose pytest floor is 0.5)")
 def emb_ivf_topk(spark, sf_dir):
     import shutil
     import tempfile
@@ -1671,7 +1679,7 @@ book AS (SELECT s.cid, CAST(t.j AS INT) AS j,
 codes AS (SELECT vec_id, j, cid FROM (
     SELECT nv.vec_id, b.j, b.cid,
            row_number() OVER (PARTITION BY nv.vec_id, b.j
-                              ORDER BY list_distance(nv.u[b.j * 8 + 1:b.j * 8 + 8], b.bv),
+                              ORDER BY {o_round('list_distance(nv.u[b.j * 8 + 1:b.j * 8 + 8], b.bv)', 8)},
                                        b.cid) AS rnk
     FROM n nv CROSS JOIN book b) WHERE rnk = 1),
 adc_scored AS (
