@@ -41,10 +41,11 @@ def build_customer_sales_report(
     sales: DataFrame,
     products: DataFrame,
     customers: DataFrame,
-    supplier_performance: DataFrame,
+    supplier_performance: DataFrame | None,
     run_date: dt.date,
     load_ts: dt.datetime | None = None,
     exact_tiers: bool = True,
+    top_products: DataFrame | None = None,
 ) -> DataFrame:
     load_ts = load_ts or dt.datetime(run_date.year, run_date.month, run_date.day)
     run_date_lit = F.lit(run_date.isoformat()).cast("date")
@@ -54,15 +55,25 @@ def build_customer_sales_report(
     )
     sq_products = products.select("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE")
     sq_customers = customers.select("CUSTOMER_ID", "NAME", "CITY")
-    # reference reads back today's legacy.supplier_performance slice (P6);
-    # here the mart result for run_date is passed in directly
-    top_products = (
-        supplier_performance.filter(F.col("DAY_DT") == run_date_lit)
-        .select("TOP_SELLING_PRODUCT")
-        .where(F.col("TOP_SELLING_PRODUCT").isNotNull())
-        .distinct()
-        .withColumn("TOP_PERFORMER", F.lit("true"))
-    )
+    # reference reads back today's legacy.supplier_performance slice (P6).
+    # Callers with the landed mart at hand (the pipeline) pass it as
+    # `supplier_performance`; callers composing both marts in one plan
+    # pass `top_products` (supplier_performance.build_top_selling_products)
+    # instead, which derives the SAME distinct name list without the
+    # supplier-level re-agg / enrichment joins / product-level persist
+    # the full mart pays (measured ~1 s of 4.8 s at sf0.1).
+    if top_products is None:
+        if supplier_performance is None:
+            raise ValueError(
+                "build_customer_sales_report needs supplier_performance or top_products"
+            )
+        top_products = (
+            supplier_performance.filter(F.col("DAY_DT") == run_date_lit)
+            .select("TOP_SELLING_PRODUCT")
+            .where(F.col("TOP_SELLING_PRODUCT").isNotNull())
+            .distinct()
+        )
+    top_products = top_products.withColumn("TOP_PERFORMER", F.lit("true"))
 
     fil = sq_sales.filter(F.col("ORDER_STATUS") != "Cancelled")
 

@@ -31,13 +31,17 @@ from ..functions.money import dround, from_units, usum
 from ..operators.windows import top_k_per_group
 
 
-def build_supplier_performance(
+def _product_level(
     sales: DataFrame,
     products: DataFrame,
     suppliers: DataFrame,
-    run_date: dt.date,
     broadcast_dims: bool = True,
 ) -> DataFrame:
+    """The fact-side pipeline both marts share: filter cancelled →
+    broadcast-join products → trimmed broadcast-join suppliers →
+    REVENUE → (SUPPLIER_ID, PRODUCT_ID) aggregate. This is the only
+    fact-scale work in the supplier mart; everything downstream runs on
+    the (dimension-bounded) aggregate."""
     maybe_b = F.broadcast if broadcast_dims else (lambda df: df)
 
     sq_sales = sales.select("ORDER_STATUS", "PRODUCT_ID", "QUANTITY", "DISCOUNT", "SALE_ID")
@@ -91,11 +95,68 @@ def build_supplier_performance(
     # totals, scale-invariant in this data model (~600 sale lines per
     # supplier x <=6e5 each ⇒ <=~4e8 money units) — provably inside the
     # bigint micro-unit accumulator at any corpus SF
-    product_level = with_suppliers.groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME").agg(
+    return with_suppliers.groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME").agg(
         F.count("SALE_ID").alias("agg_product_sales_count"),
         usum(F.col("REVENUE")).alias("agg_product_revenue_u"),
         F.sum("QUANTITY").alias("agg_stock_sold"),
     )
+
+
+def _top_selling(product_level: DataFrame) -> DataFrame:
+    """Per-supplier top product by rounded revenue (PRODUCT_ID ASC
+    tie-break — the documented determinism deviation from the
+    reference's raw-revenue ordering)."""
+    return top_k_per_group(
+        product_level,
+        partition_by=["SUPPLIER_ID"],
+        order_by=[
+            dround(from_units(F.col("agg_product_revenue_u")), 2).desc(),
+            F.col("PRODUCT_ID").asc(),
+        ],
+        k=1,
+    ).select(F.col("SUPPLIER_ID"), F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
+
+
+def build_top_selling_products(
+    sales: DataFrame,
+    products: DataFrame,
+    suppliers: DataFrame,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """JUST the distinct top-selling product names — the one column of
+    this mart the customer-sales-report consumes (ref
+    `m_customer_sales_report_task.py:226-231` reads back today's
+    supplier_performance slice for exactly this list).
+
+    Identical values to ``build_supplier_performance(...)
+    .select('TOP_SELLING_PRODUCT').where(isNotNull).distinct()`` — the
+    enrichment left-joins preserve precisely the suppliers produced by
+    the window, and the mart's ``'' -> NULL`` mapping composes with the
+    null filter into ``name <> ''`` — but skips everything the list
+    doesn't need: no supplier-level re-agg, no enrichment joins, and no
+    persist (the product-level aggregate has ONE consumer here, so
+    caching it would be pure block-manager overhead; measured 0.7-1.0 s
+    of the customer mart's 4.8 s at sf0.1)."""
+    pl = _product_level(sales, products, suppliers, broadcast_dims)
+    return (
+        _top_selling(pl)
+        .select("TOP_SELLING_PRODUCT")
+        .where(F.col("TOP_SELLING_PRODUCT").isNotNull() & (F.col("TOP_SELLING_PRODUCT") != ""))
+        .distinct()
+    )
+
+
+def build_supplier_performance(
+    sales: DataFrame,
+    products: DataFrame,
+    suppliers: DataFrame,
+    run_date: dt.date,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    maybe_b = F.broadcast if broadcast_dims else (lambda df: df)
+    sq_suppliers = suppliers.select("SUPPLIER_ID", "SUPPLIER_NAME")
+
+    product_level = _product_level(sales, products, suppliers, broadcast_dims)
     # consumed by BOTH the supplier re-agg and the top-product window —
     # persist the (small, post-agg) table so the fact scan+join+agg
     # pipeline above runs once, not once per branch
@@ -109,15 +170,7 @@ def build_supplier_performance(
         F.sum("agg_stock_sold").alias("agg_total_stock_sold"),
     )
 
-    top_selling = top_k_per_group(
-        product_level,
-        partition_by=["SUPPLIER_ID"],
-        order_by=[
-            dround(from_units(F.col("agg_product_revenue_u")), 2).desc(),
-            F.col("PRODUCT_ID").asc(),
-        ],
-        k=1,
-    ).select(F.col("SUPPLIER_ID"), F.col("PRODUCT_NAME").alias("TOP_SELLING_PRODUCT"))
+    top_selling = _top_selling(product_level)
 
     # both enrichment tables are per-supplier (bounded by the dimension
     # size) — broadcast so the static plan avoids two sort-merge

@@ -200,10 +200,16 @@ WITH {ORACLE_ENTITY_CTES},
 @register("mart_customer_sales_report", oracle=_CSR_ORACLE,
           doc="Customer sales report mart (quantile loyalty tiers, top-performer flag)")
 def mart_customer_sales_report(spark, sf_dir):
+    from ..marts.supplier_performance import build_top_selling_products
+
     e = tpch_entities(spark, sf_dir)
-    sp = build_supplier_performance(e["sales"], e["products"], e["suppliers"], RUN_DATE)
+    # the CSR consumes ONE column of the supplier mart (the distinct
+    # top-product names); derive just that instead of composing the
+    # full mart in-plan — same values (oracle replays the full-mart
+    # derivation), ~1 s cheaper at sf0.1
+    tp = build_top_selling_products(e["sales"], e["products"], e["suppliers"])
     return build_customer_sales_report(
-        e["sales"], e["products"], e["customers"], sp, RUN_DATE
+        e["sales"], e["products"], e["customers"], None, RUN_DATE, top_products=tp
     )
 
 
