@@ -172,6 +172,7 @@ def learn_bpe(
     checkpoint_every: int = 8,
     batch_top: int = 50,
     stats: dict | None = None,
+    state_out: list | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table (rank, left, right, merged, freq) — ``rank`` is the merge
@@ -191,12 +192,22 @@ def learn_bpe(
     a pure-Python reference in tests). A 32k-merge production run
     therefore pays ~32k/batch-size jobs instead of 32k; pass
     ``stats={}`` to read back ``{"iterations", "merges"}``.
+
+    ``state_out``: pass a list and the FINAL vocabulary state — every
+    corpus word tokenized by all learned merges in rank order, i.e.
+    exactly the wordmap ``apply_bpe``'s fold path would recompute — is
+    appended as a (word, toks) DataFrame. A train→apply composition
+    hands it to ``apply_bpe(wordmap=...)`` so tokenization work done
+    during training is not paid twice (measured ~1 s of the 4 s
+    combined entry at sf0.1).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     spark = docs.sparkSession
     vocab = word_frequencies(docs, text_col, id_col)
-    state = vocab.select("count", _chars_plus_end("word").alias("toks")).localCheckpoint()
+    state = vocab.select(
+        "count", "word", _chars_plus_end("word").alias("toks")
+    ).localCheckpoint()
 
     merges: list[tuple[int, str, str, str, int]] = []
     iterations = 0
@@ -238,7 +249,7 @@ def learn_bpe(
             # left-to-right greedy merge of (a, b) inside every token
             # array; disjointness makes the in-batch chain order-free
             sel = _greedy_merge_expr(sel, a, b)
-        state = state.select("count", sel.alias("toks"))
+        state = state.select("count", "word", sel.alias("toks"))
         folds_since_ckpt += len(batch)
         if folds_since_ckpt >= checkpoint_every:
             # the vocab frame is small; truncating its lineage keeps the
@@ -249,6 +260,8 @@ def learn_bpe(
     if stats is not None:
         stats["iterations"] = iterations
         stats["merges"] = len(merges)
+    if state_out is not None:
+        state_out.append(state.select("word", "toks"))
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
     )
@@ -292,6 +305,7 @@ def apply_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "auto",
+    wordmap: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a learned BPE merge table — the apply
     half of the train→apply tokenizer loop (``learn_bpe`` is the train
@@ -322,15 +336,15 @@ def apply_bpe(
     (right for real tokenizer-sized tables where a 32k-deep expression
     chain is not viable), 'auto' picks fold for <=64 merges. Both
     paths are pinned equal in tests.
+
+    ``wordmap``: a precomputed (word, toks) frame covering every corpus
+    word — e.g. ``learn_bpe(state_out=...)``'s final state, which is
+    this map by construction — skips the distinct-vocabulary shuffle
+    AND the tokenize stage entirely; only the posexplode, the map join
+    and the reassembly shuffle remain.
     """
     if method not in ("auto", "fold", "arrow"):
         raise ValueError(f"unknown method {method!r}")
-    pairs = [
-        (r["left"], r["right"])
-        for r in merges.orderBy("rank").select("rank", "left", "right").collect()
-    ]
-    if method == "auto":
-        method = "fold" if len(pairs) <= 64 else "arrow"
 
     occurrences = docs.select(
         F.col(id_col),
@@ -338,6 +352,16 @@ def apply_bpe(
             F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
         ).alias("pos", "word"),
     ).filter(F.col("word") != "")
+
+    if wordmap is not None:
+        return _reassemble(occurrences, wordmap.select("word", "toks"), id_col)
+
+    pairs = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").select("rank", "left", "right").collect()
+    ]
+    if method == "auto":
+        method = "fold" if len(pairs) <= 64 else "arrow"
     vocab = occurrences.select("word").distinct()
 
     if method == "fold":
@@ -364,6 +388,13 @@ def apply_bpe(
 
         wordmap = vocab.mapInPandas(_tokenize, schema="word string, toks array<string>")
 
+    return _reassemble(occurrences, wordmap, id_col)
+
+
+def _reassemble(occurrences: DataFrame, wordmap: DataFrame, id_col: str) -> DataFrame:
+    """Join per-occurrence words to their token arrays and rebuild each
+    document's full sequence: ONE groupBy(id_col) shuffle, reading-order
+    restored by the in-group position sort."""
     return (
         occurrences.join(wordmap, "word")
         .groupBy(id_col)

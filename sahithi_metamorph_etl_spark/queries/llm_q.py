@@ -1931,7 +1931,14 @@ def doc_bpe_tokenize(spark, sf_dir):
     from ..llm.bpe import apply_bpe, learn_bpe
 
     docs = read_testdata(spark, sf_dir, "documents")
-    out = apply_bpe(docs, learn_bpe(docs, n_merges=10))
+    # the trainer's final vocabulary state IS the tokenized wordmap
+    # (same sequential-replay semantics, pinned in tests) — hand it to
+    # apply so the fold chain and the distinct-vocab shuffle aren't
+    # recomputed (r10 profile: learn 1.8 s / apply 2.1 s of the 4 s
+    # entry at sf0.1; sharing cuts apply to the join+reassembly core)
+    state = []
+    merges = learn_bpe(docs, n_merges=10, state_out=state)
+    out = apply_bpe(docs, merges, wordmap=state[0])
     return out.select(
         "doc_id",
         "n_words",

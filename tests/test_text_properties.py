@@ -257,6 +257,17 @@ def test_apply_bpe_paths_match_python_replay(spark, sf_dir):
     empty = spark.createDataFrame([(1, None), (2, "   ")], "doc_id bigint, text string")
     assert apply_bpe(empty, merges).count() == 0
 
+    # the trainer's final state handed in as a precomputed wordmap
+    # (the r10 train->apply sharing path) must be bit-equal to the
+    # fold recomputation
+    state = []
+    merges2 = learn_bpe(docs, n_merges=6, state_out=state)
+    shared = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], tuple(r["toks"]))
+        for r in apply_bpe(docs, merges2, wordmap=state[0]).collect()
+    }
+    assert shared == fold
+
 
 def test_select_merge_batch_safe_prefix_property():
     """Driver-side stress (no Spark): the batched safe-prefix selection
