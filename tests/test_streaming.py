@@ -602,3 +602,120 @@ def test_compaction_recovery_unscoped_restores_multiple_days(spark, sf_dir, tmp_
     for d, n in ((day_a, 30), (day_b, 20), (day_c, 10)):
         assert wh.read_legacy(spark, "events", run_date=d).count() == n
     assert not os.path.exists(staging)
+
+
+def test_streaming_scd2_merges_converge_to_batch_chain(spark, sf_dir, tmp_path):
+    """Streaming-SCD2 convergence (the r8/r9 carried obligation): a
+    foreachBatch-driven sequence of scd2_merge calls — one micro-batch
+    per daily update snapshot, dimension state persisted between
+    batches the way a production stream maintains its dim table — must
+    converge to EXACTLY the dimension the batch chain replay produces
+    (the customer_scd2_chain construction: delete + reinsert with a
+    validity gap, segment churn, a partial day-3 snapshot).
+
+    Includes an OVERLAP batch: day 2's snapshot is replayed verbatim as
+    an extra micro-batch between day 2 and day 3 — the merge's
+    documented idempotency means the replay must not perturb the final
+    state (same-day re-merge of identical rows is a pass-through)."""
+    import datetime as dt
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.scd import scd2_init, scd2_merge
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    k = F.col("c_custkey")
+    u1 = cust.filter(k % 3 != 0).select(
+        "c_custkey",
+        F.when(k % 5 == 0, "MOVED").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 4 == 0, F.col("c_acctbal") + 50.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    u2 = cust.select(
+        "c_custkey",
+        F.when(k % 7 == 0, "MOVED2").otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.col("c_acctbal"),
+    )
+    u3 = cust.filter(k % 2 == 0).select(
+        "c_custkey",
+        F.when(k % 10 == 0, "FINAL")
+        .when(k % 7 == 0, "MOVED2")
+        .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.when(k % 6 == 0, F.col("c_acctbal") - 25.0)
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    keys, tracked = ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    days = {
+        1: (dt.date(2025, 2, 1), True),
+        2: (dt.date(2025, 3, 1), True),
+        # overlap replay of day 2 — same as_of, same rows
+        3: (dt.date(2025, 3, 1), True),
+        4: (dt.date(2025, 4, 1), False),
+    }
+
+    # batch chain replay = expected frame (same construction the
+    # customer_scd2_chain oracle hash-checks)
+    expect = scd2_init(cust, keys, tracked, dt.date(2025, 1, 1))
+    expect = scd2_merge(expect, u1, keys, tracked, days[1][0], close_missing=True)
+    expect = scd2_merge(expect, u2, keys, tracked, days[2][0], close_missing=True)
+    expect = scd2_merge(expect, u3, keys, tracked, days[4][0])
+
+    # land each snapshot as its own file with strictly increasing
+    # mtimes; maxFilesPerTrigger=1 makes each file one micro-batch
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    for i, up in ((1, u1), (2, u2), (3, u2), (4, u3)):
+        stage = tmp_path / f"scd2_stage_{i}"
+        up.withColumn("__day", F.lit(i)).coalesce(1).write.parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / f"{i:02d}.parquet")
+        _time.sleep(1.05)
+
+    state_path = str(tmp_path / "scd2_state")
+    scd2_init(cust, keys, tracked, dt.date(2025, 1, 1)).write.parquet(state_path)
+
+    def merge_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        day_rows = batch_df.select("__day").distinct().collect()
+        assert len(day_rows) == 1, "one snapshot file per micro-batch"
+        as_of, close = days[day_rows[0][0]]
+        dim = spark.read.parquet(state_path)
+        new = scd2_merge(
+            dim, batch_df.drop("__day"), keys, tracked, as_of, close_missing=close
+        )
+        # materialize BEFORE overwriting the path being read
+        new.localCheckpoint().write.mode("overwrite").parquet(state_path)
+
+    q = (
+        spark.readStream.schema(u1.withColumn("__day", F.lit(1)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def rows(df):
+        return sorted(
+            (
+                r["c_custkey"], r["c_mktsegment"], r["c_acctbal"],
+                r["effective_from"], r["effective_to"], r["is_current"],
+            )
+            for r in df.collect()
+        )
+
+    got = rows(spark.read.parquet(state_path))
+    assert got == rows(expect)
+    # the overlap replay was a true no-op: no zero-length same-day
+    # versions were introduced for unchanged rows
+    assert len(got) == len(set(got))
