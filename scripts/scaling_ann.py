@@ -153,6 +153,67 @@ def run_surface(spark, emb, tag: str, work: str) -> dict:
         ).write.format("noop").mode("overwrite").save()
 
     _, res["pq_topk_sec"] = timed(pq)
+
+    # --- hash-graded catalog paths (r10): the driver grades the SEEDED
+    # variants (centroids= / books= from the lowest-id unit vectors) and
+    # the multi-probe LSH parameter — measure exactly those, with recall
+    # against brute force, so the scale evidence matches what is graded.
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ann_recall_summary,
+        cosine_topk_bruteforce,
+        hyperplane_lsh_topk,
+    )
+    from sahithi_metamorph_etl_spark.queries.llm_q import _seed_unit_vectors
+
+    qf = F.col("vec_id") < 100
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+
+    def recall_of(ann) -> float:
+        return float(
+            ann_recall_summary(exact, ann, recall_floor=0.0).collect()[0]["recall"]
+        )
+
+    sidx = os.path.join(work, f"ivf_seed_{tag}")
+
+    def seeded_build():
+        ivf_build_index(emb, sidx, n_lists=16, centroids=_seed_unit_vectors(emb, 16))
+
+    _, res["ivf_seeded_build_sec"] = timed(seeded_build)
+
+    def seeded_search():
+        out = ivf_search(spark, sidx, emb.filter(qf), k=5, n_probe=4)
+        out.write.format("noop").mode("overwrite").save()
+
+    _, res["ivf_seeded_search_sec"] = timed(seeded_search)
+    res["ivf_seeded_recall"] = recall_of(
+        ivf_search(spark, sidx, emb.filter(qf), k=5, n_probe=4)
+    )
+
+    u = _seed_unit_vectors(emb, 32)
+    books = [u[:, j * 8:(j + 1) * 8] for j in range(8)]
+
+    def seeded_pq():
+        pq_topk(
+            emb, k=5, ksub=32, rerank=128, query_filter=qf, books=books
+        ).write.format("noop").mode("overwrite").save()
+
+    _, res["pq_seeded_sec"] = timed(seeded_pq)
+    res["pq_seeded_recall"] = recall_of(
+        pq_topk(emb, k=5, ksub=32, rerank=128, query_filter=qf, books=books)
+    )
+
+    for n_probes in (1, 3):
+        def mp():
+            hyperplane_lsh_topk(
+                emb, k=5, n_planes=4, query_filter=qf, n_probes=n_probes
+            ).write.format("noop").mode("overwrite").save()
+
+        _, res[f"lsh_topk_p{n_probes}_sec"] = timed(mp)
+        res[f"lsh_topk_p{n_probes}_recall"] = recall_of(
+            hyperplane_lsh_topk(
+                emb, k=5, n_planes=4, query_filter=qf, n_probes=n_probes
+            )
+        )
     return res
 
 
