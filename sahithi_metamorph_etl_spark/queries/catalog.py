@@ -164,8 +164,11 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule 2: never externally checked (born in the final r9 commit)
-    "customer_scd2_chain",
+    # rule 2: never externally checked (customer_scd2_chain born in
+    # the final r9 commit; emb_lsh_mp_topk born r10 — the multi-probe
+    # LSH entry, taking corpus_vocabulary's filler slot, whose
+    # vocab/tf-idf family stays represented by doc_rarity_score)
+    "customer_scd2_chain", "emb_lsh_mp_topk",
     # rule-3 must-returns (out-streak 2 after r9)
     "customers_without_orders", "customers_with_orders",
     "orders_price_histogram", "sketch_price_percentiles",
@@ -185,7 +188,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q3_shipping_priority", "lineitem_heavy_hitters",
     "doc_bpe_tokenize", "doc_quality_score", "doc_decontaminate",
     "doc_dedup_clusters", "doc_minhash_lsh_pairs", "emb_centroid_knn",
-    "corpus_vocabulary", "multimodal_png_roundtrip",
+    "multimodal_png_roundtrip",
     "events_sessionization",
 )
 

@@ -931,6 +931,59 @@ ann AS (SELECT vec_id, neighbor_id FROM (
     FROM ann_scored) WHERE rnk <= 5)"""
 
 
+def _lsh_mp_ann_ctes(n_planes: int = 4, dim: int = 64, n_probes: int = 2) -> str:
+    """Multi-probe LSH replayed in SQL: per-plane ROUNDED dots as
+    columns, each query's flip set = the (n_probes - 1) planes with the
+    smallest (|rounded dot|, idx) — the same lexicographic order
+    hyperplane_lsh_topk's sort_array((m, idx)) uses — and each flipped
+    bucket rebuilt with that one bit inverted. Corpus vectors live in
+    exactly one bucket and probe signatures are distinct, so the
+    probe-join produces each candidate pair at most once, like the
+    Spark side."""
+    planes = _lsh_plane_literals(n_planes, dim)
+    rds = ", ".join(
+        f"{o_round(f'list_dot_product(e, {p})', 8)} AS rd{i}"
+        for i, p in enumerate(planes)
+    )
+    bit = lambda i: f"(CASE WHEN rd{i} >= 0 THEN '1' ELSE '0' END)"  # noqa: E731
+    flipped_bit = lambda i: (  # noqa: E731
+        f"(CASE WHEN f.idx = {i} THEN (CASE WHEN rd{i} >= 0 THEN '0' ELSE '1' END) "
+        f"ELSE {bit(i)} END)"
+    )
+    own_bucket = " || ".join(bit(i) for i in range(n_planes))
+    flip_bucket = " || ".join(flipped_bit(i) for i in range(n_planes))
+    margins = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS idx, abs(rd{i}) AS m FROM qd"
+        for i in range(n_planes)
+    )
+    cos = ("list_dot_product(qv.e, cb.e) / "
+           "(sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cb.e, cb.e)))")
+    return f"""bd AS (SELECT vec_id, e, {rds} FROM v),
+b AS (SELECT vec_id, e, {own_bucket} AS bucket, {', '.join(f'rd{i}' for i in range(n_planes))} FROM bd),
+qd AS (SELECT * FROM b WHERE vec_id < 100),
+qmargin AS ({margins}),
+flips AS (SELECT vec_id, idx FROM (
+    SELECT vec_id, idx,
+           row_number() OVER (PARTITION BY vec_id ORDER BY m, idx) AS rnk
+    FROM qmargin) WHERE rnk <= {n_probes - 1}),
+qprobes AS (
+    SELECT vec_id, bucket FROM qd
+    UNION ALL
+    SELECT qd.vec_id, {flip_bucket} AS bucket
+    FROM qd JOIN flips f ON f.vec_id = qd.vec_id),
+ann_scored AS (
+    SELECT qp.vec_id, cb.vec_id AS neighbor_id,
+           {o_round(cos, 8)} AS cos_sim
+    FROM qprobes qp
+    JOIN v qv ON qv.vec_id = qp.vec_id
+    JOIN b cb ON cb.bucket = qp.bucket AND cb.vec_id <> qp.vec_id),
+ann AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM ann_scored) WHERE rnk <= 5)"""
+
+
 _IVF_ANN_CTES = f"""cents AS (SELECT CAST(rn - 1 AS INT) AS list_id, u AS c FROM (
     SELECT u, row_number() OVER (ORDER BY vec_id) AS rn FROM n) WHERE rn <= 16),
 assign AS (SELECT vec_id, list_id FROM (
@@ -984,6 +1037,24 @@ def emb_lsh_ann_topk(spark, sf_dir):
     # plane agreement); clustered real embeddings bucket far better.
     ann = hyperplane_lsh_topk(emb, k=5, n_planes=4, query_filter=F.col("vec_id") < 100)
     return ann_recall_summary(exact, ann, recall_floor=0.06)
+
+
+@register("emb_lsh_mp_topk", oracle=_ann_summary_sql(_lsh_mp_ann_ctes(), 0.12),
+          doc="MULTI-PROBE hyperplane-LSH approximate top-5 (r10): each query also "
+              "scans its closest-margin flip-one-bit neighbor bucket (n_probes=2), "
+              "roughly doubling single-bucket recall (measured 0.134 -> 0.244 at "
+              "sf0.01, 0.128 -> 0.238 at sf0.001) for ~2x candidates — ONE "
+              "deterministic recall summary row. HASH-GRADE: the oracle re-derives "
+              "the planes, every bucket bit, the (|rounded dot|, idx) flip choice, "
+              "the flipped signature, the probed in-bucket top-5 AND the exact twin "
+              "entirely in DuckDB. emb_lsh_ann_topk stays the single-probe baseline")
+def emb_lsh_mp_topk(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+    ann = hyperplane_lsh_topk(
+        emb, k=5, n_planes=4, query_filter=F.col("vec_id") < 100, n_probes=2
+    )
+    return ann_recall_summary(exact, ann, recall_floor=0.12)
 
 
 @register("emb_ivf_topk", oracle=_ann_summary_sql(_IVF_ANN_CTES, 0.2),
