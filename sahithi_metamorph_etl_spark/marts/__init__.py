@@ -7,7 +7,10 @@ import datetime as _dt
 RUN_DATE = _dt.date(2026, 1, 1)
 
 from .adapters import tpch_entities, ORACLE_ENTITY_CTES  # noqa: E402
-from .supplier_performance import build_supplier_performance  # noqa: E402
+from .supplier_performance import (  # noqa: E402
+    build_supplier_performance,
+    build_top_selling_products,
+)
 from .product_performance import build_product_performance  # noqa: E402
 from .customer_sales_report import build_customer_sales_report  # noqa: E402
 
@@ -16,6 +19,7 @@ __all__ = [
     "tpch_entities",
     "ORACLE_ENTITY_CTES",
     "build_supplier_performance",
+    "build_top_selling_products",
     "build_product_performance",
     "build_customer_sales_report",
 ]

@@ -140,12 +140,13 @@ def _load() -> None:
 # doc_simhash, emb_cosine_near_dup, doc_rarity_score,
 # multimodal_audio_stats, multimodal_gif_frames,
 # events_sliding_window, events_stream_funnel), customer_scd2_chain
-# (rule 2 — the only never-externally-checked entry), and 20
-# streak-1 fillers chosen one-per-family, preferring entries whose
-# code paths this round touches (doc_bpe_tokenize for the BPE batch
+# (rule 2 — the only never-externally-checked r9 entry), the
+# r10-born emb_lsh_mp_topk (rule 2), and 19 streak-1 fillers chosen
+# one-per-family, preferring entries whose code paths this round
+# touches (doc_bpe_tokenize for the BPE batch
 # retune; the SCD2 merge/asof siblings next to the chain's first
 # external row). OUT = the r9-green entries (fresh history, streak 1)
-# and 17 unchosen streak-1 holdovers that become r11 must-returns;
+# and 18 unchosen streak-1 holdovers that become r11 must-returns;
 # each leaves a same-family representative in the 50 (relational via
 # without/with-orders + histogram + expectations + Q3 + heavy-hitters;
 # sketches via price-percentiles; text via repetition/rarity/quality/
