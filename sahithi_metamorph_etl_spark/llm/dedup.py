@@ -109,15 +109,16 @@ def jaccard_pairs(
     internally consistent; pairs connected ONLY by boilerplate no
     longer surface (that is the point).
 
-    The index carries xxhash64 SHINGLE HASHES, not strings (r10): the
-    distinct and every downstream shuffle (persist, self-join, pair
-    count) move 8-byte longs instead of ~20-30-byte n-gram strings —
-    ~3× fewer index-side shuffle bytes, which is what matters when the
-    index is corpus-sized; at sf0.1 local wall time is FLAT (the pair
-    fan-out, not shuffle payload, dominates there — measured A/B
-    1.75 s vs 1.79 s). The hash is a SCALAR projection after the
-    explode: hashing before the explode — or any HOF chain under a
-    Generate — re-evaluates the whole array expression per emitted
+    The index carries xxhash64 SHINGLE HASHES, not strings (r10):
+    fixed-width long keys make the distinct/self-join hash and compare
+    cheap and the join state compact, uniform with the minhash path.
+    Measured honestly at sf0.1: wall time FLAT (A/B 1.75 vs 1.79 s)
+    and total shuffle bytes only −8% (18.4 → 17.0 MB) — n-gram
+    strings LZ4-compress well and the pair-count shuffle (longs in
+    both forms) dominates — so this is a key-width/CPU cleanup, not a
+    bandwidth win. Implementation note: the hash must be a SCALAR
+    projection after the explode — hashing inside an HOF chain under
+    the Generate re-evaluates the whole array expression per emitted
     row (measured 6 s vs 0.5 s for the index build). Set counts are
     exact up to 64-bit hash collisions (p ≈ |shingles|²·2⁻⁶⁵ — ~2e-9
     at a million distinct shingles; the same trade minhash_lsh_pairs

@@ -308,3 +308,38 @@ def test_upsert_legacy_preserves_schema_evolution(spark, sf_dir, tmp_path):
     assert back.count() == 10
     assert back.filter(F.col("o_note") == "merged").count() == 2
     assert back.filter(F.col("o_channel") == "web").count() == 5
+
+
+def test_top_selling_products_matches_full_mart_derivation(spark, sf_dir):
+    """build_top_selling_products (the r10 trimmed path the customer
+    mart composes) must produce EXACTLY the distinct non-null
+    TOP_SELLING_PRODUCT set of the full supplier mart — the claim its
+    docstring makes and the CSR oracle implicitly hash-checks."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.marts import tpch_entities
+    from sahithi_metamorph_etl_spark.marts.supplier_performance import (
+        build_supplier_performance,
+        build_top_selling_products,
+    )
+
+    e = tpch_entities(spark, sf_dir)
+    full = sorted(
+        r[0]
+        for r in build_supplier_performance(
+            e["sales"], e["products"], e["suppliers"], dt.date(2026, 1, 1)
+        )
+        .select("TOP_SELLING_PRODUCT")
+        .where(F.col("TOP_SELLING_PRODUCT").isNotNull())
+        .distinct()
+        .collect()
+    )
+    trimmed = sorted(
+        r[0]
+        for r in build_top_selling_products(
+            e["sales"], e["products"], e["suppliers"]
+        ).collect()
+    )
+    assert trimmed == full and len(full) > 0
