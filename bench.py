@@ -92,10 +92,12 @@ HEADLINE = [
     "customer_scd2_asof",
     "recon_bucketed_zero_shuffle",
     "events_cumulative_new_users",
-    # round-9/10: the 3-day SCD2 chain + multi-probe LSH (kept AFTER
-    # the stable prefix for cross-round comparability)
+    # round-9/10: the 3-day SCD2 chain, multi-probe LSH, and the
+    # bigram-LM quality scorer (kept AFTER the stable prefix for
+    # cross-round comparability)
     "customer_scd2_chain",
     "emb_lsh_mp_topk",
+    "doc_bigram_logprob",
 ]
 
 

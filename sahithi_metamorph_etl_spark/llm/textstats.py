@@ -385,3 +385,83 @@ def rarity_score(
         ),
         dround(F.max("__term"), out_scale).alias("max_rarity"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    term_scale: int = 4,
+) -> DataFrame:
+    """Per-document add-k-smoothed bigram language-model score — the
+    KenLM-style statistical quality filter (corpora are routinely
+    pruned by n-gram LM perplexity before training; the heuristic
+    ``quality_score`` ratios catch formatting junk, this catches
+    IMPROBABLE text): train bigram/context counts on the corpus itself,
+    then score each document by its mean log2 P(w2 | w1) and the
+    equivalent per-token perplexity.
+
+    Returns (id_col, n_bigrams, avg_logprob, perplexity) for documents
+    with >= 2 tokens (one row per scoreable doc; shorter docs have no
+    bigram evidence and are excluded by contract, like apply_bpe's
+    empty-doc rule).
+
+    Determinism (oracle hash-grade): log2 on the same double can differ
+    by an ulp between engines, so each bigram's logprob rounds
+    half-away at ``term_scale`` INTO A SCALED BIGINT, the per-doc sum
+    is exact integer addition (order-independent under any shuffle),
+    and only the final mean/perplexity round back to doubles — the
+    functions.money pattern applied to log space.
+
+    Scale shape: tokenize/bigram entirely in JVM codegen; one
+    corpus-sized shuffle for the bigram-count aggregate (map-side
+    combined), one for the context counts, the occurrence⋈counts joins
+    are unique-bigram-sized on the build side (AQE broadcasts when
+    small), and the final per-doc aggregate re-shuffles occurrences
+    once. No window, no Python, no driver action."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        ).alias("w"),
+    )
+    w = F.col("w")
+    pairs = toks.filter(F.size(w) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(w, 1, F.size(w) - 1).alias("w1"),
+                F.slice(w, 2, F.size(w) - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    context_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab_size = toks.select(F.explode(w).alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+
+    lp = F.log2(
+        (F.col("__c12") + F.lit(float(k)))
+        / (F.col("__c1") + F.lit(float(k)) * F.col("__v"))
+    )
+    sf = float(10**term_scale)
+    lp_scaled = (F.signum(lp) * F.floor(F.abs(lp) * sf + F.lit(0.5))).cast("bigint")
+
+    scored = (
+        pairs.join(bigram_counts, ["w1", "w2"])
+        .join(context_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab_size))
+        .select(F.col(id_col), lp_scaled.alias("__lps"))
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_bigrams"),
+        dround(F.sum("__lps") / n / F.lit(sf), term_scale).alias("avg_logprob"),
+        dround(
+            F.pow(F.lit(2.0), -(F.sum("__lps") / n / F.lit(sf))), term_scale
+        ).alias("perplexity"),
+    )

@@ -166,10 +166,12 @@ _PRIORITY: tuple[str, ...] = (
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
     # rule 2: never externally checked (customer_scd2_chain born in
-    # the final r9 commit; emb_lsh_mp_topk born r10 — the multi-probe
-    # LSH entry, taking corpus_vocabulary's filler slot, whose
-    # vocab/tf-idf family stays represented by doc_rarity_score)
-    "customer_scd2_chain", "emb_lsh_mp_topk",
+    # the final r9 commit; emb_lsh_mp_topk and doc_bigram_logprob born
+    # r10 — they take corpus_vocabulary's and doc_quality_score's
+    # filler slots; vocab/tf-idf stays represented by doc_rarity_score
+    # and the quality family by the LM scorer itself, its statistical
+    # upgrade)
+    "customer_scd2_chain", "emb_lsh_mp_topk", "doc_bigram_logprob",
     # rule-3 must-returns (out-streak 2 after r9)
     "customers_without_orders", "customers_with_orders",
     "orders_price_histogram", "sketch_price_percentiles",
@@ -187,7 +189,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_tiers_percent_rank", "part_price_band_range_join",
     "customer_scd2_merge", "customer_scd2_asof",
     "tpch_q3_shipping_priority", "lineitem_heavy_hitters",
-    "doc_bpe_tokenize", "doc_quality_score", "doc_decontaminate",
+    "doc_bpe_tokenize", "doc_decontaminate",
     "doc_dedup_clusters", "doc_minhash_lsh_pairs", "emb_centroid_knn",
     "multimodal_png_roundtrip",
     "events_sessionization",

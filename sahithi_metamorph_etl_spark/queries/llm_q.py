@@ -140,6 +140,57 @@ def doc_quality_score(spark, sf_dir):
     return quality_score(read_testdata(spark, sf_dir, "documents"))
 
 
+_BIGRAM_LP_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, unnest(range(1, len(w))) AS i, w
+    FROM toks WHERE len(w) >= 2
+),
+bo AS (
+    SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2 FROM bi
+),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM bo GROUP BY 1, 2),
+cc AS (SELECT w1, count(*) AS c1 FROM bo GROUP BY 1),
+vv AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM toks)),
+scored AS (
+    SELECT bo.doc_id,
+           CAST(sign(lp) * floor(abs(lp) * 10000.0 + 0.5) AS BIGINT) AS lps
+    FROM (SELECT bo.doc_id,
+                 log2((bc.c12 + 0.5) / (cc.c1 + 0.5 * vv.v)) AS lp
+          FROM bo JOIN bc ON bc.w1 = bo.w1 AND bc.w2 = bo.w2
+                  JOIN cc ON cc.w1 = bo.w1
+                  CROSS JOIN vv) bo
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bigrams,
+       (sign(a) * floor(abs(a) * 10000.0 + 0.5) / 10000.0) AS avg_logprob,
+       (sign(p) * floor(abs(p) * 10000.0 + 0.5) / 10000.0) AS perplexity
+FROM (SELECT doc_id, count(*) AS n,
+             (CAST(sum(lps) AS DOUBLE) / count(*)) / 10000.0 AS a,
+             pow(2.0, -((CAST(sum(lps) AS DOUBLE) / count(*)) / 10000.0)) AS p
+      FROM scored GROUP BY doc_id) s
+"""
+
+
+@register("doc_bigram_logprob", oracle=_BIGRAM_LP_ORACLE,
+          doc="Add-k bigram language-model score per document (KenLM-style "
+              "statistical quality filter): mean log2 P(w2|w1) + per-token "
+              "perplexity, counts trained on the corpus itself. Per-bigram "
+              "logprobs round into scaled BIGINTs and sum exactly, so the "
+              "mean is shuffle-order-independent and the oracle replays it "
+              "bit-for-bit; docs with < 2 tokens have no bigram evidence and "
+              "are excluded by contract")
+def doc_bigram_logprob(spark, sf_dir):
+    from ..llm.textstats import bigram_logprob
+
+    return bigram_logprob(read_testdata(spark, sf_dir, "documents"))
+
+
 _BPE_ORACLE = f"""
 WITH base AS (
     SELECT doc_id,

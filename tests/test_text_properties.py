@@ -426,3 +426,65 @@ def test_select_merge_batch_merged_name_collision_regression():
         key=lambda t: (-t[2], t[0], t[1]),
     )
     assert _select_merge_batch(snap, None, 3, known) == [("a", "bc", 100)]
+
+
+def test_bigram_logprob_model_properties(spark):
+    """The bigram LM scorer must (a) match an exact Python model of the
+    same add-k/rounded-integer arithmetic, (b) be invariant under
+    repartitioning (the scaled-bigint sum is order-independent), and
+    (c) rank a document made of the corpus's dominant bigram above one
+    of never-repeated bigrams."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.textstats import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat again"),
+        (3, "zig zag quux blorp fizz"),
+        (4, "the cat the cat the cat"),
+        (5, "solo"),          # 1 token -> excluded
+        (6, None),            # null -> excluded
+        (7, "   "),           # whitespace only -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # python model: same tokenization, counts, add-k, per-bigram 4dp
+    # scaled-int rounding, exact integer sum
+    toks = {i: (t or "").split() for i, t in rows}
+    pairs = {i: list(zip(w, w[1:])) for i, w in toks.items() if len(w) >= 2}
+    allp = [p for ps in pairs.values() for p in ps]
+    c12 = {}
+    c1 = {}
+    for a, b in allp:
+        c12[(a, b)] = c12.get((a, b), 0) + 1
+        c1[a] = c1.get(a, 0) + 1
+    v = len({t for w in toks.values() for t in w})
+    for i, ps in pairs.items():
+        lps = 0
+        for a, b in ps:
+            lp = math.log2((c12[(a, b)] + 0.5) / (c1[a] + 0.5 * v))
+            lps += int(math.copysign(math.floor(abs(lp) * 1e4 + 0.5), lp))
+        n = len(ps)
+        avg = (lps / n) / 1e4
+        # the engine rounds half-AWAY (dround), not python's round()
+        avg_r = math.copysign(math.floor(abs(avg) * 1e4 + 0.5), avg) / 1e4
+        r = out[i]
+        assert r["n_bigrams"] == n
+        assert abs(r["avg_logprob"] - avg_r) < 1e-12, (i, r, avg)
+    # the repeated dominant bigram scores above the all-unique doc
+    assert out[4]["avg_logprob"] > out[3]["avg_logprob"]
+    assert out[4]["perplexity"] < out[3]["perplexity"]
+
+    # partition-layout invariance
+    re = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in bigram_logprob(docs.repartition(7, F.col("doc_id"))).collect()
+    }
+    assert re == {
+        i: (r["n_bigrams"], r["avg_logprob"], r["perplexity"]) for i, r in out.items()
+    }
