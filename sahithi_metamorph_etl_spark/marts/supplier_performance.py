@@ -9,16 +9,18 @@ supplier dimension → null defaults → final projection.
 
 Deliberate deviations (documented per SURVEY.md §7 "what's hard"):
 - run_date is a parameter (reference: in-plan current_date()).
-- the top-product window orders by round(revenue, 2) DESC with
+- the top-product choice orders by round(revenue, 2) DESC with
   PRODUCT_ID ASC as tie-breaker — the reference orders by raw revenue
   only (`m_supplier_performance_task.py:144-146`), which is
-  nondeterministic under ties and under float summation order.
+  nondeterministic under ties and under float summation order. Since
+  r10 that ordering is computed as a min(struct) aggregate riding
+  inside the supplier-level re-agg (_top_expr), not a ranking window.
 
 Scale notes (100 TB): sales is the fact side; products and suppliers are
 dimensions and are explicitly broadcast — the fact table is shuffled
 exactly once, for the (SUPPLIER_ID, PRODUCT_ID) aggregation; the
-supplier-level re-agg and the ranking window both reuse that already
-small product-level aggregate.
+supplier-level re-agg (which carries the top product) reuses that
+already small product-level aggregate, and nothing is persisted.
 """
 
 from __future__ import annotations
