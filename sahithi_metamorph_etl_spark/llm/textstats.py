@@ -387,39 +387,54 @@ def rarity_score(
     )
 
 
-def bigram_logprob(
+def ngram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n: int = 2,
     k: float = 0.5,
     term_scale: int = 4,
 ) -> DataFrame:
-    """Per-document add-k-smoothed bigram language-model score — the
-    KenLM-style statistical quality filter (corpora are routinely
+    """Per-document add-k-smoothed order-``n`` language-model score —
+    the KenLM-style statistical quality filter (corpora are routinely
     pruned by n-gram LM perplexity before training; the heuristic
     ``quality_score`` ratios catch formatting junk, this catches
-    IMPROBABLE text): train bigram/context counts on the corpus itself,
-    then score each document by its mean log2 P(w2 | w1) and the
-    equivalent per-token perplexity.
+    IMPROBABLE text): train n-gram/context counts on the corpus
+    itself, then score each document by its mean
+    log2 P(w_n | w_1..w_{n-1}) and the equivalent per-token
+    perplexity. Plain add-k at a single order — no backoff (an
+    unobserved-context doc can't occur here because counts are trained
+    on the scored corpus itself).
 
     Returns (id_col, n_bigrams, avg_logprob, perplexity) for documents
-    with >= 2 tokens (one row per scoreable doc; shorter docs have no
-    bigram evidence and are excluded by contract, like apply_bpe's
-    empty-doc rule).
+    with >= n tokens (one row per scoreable doc; shorter docs have no
+    n-gram evidence and are excluded by contract, like apply_bpe's
+    empty-doc rule; the count column keeps its ``n_bigrams`` name at
+    every order for schema stability).
 
     Determinism (oracle hash-grade): log2 on the same double can differ
-    by an ulp between engines, so each bigram's logprob rounds
+    by an ulp between engines, so each n-gram's logprob rounds
     half-away at ``term_scale`` INTO A SCALED BIGINT, the per-doc sum
     is exact integer addition (order-independent under any shuffle),
     and only the final mean/perplexity round back to doubles — the
-    functions.money pattern applied to log space.
+    functions.money pattern applied to log space. Contexts join as the
+    space-joined token prefix (unambiguous: tokens contain no
+    whitespace).
 
-    Scale shape: tokenize/bigram entirely in JVM codegen; one
-    corpus-sized shuffle for the bigram-count aggregate (map-side
-    combined), one for the context counts, the occurrence⋈counts joins
-    are unique-bigram-sized on the build side (AQE broadcasts when
-    small), and the final per-doc aggregate re-shuffles occurrences
-    once. No window, no Python, no driver action."""
+    Scale shape: tokenize/n-gram entirely in JVM codegen. The explode's
+    child is an ``arrays_zip`` of n plain SLICES of the token array and
+    the context string is assembled by a scalar ``concat_ws`` AFTER the
+    explode — building gram structs with a ``transform`` +
+    ``element_at`` lambda under the Generate instead re-evaluates the
+    whole chain per emitted row (measured 11 s vs 1.4 s at sf0.1, the
+    same trap jaccard_pairs documents). One corpus-sized shuffle for
+    the n-gram-count aggregate (map-side combined), one for the
+    context counts, the occurrence⋈counts joins are unique-gram-sized
+    on the build side (AQE broadcasts when small), and the final
+    per-doc aggregate re-shuffles occurrences once. No window, no
+    Python, no driver action."""
+    if n < 2:
+        raise ValueError(f"ngram_logprob needs n >= 2 (got {n}): order-1 has no context")
     toks = df.select(
         F.col(id_col),
         F.filter(
@@ -428,15 +443,18 @@ def bigram_logprob(
         ).alias("w"),
     )
     w = F.col("w")
-    pairs = toks.filter(F.size(w) >= 2).select(
+    span = F.size(w) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(w, j + 1, span).alias(f"c{j}") for j in range(n - 1)],
+        F.slice(w, n, span).alias("t"),
+    )
+    pairs = toks.filter(F.size(w) >= n).select(
+        F.col(id_col), F.explode(zipped).alias("p")
+    ).select(
         F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice(w, 1, F.size(w) - 1).alias("w1"),
-                F.slice(w, 2, F.size(w) - 1).alias("w2"),
-            )
-        ).alias("p"),
-    ).select(F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        F.concat_ws(" ", *[F.col(f"p.c{j}") for j in range(n - 1)]).alias("w1"),
+        F.col("p.t").alias("w2"),
+    )
 
     bigram_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     context_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
@@ -457,11 +475,22 @@ def bigram_logprob(
         .crossJoin(F.broadcast(vocab_size))
         .select(F.col(id_col), lp_scaled.alias("__lps"))
     )
-    n = F.count(F.lit(1))
+    cnt = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
-        n.cast("bigint").alias("n_bigrams"),
-        dround(F.sum("__lps") / n / F.lit(sf), term_scale).alias("avg_logprob"),
+        cnt.cast("bigint").alias("n_bigrams"),
+        dround(F.sum("__lps") / cnt / F.lit(sf), term_scale).alias("avg_logprob"),
         dround(
-            F.pow(F.lit(2.0), -(F.sum("__lps") / n / F.lit(sf))), term_scale
+            F.pow(F.lit(2.0), -(F.sum("__lps") / cnt / F.lit(sf))), term_scale
         ).alias("perplexity"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    term_scale: int = 4,
+) -> DataFrame:
+    """Order-2 :func:`ngram_logprob` — the catalog's hash-graded form."""
+    return ngram_logprob(df, text_col, id_col, n=2, k=k, term_scale=term_scale)

@@ -488,3 +488,33 @@ def test_bigram_logprob_model_properties(spark):
     assert re == {
         i: (r["n_bigrams"], r["avg_logprob"], r["perplexity"]) for i, r in out.items()
     }
+
+    # the order-n generalization: trigram vs the same python model
+    from sahithi_metamorph_etl_spark.llm.textstats import ngram_logprob
+
+    out3 = {r["doc_id"]: r for r in ngram_logprob(docs, n=3).collect()}
+    tris = {
+        i: list(zip(w, w[1:], w[2:])) for i, w in toks.items() if len(w) >= 3
+    }
+    assert set(out3) == set(tris)
+    all3 = [t for ts in tris.values() for t in ts]
+    c123 = {}
+    cctx = {}
+    for a, b, c in all3:
+        c123[(a, b, c)] = c123.get((a, b, c), 0) + 1
+        cctx[(a, b)] = cctx.get((a, b), 0) + 1
+    for i, ts in tris.items():
+        lps = 0
+        for a, b, c in ts:
+            lp = math.log2((c123[(a, b, c)] + 0.5) / (cctx[(a, b)] + 0.5 * v))
+            lps += int(math.copysign(math.floor(abs(lp) * 1e4 + 0.5), lp))
+        n3 = len(ts)
+        avg = (lps / n3) / 1e4
+        avg_r = math.copysign(math.floor(abs(avg) * 1e4 + 0.5), avg) / 1e4
+        assert out3[i]["n_bigrams"] == n3
+        assert abs(out3[i]["avg_logprob"] - avg_r) < 1e-12, (i, out3[i], avg)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_logprob(docs, n=1)
