@@ -110,19 +110,39 @@ def jaccard_pairs(
     longer surface (that is the point).
 
     The index carries xxhash64 SHINGLE HASHES, not strings (r10):
-    fixed-width long keys make the distinct/self-join hash and compare
-    cheap and the join state compact, uniform with the minhash path.
-    Measured honestly at sf0.1: wall time FLAT (A/B 1.75 vs 1.79 s)
-    and total shuffle bytes only −8% (18.4 → 17.0 MB) — n-gram
-    strings LZ4-compress well and the pair-count shuffle (longs in
-    both forms) dominates — so this is a key-width/CPU cleanup, not a
-    bandwidth win. Implementation note: the hash must be a SCALAR
-    projection after the explode — hashing inside an HOF chain under
-    the Generate re-evaluates the whole array expression per emitted
-    row (measured 6 s vs 0.5 s for the index build). Set counts are
-    exact up to 64-bit hash collisions (p ≈ |shingles|²·2⁻⁶⁵ — ~2e-9
-    at a million distinct shingles; the same trade minhash_lsh_pairs
-    already makes).
+    fixed-width long keys make the join hash and compare cheap and
+    the join state compact, uniform with the minhash path; set counts
+    are exact up to 64-bit hash collisions (p ≈ |shingles|²·2⁻⁶⁵ —
+    ~2e-9 at a million distinct shingles; the same trade
+    minhash_lsh_pairs already makes). Implementation note: the hash
+    must be a SCALAR projection after the explode — hashing inside an
+    HOF chain under the Generate re-evaluates the whole array
+    expression per emitted row (measured 6 s vs 0.5 s for the index
+    build).
+
+    PREFIX FILTERING (r10, the AllPairs/PPJoin principle — Bayardo et
+    al. WWW'07, Xiao et al. VLDB'08): a qualifying pair at Jaccard >= t
+    needs overlap c >= ceil(t*|A|) and >= ceil(t*|B|), and under ANY
+    shared total order the SMALLEST common element must sit inside
+    both docs' first |X| - ceil(t*|X|) + 1 elements (if all c common
+    elements sat behind that prefix, fewer than c positions would
+    remain — pigeonhole). So the candidate self-join runs on the
+    rare-first-ordered PREFIX index only — at t=0.8 that is ~20% of
+    the index, shrinking the freq² join fan-out ~25× — and candidates
+    verify EXACTLY via array_intersect on the full per-doc hash
+    arrays. Output is bit-identical to the naive all-pairs form
+    (pinned in tests + the same DuckDB oracle); the float ceil
+    carries a -1e-9 epsilon so a representation error can only ever
+    LENGTHEN a prefix, never unsoundly shorten it. The
+    ``max_shingle_freq`` cap drops hot shingles before ordering,
+    using the same frequency table the canonical order needs anyway.
+
+    ADAPTIVE: prefix filtering pays only when prefixes are short —
+    measured at sf0.1 it is 25% faster at t=0.8 but ~30% SLOWER at
+    t<=0.5 (long prefixes prune little and the array-verify join
+    costs more than the count-based verify). Below ``t=0.6`` the
+    operator therefore runs the naive inverted-index form; both
+    regimes are equality-pinned against each other in tests.
     """
     words = df.select(
         F.col(id_col),
@@ -143,20 +163,64 @@ def jaccard_pairs(
         .select(F.col(id_col), F.xxhash64("__s").alias("shingle"))
         .distinct()
     )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
     if max_shingle_freq is not None:
         if max_shingle_freq < 2:
             raise ValueError(
                 f"max_shingle_freq must be >= 2 (got {max_shingle_freq}): below 2 no "
                 "shingle can connect any pair and the output is empty"
             )
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__freq"))
-            .filter(F.col("__freq") > max_shingle_freq)
-            .select("shingle")
+        freq = freq.filter(F.col("__freq") <= max_shingle_freq)
+
+    if threshold < 0.6:
+        # long-prefix regime: pruning is weak, run the naive form
+        # (hot-cap applied through the same frequency table)
+        if max_shingle_freq is not None:
+            sh = sh.join(freq.select("shingle"), "shingle")
+        return _jaccard_from_shingles(sh, id_col, threshold)
+    # per-doc hash arrays in the canonical rare-first (freq, hash)
+    # order; the inner join doubles as the hot-shingle cap filter
+    arr = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__freq", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("__hs")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    return _jaccard_from_shingles(sh, id_col, threshold)
+        .withColumn("__n", F.size("__hs"))
+    )
+    # prefix = first n - ceil(t*n) + 1 elements (the epsilon guards
+    # the integer boundary of the float product: errors can only
+    # lengthen the prefix)
+    plen = (
+        F.col("__n")
+        - F.ceil(F.lit(float(threshold)) * F.col("__n") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pidx = arr.select(
+        F.col(id_col), F.explode(F.slice("__hs", 1, plen)).alias("shingle")
+    )
+    cand = (
+        pidx.select(F.col(id_col).alias("doc_a"), "shingle")
+        .join(pidx.select(F.col(id_col).alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = arr.select(F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha"),
+                   F.col("__n").alias("__na"))
+    b = arr.select(F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb"),
+                   F.col("__n").alias("__nb"))
+    common = F.size(F.array_intersect("__ha", "__hb"))
+    jac = common * 1.0 / (F.col("__na") + F.col("__nb") - common)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:

@@ -2099,3 +2099,80 @@ def test_global_rank_cache_release_drops_pinned_storage(spark):
     assert n_persistent() > base
     rel2.release()
     assert n_persistent() == base
+
+
+def test_jaccard_prefix_filter_equals_naive_all_pairs(spark, sf_dir):
+    """The prefix-filtered jaccard_pairs (AllPairs/PPJoin candidate
+    pruning + exact array_intersect verify) must produce EXACTLY the
+    naive inverted-index all-pairs result — same pairs, same scores —
+    at several thresholds, on the real corpus and on an adversarial
+    synthetic one (integer-boundary prefix lengths, ties in shingle
+    frequency, capped variant)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        _jaccard_from_shingles,
+        jaccard_pairs,
+    )
+
+    def naive(docs, threshold, cap=None):
+        words = docs.select(
+            F.col("doc_id"),
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w"),
+        )
+        w = F.col("w")
+        grams = F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(3)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = (
+            words.select(F.col("doc_id"), F.explode(grams).alias("__s"))
+            .select(F.col("doc_id"), F.xxhash64("__s").alias("shingle"))
+            .distinct()
+        )
+        if cap is not None:
+            hot = (
+                sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+                .filter(F.col("__f") > cap).select("shingle")
+            )
+            sh = sh.join(hot, "shingle", "left_anti")
+        return _jaccard_from_shingles(sh, "doc_id", threshold)
+
+    def as_set(df):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in df.collect()
+        }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.5, 0.8):
+        assert as_set(jaccard_pairs(docs, threshold=t)) == as_set(naive(docs, t)), t
+
+    # adversarial synthetic corpus: shared blocks with varying overlap
+    # so prefix lengths hit integer boundaries (t*n integral), plus
+    # duplicate docs and frequency ties
+    rng = random.Random(99)
+    base = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        k = rng.randint(3, 20)
+        start = rng.randint(0, 9)
+        toks = base[start:start + k]
+        if rng.random() < 0.3:
+            toks = toks + [f"u{i}"]  # unique tail
+        rows.append((i, " ".join(toks)))
+    rows.append((100, rows[0][1]))  # exact duplicate -> jaccard 1.0
+    sdocs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.25, 0.5, 0.75, 0.8):
+        got, want = as_set(jaccard_pairs(sdocs, threshold=t)), as_set(naive(sdocs, t))
+        assert got == want, (t, got ^ want)
+    # capped variant equality too
+    assert as_set(jaccard_pairs(sdocs, threshold=0.5, max_shingle_freq=3)) == as_set(
+        naive(sdocs, 0.5, cap=3)
+    )
