@@ -137,17 +137,15 @@ def jaccard_pairs(
     ``max_shingle_freq`` cap drops hot shingles before ordering,
     using the same frequency table the canonical order needs anyway.
 
-    ADAPTIVE: prefix filtering pays only when prefixes are short. At
-    t<=0.5 it is consistently ~30% slower at sf0.1 (long prefixes
-    prune little and the array-verify join costs more than the
-    count-based verify), so below ``t=0.6`` the operator runs the
-    naive inverted-index form. At t=0.8 the two forms are within
-    shared-machine noise of each other at 1x (same-session A/Bs
-    disagree on the winner), but under the 8x token-tagged corpus
-    the prefix form grows 1.4x vs the naive 1.9x — the fan-out bound
-    (~(1-t)^2 of freq^2 per shingle) is the scale insurance, and it
-    composes with the hot-shingle cap. Both regimes are
-    equality-pinned against each other in tests.
+    Measured at sf0.1 (same-session A/Bs, two fresh sessions): prefix
+    beats the naive inverted-index form at EVERY threshold once the
+    per-doc array frame is persisted for its three consumers —
+    t=0.8: 1.41 vs 2.04 s, t=0.5: 1.67 vs 1.72 s, t=0.3: 1.68 vs
+    1.90 s — and under the 8x token-tagged corpus it grows 1.4x vs
+    the naive 1.9x. The fan-out bound (~(1-t)^2 of freq^2 per
+    shingle) is the scale insurance; it composes with the
+    hot-shingle cap. Equality with the naive form is pinned in tests
+    across thresholds.
     """
     words = df.select(
         F.col(id_col),
@@ -176,15 +174,15 @@ def jaccard_pairs(
                 "shingle can connect any pair and the output is empty"
             )
         freq = freq.filter(F.col("__freq") <= max_shingle_freq)
-
-    if threshold < 0.6:
-        # long-prefix regime: pruning is weak, run the naive form
-        # (hot-cap applied through the same frequency table)
-        if max_shingle_freq is not None:
-            sh = sh.join(freq.select("shingle"), "shingle")
-        return _jaccard_from_shingles(sh, id_col, threshold)
     # per-doc hash arrays in the canonical rare-first (freq, hash)
-    # order; the inner join doubles as the hot-shingle cap filter
+    # order; the inner join doubles as the hot-shingle cap filter.
+    # Persisted: it feeds THREE consumers (the prefix index and both
+    # verify sides) — same policy class as the naive form's shingle-
+    # index persist, which this replaces (and it is the more compact
+    # representation of the same data: one row per doc, not per
+    # (doc, shingle))
+    from pyspark import StorageLevel
+
     arr = (
         sh.join(freq, "shingle")
         .groupBy(id_col)
@@ -195,6 +193,7 @@ def jaccard_pairs(
             ).alias("__hs")
         )
         .withColumn("__n", F.size("__hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # prefix = first n - ceil(t*n) + 1 elements (the epsilon guards
     # the integer boundary of the float product: errors can only
