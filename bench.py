@@ -98,6 +98,7 @@ HEADLINE = [
     "customer_scd2_chain",
     "emb_lsh_mp_topk",
     "doc_bigram_logprob",
+    "doc_passage_dups",
 ]
 
 

@@ -552,3 +552,114 @@ def dedup_against_seen(
     fp = content_fingerprint(df, text_col, id_col)
     seen = seen_fingerprints.select(F.col(fingerprint_col).alias("fingerprint")).distinct()
     return fp.join(seen, "fingerprint", "left_anti").select(id_col, "fingerprint")
+
+
+def passage_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_gram: int = 4,
+    boundary_chars: tuple = ("0", "1"),
+    min_tokens: int = 8,
+    max_passage_freq: int | None = None,
+) -> DataFrame:
+    """PASSAGE-level duplication between documents — the local-copy
+    detector whole-document Jaccard misses (two mostly-different docs
+    sharing one boilerplate paragraph score near 0 Jaccard but are
+    exactly what a training-data pipeline wants flagged; cf. Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", which targets substring-level duplication).
+
+    CONTENT-DEFINED CHUNKING, not fixed windows: a fixed-stride window
+    only matches a copied passage when both copies sit at the same
+    stride phase, so instead a segment boundary opens wherever
+    ``md5(token-gram)`` starts with one of ``boundary_chars``
+    (p = len/16 per position — avg segment ~ 16/len(chars) tokens).
+    Boundaries depend only on local CONTENT, so a passage copied at
+    ANY offset into another document chunks into the identical
+    interior segments (the head/tail segments absorb surrounding text
+    and differ — classic CDC semantics). Segments of >= ``min_tokens``
+    tokens, deduped within each doc, self-join on their md5 to emit
+    one row per document pair:
+    (doc_a, doc_b, n_shared_passages, shared_tokens).
+
+    Determinism: md5 on both engines, position-independent by
+    construction, no floats anywhere. Scale shape: one posexplode,
+    per-DOC windows (lead + running boundary sum — partitioned, never
+    global), two doc-keyed aggregates, and a passage-hash self-join
+    whose fan-out is bounded by passage frequency — cap boilerplate
+    with ``max_passage_freq`` exactly like jaccard's hot shingles.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    wnd = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(wnd).alias(f"__t{j}") for j in range(1, boundary_gram)]
+    l = toks.select(F.col(id_col), "pos", "tok", *leads)
+    last = F.col(f"__t{boundary_gram - 1}")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.col(f"__t{j}") for j in range(1, boundary_gram)]
+    )
+    bd = F.when(
+        (F.col("pos") == 0)
+        | (last.isNotNull() & F.substring(F.md5(gram), 1, 1).isin(*boundary_chars)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = l.select(
+        F.col(id_col), "pos", "tok",
+        F.sum(bd).over(wnd.rowsBetween(Window.unboundedPreceding, 0)).alias("__seg"),
+    )
+    segs = (
+        s.groupBy(id_col, "__seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("passage_hash"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    passages = segs.groupBy(id_col, "passage_hash").agg(
+        F.first("n_tokens").alias("n_tokens")
+    )
+    if max_passage_freq is not None:
+        if max_passage_freq < 2:
+            raise ValueError(
+                f"max_passage_freq must be >= 2 (got {max_passage_freq})"
+            )
+        hot = (
+            passages.groupBy("passage_hash")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_passage_freq)
+            .select("passage_hash")
+        )
+        passages = passages.join(hot, "passage_hash", "left_anti")
+    a = passages.select(
+        F.col(id_col).alias("doc_a"), "passage_hash", F.col("n_tokens").alias("__na")
+    )
+    b = passages.select(
+        F.col(id_col).alias("doc_b"), "passage_hash", F.col("n_tokens").alias("__nb")
+    )
+    return (
+        a.join(b, "passage_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_passages"),
+            F.sum("__na").cast("bigint").alias("shared_tokens"),
+        )
+    )

@@ -166,12 +166,14 @@ _PRIORITY: tuple[str, ...] = (
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
     # rule 2: never externally checked (customer_scd2_chain born in
-    # the final r9 commit; emb_lsh_mp_topk and doc_bigram_logprob born
-    # r10 — they take corpus_vocabulary's and doc_quality_score's
-    # filler slots; vocab/tf-idf stays represented by doc_rarity_score
-    # and the quality family by the LM scorer itself, its statistical
-    # upgrade)
+    # the final r9 commit; emb_lsh_mp_topk, doc_bigram_logprob and
+    # doc_passage_dups born r10 — they take corpus_vocabulary's,
+    # doc_quality_score's and parts_sales_left_join's filler slots;
+    # vocab/tf-idf stays represented by doc_rarity_score, quality by
+    # the LM scorer itself, and the join family by the marts +
+    # range-join + TPC-H Q3 entries still in the 50)
     "customer_scd2_chain", "emb_lsh_mp_topk", "doc_bigram_logprob",
+    "doc_passage_dups",
     # rule-3 must-returns (out-streak 2 after r9)
     "customers_without_orders", "customers_with_orders",
     "orders_price_histogram", "sketch_price_percentiles",
@@ -184,7 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_stream_funnel",
     # streak-1 fillers, one per family; BPE + SCD2 siblings preferred
     # because this round touches those code paths
-    "pricing_summary", "supplier_part_agg", "parts_sales_left_join",
+    "pricing_summary", "supplier_part_agg",
     "part_price_class", "orders_status_pivot",
     "customer_tiers_percent_rank", "part_price_band_range_join",
     "customer_scd2_merge", "customer_scd2_asof",

@@ -177,6 +177,71 @@ FROM (SELECT doc_id, count(*) AS n,
 """
 
 
+_PASSAGE_DUPS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+t AS (
+    SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos, w
+    FROM toks WHERE len(w) >= 1
+),
+tt AS (SELECT doc_id, pos, w[pos] AS tok FROM t),
+l AS (
+    SELECT doc_id, pos, tok,
+           lead(tok, 1) OVER win AS t1,
+           lead(tok, 2) OVER win AS t2,
+           lead(tok, 3) OVER win AS t3
+    FROM tt WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+    SELECT doc_id, pos, tok,
+           CASE WHEN pos = 1 THEN 1
+                WHEN t3 IS NOT NULL AND substr(
+                        md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3), 1, 1
+                     ) IN ('0', '1') THEN 1
+                ELSE 0 END AS bd
+    FROM l
+),
+s AS (
+    SELECT doc_id, pos, tok,
+           sum(bd) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+    FROM b
+),
+segs AS (
+    SELECT doc_id, seg, count(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS passage_hash
+    FROM s GROUP BY doc_id, seg
+),
+pass AS (
+    SELECT DISTINCT doc_id, passage_hash, n_tokens
+    FROM segs WHERE n_tokens >= 8
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_passages,
+       CAST(sum(a.n_tokens) AS BIGINT) AS shared_tokens
+FROM pass a JOIN pass b ON b.passage_hash = a.passage_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("doc_passage_dups", oracle=_PASSAGE_DUPS_ORACLE,
+          doc="PASSAGE-level duplication between documents via content-defined "
+              "chunking: segment boundaries open where md5(4-token gram) starts "
+              "with 0|1 (position-independent, so a paragraph copied at any "
+              "offset chunks into identical interior segments), segments of "
+              ">= 8 tokens self-join on their md5 — the local-copy detector "
+              "whole-doc Jaccard misses (Lee et al. 2021 substring-dedup "
+              "motivation). Pure md5/integer arithmetic, no floats; per-doc "
+              "windows only")
+def doc_passage_dups(spark, sf_dir):
+    from ..llm.dedup import passage_dups
+
+    return passage_dups(read_testdata(spark, sf_dir, "documents"))
+
+
 @register("doc_bigram_logprob", oracle=_BIGRAM_LP_ORACLE,
           doc="Add-k bigram language-model score per document (KenLM-style "
               "statistical quality filter): mean log2 P(w2|w1) + per-token "

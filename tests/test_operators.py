@@ -2176,3 +2176,54 @@ def test_jaccard_prefix_filter_equals_naive_all_pairs(spark, sf_dir):
     assert as_set(jaccard_pairs(sdocs, threshold=0.5, max_shingle_freq=3)) == as_set(
         naive(sdocs, 0.5, cap=3)
     )
+
+
+def test_passage_dups_detects_copies_at_any_offset(spark):
+    """Content-defined chunking property: a long passage copied into an
+    otherwise-unrelated document at ARBITRARY token offsets must be
+    detected (fixed-stride windows would only match aligned phases),
+    unrelated docs must NOT pair, and the within-doc dedup keeps a
+    passage repeated inside one doc from inflating pair counts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.dedup import passage_dups
+
+    rng = random.Random(42)
+    passage = " ".join(f"p{i}" for i in range(60))  # 60-token passage
+
+    def noise(k, tag):
+        return " ".join(f"{tag}{rng.randint(0, 10**9)}" for _ in range(k))
+
+    rows = [(0, noise(7, "a") + " " + passage + " " + noise(13, "b"))]
+    # same passage at different offsets in other docs
+    for i, off in enumerate((0, 3, 11, 29), start=1):
+        rows.append((i, noise(off, f"c{i}") + " " + passage + " " + noise(5, f"d{i}")))
+    rows.append((50, noise(80, "z")))  # unrelated
+    # internal repetition with noise separators: the two copies'
+    # interior segments hash identically and must dedupe within-doc
+    rows.append(
+        (51, noise(4, "e") + " " + passage + " " + noise(6, "f") + " "
+             + passage + " " + noise(3, "g"))
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_passages"], r["shared_tokens"])
+        for r in passage_dups(docs).collect()
+    }
+    carriers = [0, 1, 2, 3, 4, 51]
+    for x in carriers:
+        for y in carriers:
+            if x < y:
+                assert (x, y) in out, (x, y, sorted(out))
+                n, tok = out[(x, y)]
+                # interior segments of the 60-token passage: >= 1
+                # shared segment and a substantial token mass
+                assert n >= 1 and tok >= 8, (x, y, out[(x, y)])
+    assert not any(50 in p for p in out), out
+    # doc 51 carries the passage TWICE (noise-separated, both copies
+    # offset into noise) but passages dedupe within-doc: the pair with
+    # doc 0 (also a noise-embedded single copy) counts each shared
+    # interior segment ONCE — identical to the single-copy pair (0, 2)
+    assert out[(0, 51)] == out[(0, 2)], (out[(0, 51)], out[(0, 2)])
