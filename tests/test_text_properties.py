@@ -518,3 +518,54 @@ def test_bigram_logprob_model_properties(spark):
 
     with _pytest.raises(ValueError):
         ngram_logprob(docs, n=1)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_jaccard_prefix_equals_naive_on_random_corpora(spark, texts):
+    """Prefix-filtered jaccard_pairs must equal the naive
+    inverted-index form on ANY corpus (hypothesis-generated small-vocab
+    docs maximize shingle collisions and frequency ties), at a low and
+    a high threshold — the completeness of the prefix lemma is exactly
+    the kind of claim random exploration should keep honest."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        _jaccard_from_shingles,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+
+    def naive(threshold):
+        words = docs.select(
+            F.col("doc_id"),
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w"),
+        )
+        w = F.col("w")
+        grams = F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(3)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = (
+            words.select(F.col("doc_id"), F.explode(grams).alias("__s"))
+            .select(F.col("doc_id"), F.xxhash64("__s").alias("shingle"))
+            .distinct()
+        )
+        return _jaccard_from_shingles(sh, "doc_id", threshold)
+
+    for t in (0.34, 0.85):
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(docs, threshold=t).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in naive(t).collect()
+        }
+        assert got == want, (t, got ^ want)
