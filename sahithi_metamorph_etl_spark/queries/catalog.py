@@ -141,7 +141,7 @@ def _load() -> None:
 # multimodal_audio_stats, multimodal_gif_frames,
 # events_sliding_window, events_stream_funnel), customer_scd2_chain
 # (rule 2 — the only never-externally-checked r9 entry), the
-# r10-born emb_lsh_mp_topk (rule 2), and 19 streak-1 fillers chosen
+# r10-born emb_lsh_mp_topk (rule 2), and 17 streak-1 fillers chosen
 # one-per-family, preferring entries whose code paths this round
 # touches (doc_bpe_tokenize for the BPE batch
 # retune; the SCD2 merge/asof siblings next to the chain's first
@@ -155,6 +155,23 @@ def _load() -> None:
 # label-centroids + centroid-knn; codecs via audio/gif/png; events via
 # sliding + sessionization + stream-funnel; warehouse via zorder +
 # scd2 merge/asof/chain).
+# r11 rotation: IN = the 24 rule-3 must-returns (out-streak 2 after
+# r10; scripts/rotation_plan.py recomputes authoritatively from the
+# shipped CORRECTNESS files) and 17 streak-1 fillers chosen
+# one-per-family, preferring entries whose code paths this round
+# touches (emb_pq_topk for the rerank-scaling change, emb_ivf_topk as
+# its list-pruning companion, doc_jaccard_pairs next to the r10
+# prefix-filter rework, corpus_dedup_report for the minhash A/B).
+# OUT = the r10-green entries (fresh history, streak 1) and the
+# unchosen streak-1 holdovers that become r12 must-returns; each
+# leaves a same-family representative in the 50 (relational via
+# top-k + grouping-sets + running-total + Q5 + skew pair; sketches
+# via distinct-counts + quantile-hist; text via quality/vocabulary/
+# tfidf/token-stats/pii; dedup via jaccard + simhash-pairs +
+# incremental + dedup-report + clean-pipeline; similarity via
+# lsh-near-dup + pq + ivf; codecs via decode/wav/jpeg; events via
+# asof/interval/json/funnel + the three streaming entries; warehouse
+# via upsert-roundtrip + bucketed-recon).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -165,36 +182,29 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule 2: never externally checked (customer_scd2_chain born in
-    # the final r9 commit; emb_lsh_mp_topk, doc_bigram_logprob and
-    # doc_passage_dups born r10 — they take corpus_vocabulary's,
-    # doc_quality_score's and parts_sales_left_join's filler slots;
-    # vocab/tf-idf stays represented by doc_rarity_score, quality by
-    # the LM scorer itself, and the join family by the marts +
-    # range-join + TPC-H Q3 entries still in the 50)
-    "customer_scd2_chain", "emb_lsh_mp_topk", "doc_bigram_logprob",
-    "doc_passage_dups",
-    # rule-3 must-returns (out-streak 2 after r9)
-    "customers_without_orders", "customers_with_orders",
-    "orders_price_histogram", "sketch_price_percentiles",
-    "orders_expectations", "orders_zorder_pruning",
-    "doc_bpe_tokens", "doc_repetition_stats", "emb_label_centroids",
-    "doc_chunks", "doc_token_budget", "doc_stratified_sample",
-    "corpus_near_dup_prune_lsh", "doc_simhash", "emb_cosine_near_dup",
-    "doc_rarity_score", "multimodal_audio_stats",
-    "multimodal_gif_frames", "events_sliding_window",
-    "events_stream_funnel",
-    # streak-1 fillers, one per family; BPE + SCD2 siblings preferred
+    # rule-3 must-returns (out-streak 2 after r10)
+    "top_part_per_supplier", "parts_sales_left_join",
+    "adaptive_salted_skew_join", "orders_priority_daily_gapfill",
+    "parts_fuzzy_match", "tpch_q5_local_supplier_volume",
+    "recon_bucketed_zero_shuffle", "doc_quality_score",
+    "doc_incremental_dedup", "doc_mixture_sample", "doc_simhash_pairs",
+    "emb_lsh_near_dup", "corpus_vocabulary", "doc_tfidf_keywords",
+    "corpus_clean_pipeline", "multimodal_decode_stats",
+    "multimodal_wav_roundtrip", "corpus_bpe_merges",
+    "events_stream_dedup", "events_stream_running_counts",
+    "events_asof_join", "events_interval_join", "events_json_extract",
+    "events_cumulative_new_users",
+    # streak-1 fillers, one per family; ANN + dedup entries preferred
     # because this round touches those code paths
-    "pricing_summary", "supplier_part_agg",
-    "part_price_class", "orders_status_pivot",
-    "customer_tiers_percent_rank", "part_price_band_range_join",
-    "customer_scd2_merge", "customer_scd2_asof",
-    "tpch_q3_shipping_priority", "lineitem_heavy_hitters",
-    "doc_bpe_tokenize", "doc_decontaminate",
-    "doc_dedup_clusters", "doc_minhash_lsh_pairs", "emb_centroid_knn",
-    "multimodal_png_roundtrip",
-    "events_sessionization",
+    "top10_orders", "orders_grouping_sets", "customer_running_total",
+    "salted_skew_join", "sketch_distinct_counts",
+    "orders_price_quantile_hist", "orders_column_profile",
+    "warehouse_upsert_roundtrip",
+    "doc_token_stats", "doc_pii_scrub",
+    "doc_jaccard_pairs", "corpus_dedup_report",
+    "emb_pq_topk", "emb_ivf_topk", "emb_cosine_topk",
+    "multimodal_jpeg_roundtrip",
+    "events_funnel",
 )
 
 
