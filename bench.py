@@ -92,9 +92,9 @@ HEADLINE = [
     "customer_scd2_asof",
     "recon_bucketed_zero_shuffle",
     "events_cumulative_new_users",
-    # round-9/10: the 3-day SCD2 chain, multi-probe LSH, and the
-    # bigram-LM quality scorer (kept AFTER the stable prefix for
-    # cross-round comparability)
+    # round-9/10: the 3-day SCD2 chain, multi-probe LSH, the
+    # bigram-LM quality scorer, and passage-level dedup (kept AFTER
+    # the stable prefix for cross-round comparability)
     "customer_scd2_chain",
     "emb_lsh_mp_topk",
     "doc_bigram_logprob",
@@ -147,19 +147,15 @@ def main() -> None:
             spark.catalog.clearCache()
         canary.append(run_canary())
 
+    # Key order is truncation-aware: the archived BENCH_r*.json can be
+    # tail-kept (the r10 file lost the first ~8 keys of the line), so
+    # the expendable static note leads, the per-query map is sorted
+    # cheapest-first (most expensive rows nearest the end), and the
+    # compact top20 + headline metric close the object so they always
+    # survive.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "canary": {
-                    "query": CANARY,
-                    "start_mid_end_sec": canary,
-                    "median_sec": round(sorted(canary)[len(canary) // 2], 3),
-                },
-                "sf": sf,
                 "note": "cache cleared per invocation since r02 (each run pays its own "
                         "persists); r01 reused cached intermediates across passes, so "
                         "r01 per-query numbers are ~30-50% flattered on cache-heavy queries. "
@@ -167,7 +163,22 @@ def main() -> None:
                         "(r7 measured a uniform +15-50% vs r6 with interleaved A/B runs "
                         "showing no per-query cause; see PLANS.md bloom-filter audit) — "
                         "divide per-query ratios by the canary median ratio between "
-                        "rounds to separate machine shift from structural change",
+                        "rounds to separate machine shift from structural change. "
+                        "queries map is sorted ascending by sec since r11 (was HEADLINE "
+                        "order); top20 lists the most expensive descending",
+                "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
+                "canary": {
+                    "query": CANARY,
+                    "start_mid_end_sec": canary,
+                    "median_sec": round(sorted(canary)[len(canary) // 2], 3),
+                },
+                "sf": sf,
+                "top20": dict(
+                    sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+                ),
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
             }
         )
     )

@@ -96,6 +96,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    return_release: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -146,7 +147,21 @@ def jaccard_pairs(
     shingle) is the scale insurance; it composes with the
     hot-shingle cap. Equality with the naive form is pinned in tests
     across thresholds.
+
+    With ``return_release=True`` returns ``(pairs, CacheRelease)`` —
+    the per-doc array frame backs the returned plan so it cannot be
+    unpersisted here; call ``release()`` after materializing to drop
+    the pinned partitions (same lifetime contract as
+    ``operators.windows.global_rank``).
     """
+    if not 0.0 < threshold <= 1.0:
+        # threshold > 1 makes the prefix length negative (F.slice
+        # fails at job runtime); threshold <= 0 silently degenerates
+        # the prefix to the full index (quadratic candidate fan-out)
+        raise ValueError(
+            f"threshold must be in (0, 1] (got {threshold}): a Jaccard "
+            "similarity is a set-overlap ratio"
+        )
     words = df.select(
         F.col(id_col),
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("w"),
@@ -219,12 +234,17 @@ def jaccard_pairs(
                    F.col("__n").alias("__nb"))
     common = F.size(F.array_intersect("__ha", "__hb"))
     jac = common * 1.0 / (F.col("__na") + F.col("__nb") - common)
-    return (
+    pairs = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if return_release:
+        from ..operators.windows import CacheRelease
+
+        return pairs, CacheRelease(arr)
+    return pairs
 
 
 def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:

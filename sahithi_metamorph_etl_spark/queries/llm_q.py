@@ -1,9 +1,10 @@
 """LLM training-data pipeline queries over documents/embeddings
 (BASELINE.json north-star extensions): text analysis, fingerprinting,
 exact + near-duplicate detection, similarity search, multimodal
-plumbing. SQL-expressible ops carry a DuckDB oracle; the sub-quadratic
-approximations (MinHash-LSH, SimHash, hyperplane-LSH) are rows-only
-here and are recall-tested against their exact twins in
+plumbing. Every entry carries a DuckDB oracle (since r9 the
+sub-quadratic approximations — MinHash-LSH, SimHash, hyperplane-LSH —
+replay their seeded hash/bucket math in SQL too); the approximations
+are additionally recall-tested against their exact twins in
 tests/test_operators.py."""
 
 from __future__ import annotations

@@ -287,6 +287,24 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert approx == exact  # verified candidates: no false positives; planted dups all recalled
 
 
+def test_jaccard_pairs_threshold_validation_and_release(spark, sf_dir):
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # out-of-domain thresholds fail at entry, not at job runtime
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="threshold"):
+            jaccard_pairs(docs, threshold=bad)
+    # release handle: result unchanged, pinned storage dropped after
+    pairs, release = jaccard_pairs(docs, threshold=0.8, return_release=True)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    release.release()
+    release.release()  # idempotent
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     from sahithi_metamorph_etl_spark.llm.similarity import ivf_topk
 
