@@ -276,8 +276,41 @@ def lsh_near_dup_pairs(
     are seeded, so results are deterministic. At production thresholds
     (~0.95) raise ``band_planes`` to 8-16 so buckets shrink ~2^-planes
     and within-bucket work stays sub-quadratic.
+
+    SCALE WARNING (loud, r10 SCALING.md evidence): few planes per band
+    put essentially EVERY pair in a shared bucket — an unrelated
+    (orthogonal) pair collides per band with ~2^-band_planes, so with
+    the defaults (24 bands x 2 planes) ~99.9% of ALL pairs reach the
+    exact within-bucket scorer and cost grows quadratically with the
+    corpus (measured 26x work for 8x rows at t=0.4/2-planes, vs 1.8x
+    at t=0.9/12-planes). That is inherent to recall at low thresholds,
+    not a bug — but it must be a choice, so this function emits a
+    ``RuntimeWarning`` when the expected random-pair collision
+    fraction 1-(1-2^-band_planes)^n_bands exceeds 5%. Alternatives at
+    scale: raise the threshold + band_planes, use multi-probe
+    :func:`hyperplane_lsh_topk` (recall from probes instead of coarse
+    buckets), or text-side :func:`~..llm.dedup.jaccard_pairs` whose
+    prefix filter is exact and sub-quadratic at high thresholds.
     """
     import numpy as np
+
+    p_random = 0.5**band_planes
+    random_pair_frac = 1.0 - (1.0 - p_random) ** n_bands
+    if random_pair_frac > 0.05:
+        import warnings
+
+        warnings.warn(
+            f"lsh_near_dup_pairs(threshold={threshold}, n_bands={n_bands}, "
+            f"band_planes={band_planes}): ~{random_pair_frac:.0%} of ALL "
+            "pairs share a bucket, so exact scoring is effectively "
+            "all-pairs and cost grows QUADRATICALLY with the corpus "
+            "(SCALING.md: 26x work for 8x rows in this regime). Raise "
+            "band_planes (with a higher threshold), or use multi-probe "
+            "hyperplane_lsh_topk / prefix-filtered jaccard_pairs for "
+            "sub-quadratic near-dup at scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # one bounded driver probe for the vector dim (the array<> schema does
     # not carry it); empty/all-null input short-circuits to an empty pair
@@ -845,7 +878,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     ksub: int = 16,
-    rerank: int = 32,
+    rerank: int | None = None,
     query_filter: Column | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -887,8 +920,28 @@ def pq_topk(
     ``books`` (an (m, ksub, dim//m) array-like) skips k-means training
     and encodes against the given codebooks — e.g. subvectors of the
     lowest-id corpus vectors, which a SQL oracle can reconstruct.
+
+    ``rerank=None`` (the default) SCALES the exact-rerank budget with
+    the corpus: ``max(128, ceil(n/16))`` candidates, costing one cheap
+    ``count()`` of the corpus frame. A FIXED budget silently loses
+    recall as the corpus grows — the r10 SCALING.md re-measure saw
+    recall 0.742 → 0.502 at 8x corpus under a pinned ``rerank=128``
+    (the ADC candidate pool grew 8x but the exact window did not),
+    while n/16 held 0.742 at the base scale and restores it at 8x.
+    The rerank is still a vanishing fraction of the ADC scan (1/16 of
+    the corpus per query, exact-scored only for heap survivors); for
+    sub-linear per-query cost compose with IVF list-pruning
+    (``ivf_search``), which bounds the scanned corpus per probe —
+    then a fixed budget proportional to the probed-list size is
+    appropriate. Pass an explicit int to pin the budget (the graded
+    catalog entry pins 128 so its oracle hash is scale-stable).
     """
+    import math
+
     import numpy as np
+
+    if rerank is None:
+        rerank = max(128, math.ceil(embeddings.count() / 16))
 
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "pq_topk"

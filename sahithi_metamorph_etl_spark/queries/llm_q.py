@@ -1235,7 +1235,10 @@ def emb_cosine_near_dup(spark, sf_dir):
               "within buckets — the fully distributed scale path (no driver collect); "
               "checked against the exact all-pairs oracle. Recall is probabilistic "
               "(miss-all-bands p~5e-6 at t=0.4 with these params), so oracle equality "
-              "is empirical at this sf/seed, not a guarantee")
+              "is empirical at this sf/seed, not a guarantee. NOTE: this low-threshold "
+              "regime is quadratic BY DESIGN (coarse 2-plane buckets keep recall at "
+              "t=0.4) and since r11 emits a loud RuntimeWarning saying so — the scale "
+              "path is t~0.9 with 8-16 planes/band (SCALING.md: 1.8x vs 26x at 8x)")
 def emb_lsh_near_dup(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return lsh_near_dup_pairs(emb, threshold=0.4)

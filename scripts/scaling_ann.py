@@ -202,6 +202,21 @@ def run_surface(spark, emb, tag: str, work: str) -> dict:
         pq_topk(emb, k=5, ksub=32, rerank=128, query_filter=qf, books=books)
     )
 
+    # r11: the auto-scaled default budget (rerank=None => max(128,
+    # ceil(n/16))) — the fix for the r10 finding that a PINNED 128
+    # lost recall 0.742 -> 0.502 at 8x. Expectation: recall holds at
+    # 8x at near-flat wall (the ADC scan still dominates; the exact
+    # re-rank stays 1/16 of the corpus per query).
+    def auto_pq():
+        pq_topk(
+            emb, k=5, ksub=32, query_filter=qf, books=books
+        ).write.format("noop").mode("overwrite").save()
+
+    _, res["pq_auto_sec"] = timed(auto_pq)
+    res["pq_auto_recall"] = recall_of(
+        pq_topk(emb, k=5, ksub=32, query_filter=qf, books=books)
+    )
+
     for n_probes in (1, 3):
         def mp():
             hyperplane_lsh_topk(

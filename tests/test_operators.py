@@ -470,6 +470,29 @@ def test_lsh_near_dup_matches_exact(spark, sf_dir):
     assert lsh == exact and len(exact) > 0
 
 
+def test_lsh_near_dup_warns_in_quadratic_regime(spark, sf_dir):
+    """Few planes per band => essentially all pairs share a bucket and
+    exact scoring goes quadratic with the corpus (SCALING.md: 26x work
+    for 8x rows at t=0.4/2-planes). That regime must be loud: a
+    RuntimeWarning fires when the expected random-pair collision
+    fraction 1-(1-2^-planes)^bands exceeds 5%, and stays silent in the
+    production parameterization (t=0.9, 12 planes/band: 1.8x at 8x)."""
+    import warnings
+
+    from sahithi_metamorph_etl_spark.llm.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_near_dup_pairs(emb, threshold=0.4)  # defaults: 24 bands x 2 planes
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("QUADRATIC" in m and "band_planes" in m for m in msgs), msgs
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh_near_dup_pairs(emb, threshold=0.9, n_bands=32, band_planes=12)
+    assert not [w for w in caught if w.category is RuntimeWarning]
+
+
 def test_unbounded_query_collects_rejected(spark, sf_dir):
     from sahithi_metamorph_etl_spark.llm.similarity import (
         cosine_near_dup_pairs,
@@ -1516,6 +1539,36 @@ def test_pq_topk_recall_and_full_rerank_exactness(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(emb, k=5, m=7, query_filter=qf)
+
+
+def test_pq_topk_auto_rerank_scales_with_corpus(spark, sf_dir):
+    """rerank=None (default) must budget max(128, ceil(n/16)) exact
+    re-rank candidates — equal to an explicit rerank of that value, so
+    a growing corpus grows the budget instead of silently losing
+    recall (r10 SCALING.md saw 0.742 -> 0.502 at 8x under pinned 128)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # union shifted copies to push n past the 128*16 floor so the
+    # ceil(n/16) branch (not the max floor) is what is exercised
+    big = emb
+    for i in range(1, 5):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                       "embedding", "label")
+        )
+    n = big.count()
+    auto_budget = max(128, math.ceil(n / 16))
+    assert auto_budget > 128  # fixture big enough that ceil(n/16) governs
+    qf = F.col("vec_id") < 20
+    auto = pq_topk(big, k=5, ksub=32, query_filter=qf)
+    pinned = pq_topk(big, k=5, ksub=32, rerank=auto_budget, query_filter=qf)
+    assert auto.exceptAll(pinned).count() == 0
+    assert pinned.exceptAll(auto).count() == 0
 
 
 def test_pq_topk_empty_corpus_returns_empty(spark):
