@@ -1,0 +1,201 @@
+"""Distributed seeded k-means (Lloyd) for embedding clustering —
+the SemDeDup-style curation primitive (cluster the corpus, then prune
+near-duplicates WITHIN each cluster so the expensive pairwise step
+never crosses cluster boundaries).
+
+Reference parity: the reference engine exposes no iterative clustering;
+this is part of the demanded LLM-curation extension surface (SURVEY.md
+§2 extras), completing the ANN stack (similarity.py) with an iterative
+refinement step: IVF quantizes against FIXED centroids, k-means is the
+operator that produces GOOD centroids.
+
+Distributed shape per Lloyd iteration (canonical scale form — the
+centroids are k x dim and live on the driver; the corpus never does):
+
+1. E-step: one ``mapInPandas`` pass assigns each vector to the
+   argmin-distance centroid (vectorized numpy against the closure's
+   k x dim array — no shuffle, no join).
+2. M-step: ``posexplode`` to (cluster, dim) and re-use
+   :func:`..llm.embeddings.group_centroids_long`'s decimal-sum mean —
+   ONE shuffle whose map-side partials collapse to k x dim rows per
+   task, then a bounded k x dim driver collect for the next broadcast.
+
+So n_iter iterations = n_iter+1 corpus scans, n_iter shuffles (each
+reduced map-side to k x dim), zero corpus-sized driver traffic —
+at 1000 executors the E-step is embarrassingly parallel and the
+M-step's shuffle volume is tasks x k x dim, independent of corpus
+size. 100 TB: yes.
+
+Determinism (the r10 ANN hash-grade treatment): seeded init = the k
+LOWEST-id vectors (ordered take, layout-independent); every distance
+is rounded half-away-from-zero to ``decimals`` before compare with
+ties to the lowest cluster id (so a BLAS-vs-SQL ulp cannot flip an
+assignment); means go through exact decimal(38,12) sums (summation
+order cannot flip a bit); empty clusters keep their previous centroid.
+Every step is therefore replayable in DuckDB SQL — see
+``queries.llm_q._kmeans_oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .embeddings import group_centroids_long
+from .similarity import _nround
+
+
+def _seed_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str):
+    """k lowest-id RAW vectors (float64) — deterministic, bounded,
+    oracle-replayable (contrast similarity._seed_unit_vectors, which
+    normalizes: Lloyd means are not unit vectors, so k-means runs in
+    raw coordinate space throughout)."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"kmeans_lloyd: need >= {k} vectors to seed, got {len(rows)}")
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """E-step: (vec_id, cluster_id, dist) — argmin rounded Euclidean
+    distance to ``centroids`` (k x dim array-like), ties to the lowest
+    cluster id. One Arrow-batched pass, no shuffle. ``carry_vec=True``
+    also emits the vector so the M-step can explode without a join."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    sk = decimals
+    schema = f"`{id_col}` bigint, cluster_id int, dist double"
+    if carry_vec:
+        schema += f", `{vec_col}` array<double>"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # (n, k) rounded distances; argmin first-index = lowest cid
+            d = _nround(
+                np.sqrt(((m[:, None, :] - cents[None]) ** 2).sum(axis=2)), sk
+            )
+            cid = d.argmin(axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": cid.astype("int32"),
+                "dist": d[np.arange(len(m)), cid],
+            }
+            if carry_vec:
+                out[vec_col] = list(pdf[vec_col])
+            yield pd.DataFrame(out)
+
+    return emb.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).mapInPandas(assign, schema=schema)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+    centroids=None,
+):
+    """Run ``n_iter`` Lloyd updates from the seeded init and return the
+    final centroids as a (k, dim) float64 array. ``centroids`` overrides
+    the seed init (e.g. to continue a previous fit)."""
+    import numpy as np
+
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _seed_centroids(emb, k, id_col, vec_col)
+    )
+    for _ in range(n_iter):
+        assigned = kmeans_assign(
+            emb, cents, id_col, vec_col, decimals, carry_vec=True
+        )
+        # decimal-sum means: (cluster_id, dim, mean_value, n_vectors) —
+        # bounded k x dim collect feeds the next broadcast closure
+        rows = group_centroids_long(
+            assigned, "cluster_id", vec_col=vec_col, decimals=decimals
+        ).collect()
+        nxt = cents.copy()  # empty cluster: keep previous centroid
+        for r in rows:
+            nxt[r["cluster_id"]][r["dim"]] = r["mean_value"]
+        cents = nxt
+    return cents
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+    centroids=None,
+) -> DataFrame:
+    """Seeded distributed k-means: ``n_iter`` Lloyd updates, then a
+    final E-step. Returns (vec_id, cluster_id int, dist double) — the
+    per-vector assignment against the refined centroids, ``dist``
+    rounded to ``decimals``. Deterministic for any partition layout
+    (see module docstring); an external SQL oracle can replay every
+    iteration."""
+    cents = kmeans_fit(emb, k, n_iter, id_col, vec_col, decimals, centroids)
+    return kmeans_assign(emb, cents, id_col, vec_col, decimals)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means cluster, then WITHIN each
+    cluster drop every vector whose cosine similarity to a LOWER-id
+    cluster-mate is >= ``threshold`` (the lowest id of each semantic
+    group survives). Returns the surviving (vec_id,) frame.
+
+    Scale shape: the pairwise step runs per cluster via
+    ``applyInPandas`` — O(sum of cluster sizes squared), never corpus
+    all-pairs; clusters bound the blocks exactly the way LSH bands do,
+    but with learned (data-adaptive) boundaries. For very large
+    clusters compose with a finer k or a per-cluster LSH pass.
+    """
+    assigned = kmeans_assign(
+        emb, kmeans_fit(emb, k, n_iter, id_col, vec_col, decimals),
+        id_col, vec_col, decimals, carry_vec=True,
+    )
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = _nround(m @ m.T, decimals)
+        # strict lower triangle: sim to any LOWER-sorted (lower-id) row
+        dup = (np.tril(sims, -1) >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: pdf[id_col].to_numpy()[~dup]})
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        prune, schema=f"`{id_col}` bigint"
+    )
