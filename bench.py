@@ -99,6 +99,9 @@ HEADLINE = [
     "emb_lsh_mp_topk",
     "doc_bigram_logprob",
     "doc_passage_dups",
+    # round-11: seeded Lloyd k-means + SemDeDup semantic prune
+    "emb_kmeans_clusters",
+    "emb_semdedup_prune",
 ]
 
 

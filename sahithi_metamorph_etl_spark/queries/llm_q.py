@@ -1925,6 +1925,107 @@ def emb_pq_topk(spark, sf_dir):
     return ann_recall_summary(exact, ann, recall_floor=0.6)
 
 
+# --- iterative clustering (r11): seeded Lloyd k-means + SemDeDup -------------
+#
+# The whole fit is SQL-replayable because every step is deterministic:
+# seeded init (k lowest-id vectors), assignments by ROUNDED distance
+# with lowest-cid ties, means via exact decimal sums (the
+# emb_label_centroids treatment), empty clusters keeping their previous
+# centroid. The oracle unrolls the n_iter Lloyd iterations as CTEs.
+
+def _kmeans_cte_chain(k: int, n_iter: int) -> str:
+    """CTE chain ending in c{n_iter}(cid, pos, val) — the refined
+    centroids — plus x(vec_id, pos, val), replaying kmeans_fit."""
+    dist = o_round("sqrt(sum((x.val - c.val) * (x.val - c.val)))", 8)
+    mean8 = o_round("CAST(sum(CAST(x.val AS DECIMAL(38,12))) AS double) / count(*)", 8)
+    parts = [f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+x AS (SELECT vec_id, CAST(i AS int) AS pos, e[CAST(i + 1 AS int)] AS val
+      FROM v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid
+         FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cid, x.pos, x.val FROM seed s JOIN x ON x.vec_id = s.vec_id)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""d{i} AS (SELECT x.vec_id, c.cid, {dist} AS dist
+       FROM x JOIN c{i - 1} c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+a{i} AS (SELECT vec_id, cid FROM (
+       SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+       FROM d{i}) WHERE rnk = 1),
+m{i} AS (SELECT a.cid, x.pos, {mean8} AS val
+       FROM x JOIN a{i} a ON a.vec_id = x.vec_id GROUP BY a.cid, x.pos),
+c{i} AS (SELECT cid, pos, val FROM m{i}
+       UNION ALL
+       SELECT c.cid, c.pos, c.val FROM c{i - 1} c
+       WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m{i}))""")
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int) -> str:
+    dist = o_round("sqrt(sum((x.val - c.val) * (x.val - c.val)))", 8)
+    return f"""
+WITH {_kmeans_cte_chain(k, n_iter)},
+df AS (SELECT x.vec_id, c.cid, {dist} AS dist
+       FROM x JOIN c{n_iter} c ON c.pos = x.pos GROUP BY x.vec_id, c.cid)
+SELECT vec_id, CAST(cid AS int) AS cluster_id, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+    FROM df) WHERE rnk = 1
+"""
+
+
+def _semdedup_oracle_sql(k: int, n_iter: int, threshold: float) -> str:
+    cos = o_round("list_dot_product(na.u, nb.u)", 8)
+    return f"""
+WITH {_kmeans_cte_chain(k, n_iter)},
+nu AS (SELECT vec_id, list_transform(e, t -> t / sqrt(list_dot_product(e, e))) AS u
+       FROM v),
+df AS (SELECT x.vec_id, c.cid,
+              {o_round('sqrt(sum((x.val - c.val) * (x.val - c.val)))', 8)} AS dist
+       FROM x JOIN c{n_iter} c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+af AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+    FROM df) WHERE rnk = 1)
+SELECT a.vec_id FROM af a
+WHERE NOT EXISTS (
+    SELECT 1 FROM af b
+    JOIN nu na ON na.vec_id = a.vec_id
+    JOIN nu nb ON nb.vec_id = b.vec_id
+    WHERE b.cid = a.cid AND b.vec_id < a.vec_id AND {cos} >= {threshold!r})
+"""
+
+
+@register("emb_kmeans_clusters", oracle=_kmeans_oracle_sql(8, 2),
+          doc="Seeded distributed k-means (Lloyd, k=8, 2 update iterations + final "
+              "E-step): per-vector (cluster_id, rounded distance) against the refined "
+              "centroids. Scale shape per iteration: one Arrow E-step pass (broadcast "
+              "k x dim closure, no shuffle) + ONE k x dim map-side-reduced shuffle for "
+              "the decimal-sum means — corpus never reaches the driver. HASH-GRADE: "
+              "seeded init from the 8 lowest-id vectors, assignments by 8dp-rounded "
+              "distance with lowest-cid ties, exact decimal(38,12) means, so the "
+              "oracle unrolls BOTH Lloyd iterations as CTEs and replays the whole fit")
+def emb_kmeans_clusters(spark, sf_dir):
+    from ..llm.clustering import kmeans_lloyd
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, n_iter=2)
+
+
+@register("emb_semdedup_prune", oracle=_semdedup_oracle_sql(8, 2, 0.4),
+          doc="SemDeDup-style semantic dedup: k-means cluster (k=8, 2 Lloyd "
+              "iterations), then WITHIN each cluster drop vectors with cosine >= 0.4 "
+              "to a lower-id cluster-mate (lowest id of each semantic group survives; "
+              "synthetic vectors are near-orthogonal so 0.4 here plays the role "
+              "production ~0.95 would). Pairwise work is per-cluster applyInPandas — "
+              "cluster-bounded blocks, never corpus all-pairs. HASH-GRADE: the oracle "
+              "replays the k-means fit AND the within-cluster prune in SQL")
+def emb_semdedup_prune(spark, sf_dir):
+    from ..llm.clustering import semdedup_prune
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, threshold=0.4, k=8, n_iter=2)
+
+
 _GIF_FRAMES_ORACLE = """
 WITH d AS (SELECT doc_id,
                   doc_id % 9 + 4 AS w,

@@ -2298,3 +2298,133 @@ def test_passage_dups_detects_copies_at_any_offset(spark):
     # doc 0 (also a noise-embedded single copy) counts each shared
     # interior segment ONCE — identical to the single-copy pair (0, 2)
     assert out[(0, 51)] == out[(0, 2)], (out[(0, 51)], out[(0, 2)])
+
+
+# --- seeded k-means (Lloyd) + SemDeDup (r11) --------------------------------
+
+
+def _naive_kmeans(rows, k, n_iter, decimals=8):
+    """Driver-side replay of kmeans_lloyd's exact contract: seeded init
+    from the k lowest ids, rounded-distance argmin with lowest-cid
+    ties, decimal-12 sums -> rounded means, empty clusters keep their
+    previous centroid."""
+    import decimal
+
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.similarity import _nround
+
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = m[:k].copy()
+
+    def assign(cs):
+        d = _nround(np.sqrt(((m[:, None, :] - cs[None]) ** 2).sum(axis=2)), decimals)
+        cid = d.argmin(axis=1)
+        return cid, d[np.arange(len(m)), cid]
+
+    q12 = decimal.Decimal("1.000000000000")
+    for _ in range(n_iter):
+        cid, _d = assign(cents)
+        nxt = cents.copy()
+        for c in range(k):
+            sel = m[cid == c]
+            if len(sel) == 0:
+                continue
+            for pos in range(m.shape[1]):
+                s = sum(
+                    decimal.Decimal(repr(float(v))).quantize(
+                        q12, rounding=decimal.ROUND_HALF_UP
+                    )
+                    for v in sel[:, pos]
+                )
+                nxt[c][pos] = _nround(float(s) / len(sel), decimals)
+        cents = nxt
+    cid, d = assign(cents)
+    return {int(i): (int(c), float(dd)) for i, c, dd in zip(ids, cid, d)}
+
+
+def test_kmeans_lloyd_matches_naive_and_is_layout_independent(spark, sf_dir):
+    from sahithi_metamorph_etl_spark.llm.clustering import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.select("vec_id", "embedding").collect()]
+    want = _naive_kmeans(rows, k=8, n_iter=2)
+
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist"])
+        for r in kmeans_lloyd(emb, k=8, n_iter=2).collect()
+    }
+    assert got == want
+    # partition-layout independence: 1 partition and 13 skewed partitions
+    for parts in (emb.coalesce(1), emb.repartition(13, "label")):
+        again = {
+            r["vec_id"]: (r["cluster_id"], r["dist"])
+            for r in kmeans_lloyd(parts, k=8, n_iter=2).collect()
+        }
+        assert again == want
+    # every cluster id is in range and non-trivially populated at k=8
+    assert {c for c, _ in got.values()} <= set(range(8))
+    assert len({c for c, _ in got.values()}) > 1
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Two far groups + k=3 where the third seed is immediately starved:
+    the fit must not crash and the surviving centroids still split the
+    groups."""
+    from sahithi_metamorph_etl_spark.llm.clustering import kmeans_fit, kmeans_lloyd
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (10, [9.0, 9.0]), (11, [9.1, 9.0]), (12, [9.0, 9.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_fit(emb, k=3, n_iter=2)
+    # seed 2 = vec 2's vector; every point assigns nearer seeds 0/1
+    # group-mates after iteration 1, so cluster 2 may starve — its
+    # centroid must remain a finite previous value, not NaN
+    import numpy as np
+
+    assert np.isfinite(cents).all()
+    out = kmeans_lloyd(emb, k=3, n_iter=2).collect()
+    by_id = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert len({by_id[0], by_id[10]}) == 2  # far groups never merge
+
+
+def test_semdedup_prune_matches_per_cluster_bruteforce(spark, sf_dir):
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.clustering import (
+        kmeans_lloyd,
+        semdedup_prune,
+    )
+    from sahithi_metamorph_etl_spark.llm.similarity import _nround
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = {
+        r["vec_id"]: r["cluster_id"] for r in kmeans_lloyd(emb, k=8, n_iter=2).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    survivors = set()
+    for vid in sorted(vecs):
+        v = vecs[vid]
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        dup = False
+        for other in sorted(vecs):
+            if other >= vid or assigned[other] != assigned[vid]:
+                continue
+            o = vecs[other]
+            o = o / max(float(np.linalg.norm(o)), 1e-12)
+            if _nround(float(v @ o), 8) >= 0.4:
+                dup = True
+                break
+        if not dup:
+            survivors.add(vid)
+
+    got = {r["vec_id"] for r in semdedup_prune(emb, threshold=0.4, k=8, n_iter=2).collect()}
+    assert got == survivors
+    assert len(got) < len(vecs)  # something was actually pruned at 0.4
