@@ -99,9 +99,11 @@ HEADLINE = [
     "emb_lsh_mp_topk",
     "doc_bigram_logprob",
     "doc_passage_dups",
-    # round-11: seeded Lloyd k-means + SemDeDup semantic prune
+    # round-11: seeded Lloyd k-means + SemDeDup semantic prune + the
+    # k-means-refined IVF composition
     "emb_kmeans_clusters",
     "emb_semdedup_prune",
+    "emb_ivf_kmeans_topk",
 ]
 
 

@@ -1933,30 +1933,33 @@ def emb_pq_topk(spark, sf_dir):
 # emb_label_centroids treatment), empty clusters keeping their previous
 # centroid. The oracle unrolls the n_iter Lloyd iterations as CTEs.
 
-def _kmeans_cte_chain(k: int, n_iter: int) -> str:
-    """CTE chain ending in c{n_iter}(cid, pos, val) — the refined
-    centroids — plus x(vec_id, pos, val), replaying kmeans_fit."""
+def _kmeans_cte_chain(k: int, n_iter: int, prefix: str = "") -> str:
+    """CTE chain ending in {prefix}c{n_iter}(cid, pos, val) — the
+    refined centroids — plus {prefix}x(vec_id, pos, val), replaying
+    kmeans_fit. ``prefix`` namespaces every CTE so the chain composes
+    with _ANN_EXACT_CTES (which owns the bare ``v``/``n`` names)."""
+    p = prefix
     dist = o_round("sqrt(sum((x.val - c.val) * (x.val - c.val)))", 8)
     mean8 = o_round("CAST(sum(CAST(x.val AS DECIMAL(38,12))) AS double) / count(*)", 8)
-    parts = [f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-x AS (SELECT vec_id, CAST(i AS int) AS pos, e[CAST(i + 1 AS int)] AS val
-      FROM v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
-seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid
-         FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})),
-c0 AS (SELECT s.cid, x.pos, x.val FROM seed s JOIN x ON x.vec_id = s.vec_id)"""]
+    parts = [f"""{p}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+{p}x AS (SELECT vec_id, CAST(i AS int) AS pos, e[CAST(i + 1 AS int)] AS val
+      FROM {p}v CROSS JOIN unnest(range(0, len(e))) AS u(i)),
+{p}seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid
+         FROM (SELECT vec_id FROM {p}v ORDER BY vec_id LIMIT {k})),
+{p}c0 AS (SELECT s.cid, x.pos, x.val FROM {p}seed s JOIN {p}x x ON x.vec_id = s.vec_id)"""]
     for i in range(1, n_iter + 1):
-        parts.append(f"""d{i} AS (SELECT x.vec_id, c.cid, {dist} AS dist
-       FROM x JOIN c{i - 1} c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
-a{i} AS (SELECT vec_id, cid FROM (
+        parts.append(f"""{p}d{i} AS (SELECT x.vec_id, c.cid, {dist} AS dist
+       FROM {p}x x JOIN {p}c{i - 1} c ON c.pos = x.pos GROUP BY x.vec_id, c.cid),
+{p}a{i} AS (SELECT vec_id, cid FROM (
        SELECT vec_id, cid,
               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
-       FROM d{i}) WHERE rnk = 1),
-m{i} AS (SELECT a.cid, x.pos, {mean8} AS val
-       FROM x JOIN a{i} a ON a.vec_id = x.vec_id GROUP BY a.cid, x.pos),
-c{i} AS (SELECT cid, pos, val FROM m{i}
+       FROM {p}d{i}) WHERE rnk = 1),
+{p}m{i} AS (SELECT a.cid, x.pos, {mean8} AS val
+       FROM {p}x x JOIN {p}a{i} a ON a.vec_id = x.vec_id GROUP BY a.cid, x.pos),
+{p}c{i} AS (SELECT cid, pos, val FROM {p}m{i}
        UNION ALL
-       SELECT c.cid, c.pos, c.val FROM c{i - 1} c
-       WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m{i}))""")
+       SELECT c.cid, c.pos, c.val FROM {p}c{i - 1} c
+       WHERE c.cid NOT IN (SELECT DISTINCT cid FROM {p}m{i}))""")
     return ",\n".join(parts)
 
 
@@ -2024,6 +2027,75 @@ def emb_semdedup_prune(spark, sf_dir):
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     return semdedup_prune(emb, threshold=0.4, k=8, n_iter=2)
+
+
+def _ivf_kmeans_ctes(k: int = 16, n_iter: int = 2, n_probe: int = 4) -> str:
+    """IVF assignment/probe/scoring against k-means-REFINED centroids:
+    the _kmeans_cte_chain (km_-prefixed so it composes with
+    _ANN_EXACT_CTES) feeds unit-normalized list-form centroids into the
+    same assignment/probe CTEs emb_ivf_topk uses."""
+    chain = _kmeans_cte_chain(k, n_iter, prefix="km_")
+    return f"""{chain},
+km_norm AS (SELECT cid, sqrt(sum(val * val)) AS nm FROM km_c{n_iter} GROUP BY cid),
+km_cu AS (SELECT c.cid AS list_id, list(c.val / n.nm ORDER BY c.pos) AS c
+          FROM km_c{n_iter} c JOIN km_norm n ON n.cid = c.cid GROUP BY c.cid),
+assign AS (SELECT vec_id, list_id FROM (
+    SELECT nv.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {o_round('list_dot_product(nv.u, c.c)', 8)} DESC, c.list_id) AS rnk
+    FROM n nv CROSS JOIN km_cu c) WHERE rnk = 1),
+probes AS (SELECT vec_id, list_id FROM (
+    SELECT nq.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY nq.vec_id
+                              ORDER BY {o_round('list_dot_product(nq.u, c.c)', 8)} DESC, c.list_id) AS rnk
+    FROM n nq CROSS JOIN km_cu c WHERE nq.vec_id < 100) WHERE rnk <= {n_probe}),
+ann_scored AS (
+    SELECT p.vec_id, a.vec_id AS neighbor_id,
+           {o_round('list_dot_product(qv.e, av.e) / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(av.e, av.e)))', 8)} AS cos_sim
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.vec_id
+    JOIN v qv ON qv.vec_id = p.vec_id
+    JOIN v av ON av.vec_id = a.vec_id),
+ann AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM ann_scored) WHERE rnk <= 5)"""
+
+
+@register("emb_ivf_kmeans_topk", oracle=_ann_summary_sql(_ivf_kmeans_ctes(), 0.3),
+          doc="IVF ANN with k-means-REFINED coarse quantizer: kmeans_fit (k=16, 2 "
+              "Lloyd iterations from the seeded init) produces the centroids, "
+              "unit-normalized, then the PHYSICAL index path (ivf_build_index + "
+              "partition-pruned ivf_search, n_probe=4) runs against them. "
+              "Refinement buys recall at the same probe budget: 0.544 (seed "
+              "centroids, emb_ivf_topk) -> 0.612 measured at sf0.01. HASH-GRADE: "
+              "the oracle replays the whole k-means fit (unrolled Lloyd CTEs), the "
+              "normalization, assignment, probing, scoring AND the exact twin in "
+              "DuckDB — iterative refinement composed end-to-end with the ANN index")
+def emb_ivf_kmeans_topk(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..llm.clustering import kmeans_fit
+    from ..llm.similarity import ivf_build_index, ivf_search
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+    km = kmeans_fit(emb, k=16, n_iter=2)
+    km = km / np.maximum(np.linalg.norm(km, axis=1, keepdims=True), 1e-12)
+    idx = tempfile.mkdtemp(prefix="ivf_km_index_")
+    try:
+        ivf_build_index(emb, idx, n_lists=16, centroids=km)
+        ann = ivf_search(spark, idx, emb.filter(F.col("vec_id") < 100), k=5, n_probe=4)
+        summary = ann_recall_summary(exact, ann, recall_floor=0.3)
+        # localize the one-row summary before deleting the index files
+        # (the emb_ivf_topk precedent: parquet listings capture eagerly)
+        return spark.createDataFrame(summary.collect(), schema=summary.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 _GIF_FRAMES_ORACLE = """
