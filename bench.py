@@ -104,6 +104,7 @@ HEADLINE = [
     "emb_kmeans_clusters",
     "emb_semdedup_prune",
     "emb_ivf_kmeans_topk",
+    "doc_dsir_weights",
 ]
 
 

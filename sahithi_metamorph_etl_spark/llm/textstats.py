@@ -494,3 +494,84 @@ def bigram_logprob(
 ) -> DataFrame:
     """Order-2 :func:`ngram_logprob` — the catalog's hash-graded form."""
     return ngram_logprob(df, text_col, id_col, n=2, k=k, term_scale=term_scale)
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    term_scale: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection
+    via Importance Resampling): score every document by how much its
+    unigram distribution resembles the TARGET slice (``target`` is a
+    boolean Column over ``df``, e.g. a trusted source) versus the raw
+    corpus. Per word, lambda(w) = log2 P_target(w) - log2 P_raw(w)
+    under add-k smoothing over the shared vocabulary; a document's
+    weight is its mean lambda over token OCCURRENCES. Select the
+    highest-weight documents (deterministic: order by weight desc,
+    id asc) to build a target-like training mix from a raw crawl —
+    the importance-sampling sibling of the n-gram LM filter
+    (:func:`ngram_logprob` scores probability under one model; this
+    scores the LIKELIHOOD RATIO between two).
+
+    Returns (id_col, n_tokens, avg_logratio) for documents with >= 1
+    token (no-token docs carry no evidence and are excluded by
+    contract, matching ngram_logprob).
+
+    Determinism: per-word lambdas round half-away into scaled BIGINTs
+    (the functions.money pattern in log space), the per-doc sum is
+    exact integer addition under any shuffle, and only the final mean
+    rounds back to a double — so an external SQL oracle replays the
+    whole computation.
+
+    Scale shape: tokenize/explode in JVM codegen; two map-side-combined
+    count aggregates (word x {raw, target}) plus three 1-row totals;
+    the occurrence-to-lambda join is unique-word-sized on the build
+    side (AQE broadcasts when small) and the final per-doc aggregate
+    re-shuffles occurrences once. No window, no Python, no unbounded
+    driver action — 100 TB shape identical to the n-gram LM scorer.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        ).alias("w"),
+    )
+    occ = toks.select(F.col(id_col), "__is_t", F.explode("w").alias("__t"))
+
+    rc = occ.groupBy("__t").agg(F.count(F.lit(1)).alias("__rc"))
+    tc = occ.filter(F.col("__is_t")).groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    totals = occ.agg(
+        F.count(F.lit(1)).alias("__rtot"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ttot"),
+        F.countDistinct("__t").alias("__v"),
+    )
+
+    kk = F.lit(float(k))
+    lam = F.log2(
+        (F.coalesce(F.col("__tc"), F.lit(0)) + kk) / (F.col("__ttot") + kk * F.col("__v"))
+    ) - F.log2((F.col("__rc") + kk) / (F.col("__rtot") + kk * F.col("__v")))
+    sf = float(10**term_scale)
+    lam_scaled = (F.signum(lam) * F.floor(F.abs(lam) * sf + F.lit(0.5))).cast("bigint")
+
+    word_weights = (
+        rc.join(tc, "__t", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("__t", lam_scaled.alias("__ls"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        occ.join(word_weights, "__t")
+        .groupBy(id_col)
+        .agg(
+            cnt.cast("bigint").alias("n_tokens"),
+            dround(F.sum("__ls") / cnt / F.lit(sf), term_scale).alias("avg_logratio"),
+        )
+    )

@@ -243,6 +243,53 @@ def doc_passage_dups(spark, sf_dir):
     return passage_dups(read_testdata(spark, sf_dir, "documents"))
 
 
+_DSIR_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source = 'src0' AS is_t,
+           list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+occ AS (SELECT doc_id, is_t, unnest(w) AS tok FROM toks),
+rc AS (SELECT tok, count(*) AS rc FROM occ GROUP BY 1),
+tc AS (SELECT tok, count(*) AS tc FROM occ WHERE is_t GROUP BY 1),
+tot AS (SELECT count(*) AS rtot,
+               count(*) FILTER (WHERE is_t) AS ttot,
+               count(DISTINCT tok) AS v
+        FROM occ),
+lam AS (
+    SELECT tok, CAST(sign(l) * floor(abs(l) * 10000.0 + 0.5) AS BIGINT) AS ls
+    FROM (SELECT rc.tok,
+                 log2((coalesce(tc.tc, 0) + 0.5) / (tot.ttot + 0.5 * tot.v))
+               - log2((rc.rc + 0.5) / (tot.rtot + 0.5 * tot.v)) AS l
+          FROM rc LEFT JOIN tc ON tc.tok = rc.tok CROSS JOIN tot) q
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       (sign(a) * floor(abs(a) * 10000.0 + 0.5) / 10000.0) AS avg_logratio
+FROM (SELECT o.doc_id, count(*) AS n,
+             (CAST(sum(l.ls) AS DOUBLE) / count(*)) / 10000.0 AS a
+      FROM occ o JOIN lam l ON l.tok = o.tok
+      GROUP BY o.doc_id) s
+"""
+
+
+@register("doc_dsir_weights", oracle=_DSIR_ORACLE,
+          doc="DSIR-style importance weights (Xie et al. 2023): per-document mean "
+              "log2 likelihood-ratio of its unigrams under the TARGET slice "
+              "(source='src0', the trusted-source proxy) vs the raw corpus, add-k "
+              "smoothed over the shared vocabulary — select the top-weighted docs "
+              "to build a target-like mix from a raw crawl. Per-word lambdas round "
+              "into scaled BIGINTs and sum exactly (shuffle-order-independent); "
+              "zero-token docs excluded by contract. JVM-only: two word-count "
+              "aggregates + 1-row totals + a unique-word-sized join")
+def doc_dsir_weights(spark, sf_dir):
+    from ..llm.textstats import dsir_logratio_weights
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dsir_logratio_weights(docs, target=F.col("source") == "src0")
+
+
 @register("doc_bigram_logprob", oracle=_BIGRAM_LP_ORACLE,
           doc="Add-k bigram language-model score per document (KenLM-style "
               "statistical quality filter): mean log2 P(w2|w1) + per-token "

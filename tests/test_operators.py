@@ -2428,3 +2428,37 @@ def test_semdedup_prune_matches_per_cluster_bruteforce(spark, sf_dir):
     got = {r["vec_id"] for r in semdedup_prune(emb, threshold=0.4, k=8, n_iter=2).collect()}
     assert got == survivors
     assert len(got) < len(vecs)  # something was actually pruned at 0.4
+
+
+def test_dsir_weights_separate_target_vocab(spark):
+    """Docs sharing the target slice's vocabulary must outweigh docs
+    that don't: build a corpus where target docs say 'alpha', others
+    say 'beta', and check ordering plus the add-k lambda math on one
+    word by hand."""
+    import math
+
+    from sahithi_metamorph_etl_spark.llm.textstats import dsir_logratio_weights
+
+    rows = [
+        (0, "alpha alpha gamma", "tgt"),
+        (1, "alpha gamma alpha", "tgt"),
+        (2, "beta beta gamma", "raw"),
+        (3, "beta gamma beta", "raw"),
+        (4, "alpha alpha alpha", "raw"),  # raw doc that LOOKS like target
+        (5, None, "raw"),                  # no tokens: excluded by contract
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logratio"])
+        for r in dsir_logratio_weights(docs, F.col("source") == "tgt").collect()
+    }
+    assert 5 not in out and len(out) == 5
+    assert all(n == 3 for n, _ in out.values())
+    # target-vocab docs (0,1,4) outweigh beta docs (2,3)
+    assert min(out[0][1], out[1][1], out[4][1]) > max(out[2][1], out[3][1])
+    # hand-check lambda('alpha'): tc=4, ttot=6, rc=7, rtot=15, v=3, k=.5
+    lam_alpha = math.log2((4 + 0.5) / (6 + 0.5 * 3)) - math.log2((7 + 0.5) / (15 + 0.5 * 3))
+    ls = math.copysign(math.floor(abs(lam_alpha) * 1e4 + 0.5), lam_alpha)
+    # doc 4 is 'alpha alpha alpha': avg == lambda('alpha') rounded
+    want = math.copysign(math.floor(abs(3 * ls / 3 / 1e4) * 1e4 + 0.5), ls) / 1e4
+    assert out[4][1] == want
