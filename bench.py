@@ -105,6 +105,7 @@ HEADLINE = [
     "emb_semdedup_prune",
     "emb_ivf_kmeans_topk",
     "doc_dsir_weights",
+    "doc_quality_classifier",
 ]
 
 

@@ -290,6 +290,77 @@ def doc_dsir_weights(spark, sf_dir):
     return dsir_logratio_weights(docs, target=F.col("source") == "src0")
 
 
+def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5) -> str:
+    """Unrolled fixed-iteration batch-GD logistic regression (the
+    k-means oracle treatment applied to a model fit): feat -> wts0 (zero
+    vector) -> [margin/sigmoid -> scaled-bigint gradient sums -> weight
+    update] x n_iter -> final scores. Mirrors llm.classifier op for op."""
+    x4_inner = o_round("sum_tok * 1.0 / n_tokens", 4)
+    feat = f"""feat AS (
+    SELECT doc_id,
+           CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+           {o_round('log2(1 + n_tokens)', 6)} AS x1,
+           {o_round('stop * 1.0 / n_tokens', 6)} AS x2,
+           {o_round('punct * 1.0 / n_chars', 6)} AS x3,
+           {o_round(f'({x4_inner}) / 10', 6)} AS x4
+    FROM (SELECT doc_id, source,
+                 CAST(length(text) AS bigint) AS n_chars,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS bigint) AS n_tokens,
+                 CAST(length(regexp_replace(text, '\\s', '', 'g')) AS bigint) AS sum_tok,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      t -> t IN ('the','of','and','is','to'))) AS bigint) AS stop,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS bigint) AS punct
+          FROM documents WHERE text IS NOT NULL) b),
+wts0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
+    z = o_round("w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4", 6)
+    sig = o_round("1.0 / (1.0 + exp(-z))", 6)
+
+    def gterm(x: str) -> str:
+        e = "e" if x == "1" else f"(e * {x})"
+        return f"CAST(sum(CAST(sign({e}) * floor(abs({e}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+
+    parts = [feat]
+    for i in range(1, n_iter + 1):
+        upd = ", ".join(
+            o_round(f"w.{c} + {lr!r} * ((CAST(g.g{j} AS DOUBLE) / 1000000.0) / g.n)", 6)
+            + f" AS {c}"
+            for j, c in enumerate(("b", "w1", "w2", "w3", "w4"))
+        )
+        parts.append(f"""sc{i} AS (
+    SELECT zf.*, {sig} AS p FROM (
+        SELECT f.*, {z} AS z FROM feat f CROSS JOIN wts{i - 1} w) zf),
+g{i} AS (SELECT {gterm('1')} AS g0, {gterm('x1')} AS g1, {gterm('x2')} AS g2,
+                {gterm('x3')} AS g3, {gterm('x4')} AS g4, count(*) AS n
+         FROM (SELECT y - p AS e, x1, x2, x3, x4 FROM sc{i}) t),
+wts{i} AS (SELECT {upd} FROM wts{i - 1} w CROSS JOIN g{i} g)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT zf.doc_id, {sig} AS score, {sig} >= 0.5 AS pred, zf.y = 1.0 AS is_target
+FROM (SELECT f.*, {z} AS z FROM feat f CROSS JOIN wts{n_iter} w) zf
+"""
+
+
+@register("doc_quality_classifier", oracle=_logreg_oracle_sql(3, 0.5),
+          doc="TRAINABLE quality filter: distributed logistic regression (3 "
+              "full-batch GD steps, lr=0.5, zero init) over cheap doc features "
+              "(log2 token count, stopword/punct ratios, avg token length), label "
+              "= source='src0' — the trusted-vs-crawl classifier recipe. Per "
+              "iteration ONE map-side-combined aggregate yields scaled-bigint "
+              "gradient sums (exact under any shuffle); the driver holds only the "
+              "5 weights. HASH-GRADE: the oracle unrolls all three GD steps as "
+              "CTEs and replays feature rounding, margins, sigmoids, gradients "
+              "and updates bit-for-bit. On this synthetic corpus the slices are "
+              "statistically alike, so the fit converges toward the ~5% target "
+              "base rate (scores ~0.001-0.03, no positive predictions) — the "
+              "graded contract is the deterministic distributed FIT end-to-end")
+def doc_quality_classifier(spark, sf_dir):
+    from ..llm.classifier import logreg_quality_score
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return logreg_quality_score(docs, target=F.col("source") == "src0")
+
+
 @register("doc_bigram_logprob", oracle=_BIGRAM_LP_ORACLE,
           doc="Add-k bigram language-model score per document (KenLM-style "
               "statistical quality filter): mean log2 P(w2|w1) + per-token "

@@ -2462,3 +2462,64 @@ def test_dsir_weights_separate_target_vocab(spark):
     # doc 4 is 'alpha alpha alpha': avg == lambda('alpha') rounded
     want = math.copysign(math.floor(abs(3 * ls / 3 / 1e4) * 1e4 + 0.5), ls) / 1e4
     assert out[4][1] == want
+
+
+def test_logreg_quality_classifier_matches_naive_fit(spark):
+    """The distributed GD fit must equal a sequential pure-Python
+    replay (same rounding ladder), be partition-independent, and
+    separate a corpus with a real quality signal."""
+    import math
+
+    from sahithi_metamorph_etl_spark.llm.classifier import (
+        _round6,
+        logreg_quality_score,
+        quality_features,
+    )
+
+    good = "the cat of the house and the dog is going to the market today"
+    bad = "$$$ !!! @@@ ### %%% ^^^ &&& *** ((( )))"
+    rows = (
+        [(i, good + f" extra{i}", "tgt") for i in range(8)]
+        + [(100 + i, bad + f" x{i}!!!", "raw") for i in range(8)]
+        + [(999, None, "raw")]  # null text: excluded by contract
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = F.col("source") == "tgt"
+
+    feats = {
+        r["doc_id"]: (r["y"], r["x1"], r["x2"], r["x3"], r["x4"])
+        for r in quality_features(docs, target).collect()
+    }
+    assert 999 not in feats and len(feats) == 16
+
+    # sequential replay of logreg_fit's exact arithmetic
+    w = [0.0] * 5
+    for _ in range(3):
+        g = [0] * 5
+        n = 0
+        for y, *x in feats.values():
+            z = _round6(((((w[0] + w[1] * x[0]) + w[2] * x[1]) + w[3] * x[2]) + w[4] * x[3]))
+            p = _round6(1.0 / (1.0 + math.exp(-z)))
+            e = y - p
+            for j, xv in enumerate([1.0] + x):
+                t = e * xv
+                g[j] += int(math.copysign(math.floor(abs(t) * 1e6 + 0.5), t))
+            n += 1
+        w = [_round6(w[j] + 0.5 * ((g[j] / 1e6) / n)) for j in range(5)]
+
+    out = logreg_quality_score(docs, target).collect()
+    got = {r["doc_id"]: (r["score"], r["pred"], r["is_target"]) for r in out}
+    for doc_id, (y, *x) in feats.items():
+        z = _round6(((((w[0] + w[1] * x[0]) + w[2] * x[1]) + w[3] * x[2]) + w[4] * x[3]))
+        p = _round6(1.0 / (1.0 + math.exp(-z)))
+        assert got[doc_id] == (p, p >= 0.5, y == 1.0), doc_id
+    # the learned scores separate the slices on a separable corpus
+    tgt_scores = [got[i][0] for i in range(8)]
+    raw_scores = [got[100 + i][0] for i in range(8)]
+    assert min(tgt_scores) > max(raw_scores)
+    # partition-layout independence of the fit
+    again = {
+        r["doc_id"]: r["score"]
+        for r in logreg_quality_score(docs.repartition(7), target).collect()
+    }
+    assert again == {k: v[0] for k, v in got.items()}
