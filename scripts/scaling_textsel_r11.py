@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""8x scale check for the r11 data-selection operators over documents:
+DSIR importance weights and the GD logistic-regression quality
+classifier. Both are word-count / 1-row-aggregate shapes (the
+bigram-LM scaling precedent: ~1.4x wall for 8x docs), so wall should
+grow well under 8x on a 32-file layout.
+
+Protocol matches scripts/scaling_r8.py: documents replicated 8x with
+shifted doc_id (sources preserved so the target slice scales with the
+corpus), written as 32 parquet files; warm best-of-3, local[32].
+
+Usage: python scripts/scaling_textsel_r11.py [sf_dir]  (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sahithi_metamorph_etl_spark.core.session import get_spark  # noqa: E402
+from sahithi_metamorph_etl_spark.llm.classifier import logreg_quality_score  # noqa: E402
+from sahithi_metamorph_etl_spark.llm.textstats import dsir_logratio_weights  # noqa: E402
+
+
+def timed_best(fn, n=3):
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        el = round(time.time() - t0, 3)
+        best = el if best is None else min(best, el)
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scaling_textsel_r11")
+    work = tempfile.mkdtemp(prefix="scaling_textsel_")
+    res: dict = {"sf_dir": sf_dir}
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copies = [docs]
+        for i in range(1, 8):
+            copies.append(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000 * i))
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        p8 = os.path.join(work, "documents_8x")
+        big.repartition(32).write.mode("overwrite").parquet(p8)
+        docs8 = spark.read.parquet(p8)
+
+        for d, tag in ((docs, "x1"), (docs8, "x8")):
+            def dsir():
+                dsir_logratio_weights(d, F.col("source") == "src0").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def clf():
+                logreg_quality_score(d, F.col("source") == "src0").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            dsir()  # warm
+            res[f"dsir_{tag}_sec"] = timed_best(dsir)
+            clf()  # warm
+            res[f"classifier_{tag}_sec"] = timed_best(clf)
+        print(json.dumps(res))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
