@@ -106,6 +106,7 @@ HEADLINE = [
     "emb_ivf_kmeans_topk",
     "doc_dsir_weights",
     "doc_quality_classifier",
+    "doc_dsir_sample",
 ]
 
 

@@ -575,3 +575,50 @@ def dsir_logratio_weights(
             dround(F.sum("__ls") / cnt / F.lit(sf), term_scale).alias("avg_logratio"),
         )
     )
+
+
+def dsir_gumbel_sample(
+    weights: DataFrame,
+    k: int = 100,
+    tau: float = 1.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    weight_col: str = "avg_logratio",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over DSIR weights: draw ``k``
+    documents without replacement with probability proportional to
+    softmax(tau * weight) — the actual selection step of the DSIR
+    recipe (top-k-by-weight over-selects near-duplicate high scorers;
+    resampling preserves diversity). The Gumbel-max trick makes it one
+    distributed pass: key = tau * weight + G_d with G_d = -ln(-ln(U_d))
+    and the global top-k by key IS an exact softmax sample.
+
+    Deterministic and oracle-replayable: U_d derives from the md5 of
+    ``"dsir:{seed}:" + id`` via the engine's bit-verified 64-bit hash
+    twin (dedup._md5_64_le == DuckDB md5_number_upper), mapped into
+    (0,1) with pure IEEE ops; keys round half-away at 6dp with id
+    tie-breaks. The top-k is a sort+limit (distributed TakeOrdered —
+    per-partition heaps, never a global sort materialization).
+    """
+    from .dedup import _md5_64_le  # lazy: dedup imports this module
+
+    h = _md5_64_le(F.concat(F.lit(f"dsir:{seed}:"), F.col(id_col).cast("string")))
+    # signed int64 -> (0,1): one single rounding to double in BOTH
+    # engines (the oracle converts md5_number_upper's UBIGINT to the
+    # signed value in exact HUGEINT arithmetic first), then pure IEEE
+    # ops; clamp away the measure-zero u=0/u=1 endpoints so the double
+    # log never hits -inf
+    u = h.cast("double") / F.lit(18446744073709551616.0) + F.lit(0.5)
+    u = F.least(
+        F.greatest(u, F.lit(5.421010862427522e-20)),  # 2^-64
+        F.lit(0.9999999999999999),  # largest double < 1
+    )
+    g = -F.log(-F.log(u))
+    key = dround(F.lit(float(tau)) * F.col(weight_col) + g, 6)
+    return (
+        weights.select(
+            F.col(id_col), "n_tokens", F.col(weight_col), key.alias("sample_key")
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

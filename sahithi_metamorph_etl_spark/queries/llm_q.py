@@ -274,6 +274,72 @@ FROM (SELECT o.doc_id, count(*) AS n,
 """
 
 
+_DSIR_SAMPLE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, source = 'src0' AS is_t,
+           list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+),
+occ AS (SELECT doc_id, is_t, unnest(w) AS tok FROM toks),
+rc AS (SELECT tok, count(*) AS rc FROM occ GROUP BY 1),
+tc AS (SELECT tok, count(*) AS tc FROM occ WHERE is_t GROUP BY 1),
+tot AS (SELECT count(*) AS rtot,
+               count(*) FILTER (WHERE is_t) AS ttot,
+               count(DISTINCT tok) AS v
+        FROM occ),
+lam AS (
+    SELECT tok, CAST(sign(l) * floor(abs(l) * 10000.0 + 0.5) AS BIGINT) AS ls
+    FROM (SELECT rc.tok,
+                 log2((coalesce(tc.tc, 0) + 0.5) / (tot.ttot + 0.5 * tot.v))
+               - log2((rc.rc + 0.5) / (tot.rtot + 0.5 * tot.v)) AS l
+          FROM rc LEFT JOIN tc ON tc.tok = rc.tok CROSS JOIN tot) q
+),
+wts AS (
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           (sign(a) * floor(abs(a) * 10000.0 + 0.5) / 10000.0) AS avg_logratio
+    FROM (SELECT o.doc_id, count(*) AS n,
+                 (CAST(sum(l.ls) AS DOUBLE) / count(*)) / 10000.0 AS a
+          FROM occ o JOIN lam l ON l.tok = o.tok
+          GROUP BY o.doc_id) s
+),
+hsh AS (
+    SELECT doc_id, n_tokens, avg_logratio,
+           CAST(CAST(md5_number_upper('dsir:42:' || CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                - CASE WHEN md5_number_upper('dsir:42:' || CAST(doc_id AS VARCHAR))
+                            >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+                AS DOUBLE) AS sd
+    FROM wts
+),
+keyed AS (
+    SELECT doc_id, n_tokens, avg_logratio,
+           {o_round("1.0 * avg_logratio + (-ln(-ln(least(greatest(sd / 18446744073709551616.0 + 0.5, 5.421010862427522e-20), 0.9999999999999999))))", 6)} AS sample_key
+    FROM hsh
+)
+SELECT doc_id, n_tokens, avg_logratio, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+"""
+
+
+@register("doc_dsir_sample", oracle=_DSIR_SAMPLE_ORACLE,
+          doc="DSIR SELECTION step: Gumbel-top-k importance resampling of 100 docs "
+              "with probability proportional to softmax(avg_logratio) — one "
+              "distributed pass (key = weight + Gumbel noise from the seeded "
+              "bit-verified md5-int64 twin; global top-k = exact softmax sample "
+              "without replacement, preserving diversity where plain "
+              "top-k-by-weight over-selects near-dup high scorers). Sort+limit = "
+              "distributed TakeOrdered per-partition heaps. HASH-GRADE: the "
+              "oracle replays weights, uniforms, Gumbels, keys and the cut")
+def doc_dsir_sample(spark, sf_dir):
+    from ..llm.textstats import dsir_gumbel_sample, dsir_logratio_weights
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    w = dsir_logratio_weights(docs, target=F.col("source") == "src0")
+    return dsir_gumbel_sample(w, k=100, tau=1.0, seed=42)
+
+
 @register("doc_dsir_weights", oracle=_DSIR_ORACLE,
           doc="DSIR-style importance weights (Xie et al. 2023): per-document mean "
               "log2 likelihood-ratio of its unigrams under the TARGET slice "

@@ -2523,3 +2523,21 @@ def test_logreg_quality_classifier_matches_naive_fit(spark):
         for r in logreg_quality_score(docs.repartition(7), target).collect()
     }
     assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_dsir_gumbel_sample_respects_weights_and_layout(spark):
+    """With a dominant weight gap the softmax sample must select every
+    high-weight doc; keys are partition-independent and the cut is
+    exactly k."""
+    from sahithi_metamorph_etl_spark.llm.textstats import dsir_gumbel_sample
+
+    rows = [(i, 10, 100.0 if i < 150 else -100.0) for i in range(300)]
+    w = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint, avg_logratio double")
+    out = dsir_gumbel_sample(w, k=100).collect()
+    assert len(out) == 100
+    assert all(r["avg_logratio"] == 100.0 for r in out)
+    again = {
+        (r["doc_id"], r["sample_key"])
+        for r in dsir_gumbel_sample(w.repartition(13), k=100).collect()
+    }
+    assert again == {(r["doc_id"], r["sample_key"]) for r in out}
