@@ -503,6 +503,7 @@ def dsir_logratio_weights(
     id_col: str = "doc_id",
     k: float = 0.5,
     term_scale: int = 4,
+    return_release: bool = False,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, Data Selection
     via Importance Resampling): score every document by how much its
@@ -527,12 +528,16 @@ def dsir_logratio_weights(
     rounds back to a double — so an external SQL oracle replays the
     whole computation.
 
-    Scale shape: tokenize/explode in JVM codegen; two map-side-combined
-    count aggregates (word x {raw, target}) plus three 1-row totals;
-    the occurrence-to-lambda join is unique-word-sized on the build
-    side (AQE broadcasts when small) and the final per-doc aggregate
-    re-shuffles occurrences once. No window, no Python, no unbounded
-    driver action — 100 TB shape identical to the n-gram LM scorer.
+    Scale shape: tokenize/explode in JVM codegen; ONE map-side-combined
+    word-count aggregate carries BOTH the raw and the target counts
+    (count + conditional sum in the same pass), the three corpus
+    totals derive from that word table (a tiny vocabulary-sized
+    aggregate, not another corpus scan), the occurrence-to-lambda join
+    is unique-word-sized on the build side (AQE broadcasts when small)
+    and the final per-doc aggregate re-shuffles occurrences once — TWO
+    corpus scans total (counts + scoring; the first cut used separate
+    raw/target/totals aggregates = four scans, r11 plan audit). No
+    window, no Python, no unbounded driver action.
     """
     toks = df.select(
         F.col(id_col),
@@ -544,14 +549,22 @@ def dsir_logratio_weights(
     )
     occ = toks.select(F.col(id_col), "__is_t", F.explode("w").alias("__t"))
 
-    rc = occ.groupBy("__t").agg(F.count(F.lit(1)).alias("__rc"))
-    tc = occ.filter(F.col("__is_t")).groupBy("__t").agg(
-        F.count(F.lit(1)).alias("__tc")
-    )
-    totals = occ.agg(
-        F.count(F.lit(1)).alias("__rtot"),
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ttot"),
-        F.countDistinct("__t").alias("__v"),
+    # raw + target counts in ONE corpus pass; totals fold the word
+    # table itself (sum of counts = occurrence totals, row count = |V|).
+    # The word table feeds two consumers (totals broadcast + the lambda
+    # join) and Catalyst does not reuse the exchange across them, so
+    # persist it — VOCABULARY-sized (|V| rows x 3 numbers), bounded by
+    # language not corpus, unlike the corpus-sized persists PLANS.md
+    # gates. Without it the counts pass runs twice (r11 plan audit:
+    # 3 corpus scans -> 2 with the persist).
+    words = occ.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__rc"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__tc"),
+    ).persist()
+    totals = words.agg(
+        F.sum("__rc").alias("__rtot"),
+        F.sum("__tc").alias("__ttot"),
+        F.count(F.lit(1)).alias("__v"),
     )
 
     kk = F.lit(float(k))
@@ -561,13 +574,11 @@ def dsir_logratio_weights(
     sf = float(10**term_scale)
     lam_scaled = (F.signum(lam) * F.floor(F.abs(lam) * sf + F.lit(0.5))).cast("bigint")
 
-    word_weights = (
-        rc.join(tc, "__t", "left")
-        .crossJoin(F.broadcast(totals))
-        .select("__t", lam_scaled.alias("__ls"))
+    word_weights = words.crossJoin(F.broadcast(totals)).select(
+        "__t", lam_scaled.alias("__ls")
     )
     cnt = F.count(F.lit(1))
-    return (
+    out = (
         occ.join(word_weights, "__t")
         .groupBy(id_col)
         .agg(
@@ -575,6 +586,15 @@ def dsir_logratio_weights(
             dround(F.sum("__ls") / cnt / F.lit(sf), term_scale).alias("avg_logratio"),
         )
     )
+    if return_release:
+        # same lifetime contract as jaccard_pairs(return_release=True):
+        # the persisted word table backs the returned plan; call
+        # release() after materializing to drop the pinned (tiny,
+        # vocabulary-sized) blocks in a long-lived session
+        from ..operators.windows import CacheRelease
+
+        return out, CacheRelease(words)
+    return out
 
 
 def dsir_gumbel_sample(

@@ -347,8 +347,9 @@ def doc_dsir_sample(spark, sf_dir):
               "smoothed over the shared vocabulary — select the top-weighted docs "
               "to build a target-like mix from a raw crawl. Per-word lambdas round "
               "into scaled BIGINTs and sum exactly (shuffle-order-independent); "
-              "zero-token docs excluded by contract. JVM-only: two word-count "
-              "aggregates + 1-row totals + a unique-word-sized join")
+              "zero-token docs excluded by contract. JVM-only, TWO corpus scans: "
+              "one word-count aggregate carrying raw+target counts (totals fold "
+              "the vocabulary-sized word table) + the scoring join/aggregate")
 def doc_dsir_weights(spark, sf_dir):
     from ..llm.textstats import dsir_logratio_weights
 
