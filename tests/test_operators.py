@@ -2541,3 +2541,36 @@ def test_dsir_gumbel_sample_respects_weights_and_layout(spark):
         for r in dsir_gumbel_sample(w.repartition(13), k=100).collect()
     }
     assert again == {(r["doc_id"], r["sample_key"]) for r in out}
+
+
+def test_kmeans_property_matches_naive_on_random_corpora(spark):
+    """kmeans_lloyd == the sequential replay for ANY vector set —
+    hypothesis over small discrete-valued corpora (discrete values
+    force genuine rounded-distance ties, exercising the lowest-cid
+    tie-break on both sides)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.clustering import kmeans_lloyd
+
+    vec = st.lists(
+        st.sampled_from([0.0, 0.25, 0.5, 1.0, -0.5]), min_size=4, max_size=4
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(vec, min_size=4, max_size=14),
+        st.integers(min_value=2, max_value=3),
+        st.integers(min_value=1, max_value=2),
+    )
+    def check(vecs, k, n_iter):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        want = _naive_kmeans(rows, k=k, n_iter=n_iter)
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["dist"])
+            for r in kmeans_lloyd(emb, k=k, n_iter=n_iter).collect()
+        }
+        assert got == want
+
+    check()

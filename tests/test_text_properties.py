@@ -569,3 +569,47 @@ def test_jaccard_prefix_equals_naive_on_random_corpora(spark, texts):
             for r in naive(t).collect()
         }
         assert got == want, (t, got ^ want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=8))
+def test_dsir_weights_match_python_model(spark, texts):
+    """DSIR weights must equal the direct add-k log-ratio model on ANY
+    corpus (target = even doc ids), including empty docs (excluded)
+    and words absent from the target slice (tc = 0)."""
+    import math
+
+    from sahithi_metamorph_etl_spark.llm.textstats import dsir_logratio_weights
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logratio)
+        for r in dsir_logratio_weights(df, F.col("doc_id") % 2 == 0).collect()
+    }
+
+    occ = [(i, tok) for i, t in enumerate(texts) for tok in t.split()]
+    rc = Counter(tok for _, tok in occ)
+    tc = Counter(tok for i, tok in occ if i % 2 == 0)
+    rtot, ttot, v = len(occ), sum(tc.values()), len(rc)
+    k = 0.5
+
+    def rnd(x, s):
+        return math.copysign(math.floor(abs(x) * s + 0.5), x)
+
+    lam = {
+        tok: rnd(
+            math.log2((tc.get(tok, 0) + k) / (ttot + k * v))
+            - math.log2((rc[tok] + k) / (rtot + k * v)),
+            1e4,
+        )
+        for tok in rc
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in got
+            continue
+        s = sum(lam[tok] for tok in toks)
+        want = rnd((s / len(toks)) / 1e4, 1e4) / 1e4
+        assert got[i] == (len(toks), want), (i, t)
