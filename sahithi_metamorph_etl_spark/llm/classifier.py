@@ -106,6 +106,11 @@ def logreg_fit(
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         n = row["n"]
+        if not n:
+            raise ValueError(
+                "logreg_fit: no scoreable documents (every text row was "
+                "NULL) — the gradient is undefined on an empty feature frame"
+            )
         weights = [
             _round6(weights[j] + lr * ((row[f"g{j}"] / 1e6) / n))
             for j in range(len(weights))

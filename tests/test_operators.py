@@ -2574,3 +2574,58 @@ def test_kmeans_property_matches_naive_on_random_corpora(spark):
         assert got == want
 
     check()
+
+
+def test_logreg_property_matches_replay_on_random_corpora(spark):
+    """Classifier fit == sequential replay for ANY corpus shape,
+    including all-target, all-raw and docs of pure punctuation; an
+    all-NULL corpus raises instead of dividing by zero."""
+    import math
+
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.classifier import (
+        _round6,
+        logreg_quality_score,
+        quality_features,
+    )
+
+    word = st.sampled_from(["the", "of", "zzz", "!!!", "a1"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(st.tuples(doc, st.booleans()), min_size=1, max_size=8))
+    def check(items):
+        rows = [(i, t, "tgt" if is_t else "raw") for i, (t, is_t) in enumerate(items)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        target = F.col("source") == "tgt"
+        feats = {
+            r["doc_id"]: (r["y"], r["x1"], r["x2"], r["x3"], r["x4"])
+            for r in quality_features(docs, target).collect()
+        }
+        w = [0.0] * 5
+        for _ in range(3):
+            g, n = [0] * 5, 0
+            for y, *x in feats.values():
+                z = _round6(((((w[0] + w[1] * x[0]) + w[2] * x[1]) + w[3] * x[2]) + w[4] * x[3]))
+                p = _round6(1.0 / (1.0 + math.exp(-z)))
+                e = y - p
+                for j, xv in enumerate([1.0] + x):
+                    t = e * xv
+                    g[j] += int(math.copysign(math.floor(abs(t) * 1e6 + 0.5), t))
+                n += 1
+            w = [_round6(w[j] + 0.5 * ((g[j] / 1e6) / n)) for j in range(5)]
+        got = {r["doc_id"]: r["score"] for r in logreg_quality_score(docs, target).collect()}
+        for doc_id, (y, *x) in feats.items():
+            z = _round6(((((w[0] + w[1] * x[0]) + w[2] * x[1]) + w[3] * x[2]) + w[4] * x[3]))
+            assert got[doc_id] == _round6(1.0 / (1.0 + math.exp(-z)))
+
+    check()
+
+    all_null = spark.createDataFrame(
+        [(0, None, "raw")], "doc_id bigint, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="no scoreable"):
+        logreg_quality_score(all_null, F.col("source") == "tgt")
