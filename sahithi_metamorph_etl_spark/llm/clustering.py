@@ -69,11 +69,20 @@ def kmeans_assign(
     """E-step: (vec_id, cluster_id, dist) — argmin rounded Euclidean
     distance to ``centroids`` (k x dim array-like), ties to the lowest
     cluster id. One Arrow-batched pass, no shuffle. ``carry_vec=True``
-    also emits the vector so the M-step can explode without a join."""
+    also emits the vector so the M-step can explode without a join.
+
+    Memory at large k: distances are computed per CENTROID CHUNK (256
+    at a time) with a running (best_dist, best_cid), so peak extra
+    memory is batch x 256 x dim instead of batch x k x dim — a
+    SemDeDup-scale k (10^5 clusters) would otherwise need ~500 GB per
+    10k-row Arrow batch. Chunks ascend by cid and the running best
+    updates only on STRICT improvement, so the lowest-cid tie-break is
+    identical to a full argmin."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
     sk = decimals
+    chunk = 256
     schema = f"`{id_col}` bigint, cluster_id int, dist double"
     if carry_vec:
         schema += f", `{vec_col}` array<double>"
@@ -85,15 +94,24 @@ def kmeans_assign(
             if len(pdf) == 0:
                 continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            # (n, k) rounded distances; argmin first-index = lowest cid
-            d = _nround(
-                np.sqrt(((m[:, None, :] - cents[None]) ** 2).sum(axis=2)), sk
-            )
-            cid = d.argmin(axis=1)
+            best_d = np.full(len(m), np.inf)
+            best_c = np.zeros(len(m), dtype=np.int64)
+            for c0 in range(0, len(cents), chunk):
+                cc = cents[c0 : c0 + chunk]
+                # (n, |chunk|) rounded distances; within-chunk argmin
+                # first-index = lowest cid of the chunk
+                d = _nround(
+                    np.sqrt(((m[:, None, :] - cc[None]) ** 2).sum(axis=2)), sk
+                )
+                ci = d.argmin(axis=1)
+                dv = d[np.arange(len(m)), ci]
+                upd = dv < best_d  # strict: earlier (lower) cid wins ties
+                best_d[upd] = dv[upd]
+                best_c[upd] = ci[upd] + c0
             out = {
                 id_col: pdf[id_col].to_numpy(),
-                "cluster_id": cid.astype("int32"),
-                "dist": d[np.arange(len(m)), cid],
+                "cluster_id": best_c.astype("int32"),
+                "dist": best_d,
             }
             if carry_vec:
                 out[vec_col] = list(pdf[vec_col])
@@ -167,6 +185,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 8,
+    max_cluster_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means cluster, then WITHIN each
     cluster drop every vector whose cosine similarity to a LOWER-id
@@ -176,8 +195,11 @@ def semdedup_prune(
     Scale shape: the pairwise step runs per cluster via
     ``applyInPandas`` — O(sum of cluster sizes squared), never corpus
     all-pairs; clusters bound the blocks exactly the way LSH bands do,
-    but with learned (data-adaptive) boundaries. For very large
-    clusters compose with a finer k or a per-cluster LSH pass.
+    but with learned (data-adaptive) boundaries. The similarity matrix
+    is computed in 1024-row strips (peak extra memory 1024 x n doubles,
+    not n x n), and ``max_cluster_rows`` fails fast with a clear error
+    if any single cluster exceeds it — the fix is a finer k (or a
+    per-cluster LSH pass), not a bigger executor.
     """
     assigned = kmeans_assign(
         emb, kmeans_fit(emb, k, n_iter, id_col, vec_col, decimals),
@@ -188,12 +210,26 @@ def semdedup_prune(
         import numpy as np
         import pandas as pd
 
+        n = len(pdf)
+        if max_cluster_rows is not None and n > max_cluster_rows:
+            raise ValueError(
+                f"semdedup_prune: cluster of {n} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; the within-cluster "
+                "pairwise step is quadratic — rerun with a larger k "
+                "(finer clusters) or pre-split oversized clusters."
+            )
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = np.array(list(pdf[vec_col]), dtype=np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = _nround(m @ m.T, decimals)
-        # strict lower triangle: sim to any LOWER-sorted (lower-id) row
-        dup = (np.tril(sims, -1) >= threshold).any(axis=1)
+        dup = np.zeros(n, dtype=bool)
+        # strict lower triangle in 1024-row strips: row r is a dup if
+        # sim to any LOWER-sorted (lower-id) row >= threshold
+        strip = 1024
+        for i0 in range(0, n, strip):
+            i1 = min(i0 + strip, n)
+            sims = _nround(m[i0:i1] @ m[:i1].T, decimals)
+            below = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
+            dup[i0:i1] = ((sims >= threshold) & below).any(axis=1)
         return pd.DataFrame({id_col: pdf[id_col].to_numpy()[~dup]})
 
     return assigned.groupBy("cluster_id").applyInPandas(

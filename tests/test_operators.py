@@ -2427,6 +2427,72 @@ def test_semdedup_prune_matches_per_cluster_bruteforce(spark, sf_dir):
 
     got = {r["vec_id"] for r in semdedup_prune(emb, threshold=0.4, k=8, n_iter=2).collect()}
     assert got == survivors
+
+
+def test_kmeans_assign_chunked_equals_full_argmin_past_256_centroids(spark):
+    """The E-step chunks centroids 256 at a time; with k=300 the loop
+    crosses a chunk boundary. Must equal a single full argmin, including
+    the lowest-cid tie-break when identical centroids live in DIFFERENT
+    chunks (cid 10 == cid 290)."""
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.clustering import kmeans_assign
+    from sahithi_metamorph_etl_spark.llm.similarity import _nround
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(300, 4))
+    cents[290] = cents[10]  # exact tie across the chunk boundary
+    vecs = rng.normal(size=(25, 4))
+    vecs[3] = cents[10]  # sits exactly on the tied pair
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    d = _nround(
+        np.sqrt(((vecs[:, None, :] - cents[None]) ** 2).sum(axis=2)), 8
+    )
+    want_cid = d.argmin(axis=1)
+    got = {r["vec_id"]: (r["cluster_id"], r["dist"])
+           for r in kmeans_assign(emb, cents).collect()}
+    for i in range(len(vecs)):
+        assert got[i] == (want_cid[i], d[i, want_cid[i]])
+    assert got[3][0] == 10  # lower cid of the tied pair wins
+
+
+def test_semdedup_strips_equal_full_matrix_and_guard_fires(spark):
+    """A single 1150-row cluster crosses the 1024-row strip boundary:
+    survivors must equal the full-matrix lower-triangle reference, and
+    max_cluster_rows must fail fast with a clear message."""
+    import numpy as np
+    import pytest
+
+    from sahithi_metamorph_etl_spark.llm.clustering import semdedup_prune
+    from sahithi_metamorph_etl_spark.llm.similarity import _nround
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(1150, 3))
+    # plant exact duplicates straddling the strip boundary
+    for lo, hi in ((2, 1100), (500, 1030), (1020, 1149)):
+        vecs[hi] = vecs[lo]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    m = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = _nround(m @ m.T, 8)
+    dup = (np.tril(sims, -1) >= 0.999).any(axis=1)
+    want = {i for i in range(1150) if not dup[i]}
+
+    got = {r["vec_id"]
+           for r in semdedup_prune(emb, threshold=0.999, k=1, n_iter=1).collect()}
+    assert got == want
+    # planted exact copies of earlier rows can never survive (their
+    # originals may themselves be chance-dups in 3-d — that's fine)
+    assert {1100, 1030, 1149}.isdisjoint(got)
+    assert 2 in got  # earliest planted original always survives
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup_prune(
+            emb, threshold=0.999, k=1, n_iter=1, max_cluster_rows=100
+        ).collect()
     assert len(got) < len(vecs)  # something was actually pruned at 0.4
 
 
