@@ -107,6 +107,11 @@ HEADLINE = [
     "doc_dsir_weights",
     "doc_quality_classifier",
     "doc_dsir_sample",
+    # round-11 late batch: hard-negative mining, JL random projection,
+    # TPC-H Q18
+    "emb_hard_negatives",
+    "emb_random_projection",
+    "tpch_q18_large_volume_customer",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Johnson–Lindenstrauss random projection for embedding columns.
+
+Dimensionality reduction is the standard pre-step for billion-vector
+dedup/ANN pipelines (shrink 1024-d to 64-d, then cluster or index the
+cheap column). The projection matrix is a DETERMINISTIC Rademacher
+(+-1/sqrt(d')) matrix derived from md5 — Achlioptas (2001) shows the
+sign matrix satisfies the JL lemma with the same distortion bound as
+Gaussian entries, and a hash-derived matrix lets an external SQL
+oracle regenerate it bit-for-bit (same ``md5_number_upper`` twin the
+SimHash oracle uses, `queries/llm_q.py`).
+
+Reference parity: the reference (Metamorph-ETL) has no embedding
+surface at all; this extends the training-data family per SURVEY §2.
+
+Scale design: the matrix is tiny (in_dim x out_dim doubles) and baked
+into the plan as literals — ZERO shuffle, zero Python, zero broadcast;
+each output dim is a deterministic left-to-right ``F.aggregate`` fold
+over ``zip_with(vec, signs)``, all inside whole-stage codegen. On a
+100 TB corpus the op is a pure map over the scan with only the
+embedding column read (column pruning holds — verified in tests).
+Multiplying by +-1 is IEEE-exact, so engine parity never rides on
+float multiply order; the fold order is pinned sequential on both
+sides (Spark ``aggregate`` == DuckDB ``list_reduce``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import dround
+
+
+def _md5_low_bit(tag: str) -> int:
+    """Low bit of the little-endian int64 of md5's first 8 bytes — the
+    Python twin of DuckDB ``md5_number_upper(tag) & 1`` (same identity
+    the SimHash signatures are bit-verified on)."""
+    return hashlib.md5(tag.encode()).digest()[0] & 1
+
+
+def rademacher_signs(in_dim: int, out_dim: int, seed_tag: str = "rp") -> list[list[float]]:
+    """out_dim lists of in_dim +-1.0 signs; entry (i, j) is +1 iff
+    ``md5(f"{seed_tag}{i}_{j}")``'s low bit is set."""
+    return [
+        [1.0 if _md5_low_bit(f"{seed_tag}{i}_{j}") else -1.0 for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def jl_random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+    seed_tag: str = "rp",
+    decimals: int = 8,
+    out_col: str = "rp",
+) -> DataFrame:
+    """(id, rp array<double>) — ``vec @ R / sqrt(out_dim)`` with the
+    deterministic Rademacher matrix, each coordinate rounded
+    half-away-from-zero to ``decimals``. ``in_dim`` is inferred from
+    one row when not given (pass it explicitly in pipelines to keep
+    the plan action-free)."""
+    if in_dim is None:
+        row = df.select(F.size(F.col(vec_col))).limit(1).collect()
+        if not row:
+            return df.sparkSession.createDataFrame(
+                [], f"`{id_col}` bigint, `{out_col}` array<double>"
+            )
+        in_dim = int(row[0][0])
+    signs = rademacher_signs(in_dim, out_dim, seed_tag)
+    scale = math.sqrt(float(out_dim))
+    vec = F.col(vec_col)
+    comps = [
+        dround(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(scale),
+            decimals,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))

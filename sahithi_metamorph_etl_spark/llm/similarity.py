@@ -52,11 +52,16 @@ def _nround(t, scale: int = 8):
     return np.sign(t) * np.floor(np.abs(t) * f + 0.5) / f
 
 
-def _bounded_query_rows(embeddings, id_col, vec_col, query_filter, max_queries, op_name):
+def _bounded_query_rows(
+    embeddings, id_col, vec_col, query_filter, max_queries, op_name,
+    extra_cols=(),
+):
     """Collect the query set with an explicit bound — an unbounded
     ``collect()`` of the whole corpus is a driver OOM at scale, so it is
     a usage error, not a silent default."""
-    q = embeddings.select(F.col(id_col), F.col(vec_col))
+    q = embeddings.select(
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols]
+    )
     if query_filter is not None:
         q = q.filter(query_filter)
     elif max_queries is None:
@@ -182,6 +187,125 @@ def cosine_topk_bruteforce(
         rank_col="rank",
         keep_rank=True,
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 8,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each (bounded)
+    query vector, the exact top-k most-cosine-similar corpus vectors
+    whose ``label_col`` DIFFERS from the query's — the classic
+    "hardest negatives" batch-construction step for embedding-model
+    training. Returns (vec_id, rank, neighbor_id, neighbor_label,
+    cos_sim); reference parity: the reference has no ANN surface, this
+    extends the training-data family per SURVEY §2.
+
+    Scale design: identical to :func:`cosine_topk_bruteforce` — the
+    bounded query set ships inside the scoring closure as a
+    unit-normalized float64 matrix PLUS a label vector; the corpus
+    never leaves its partitions, each Arrow batch is scored by one BLAS
+    matmul with the same-label columns masked out vectorized, and the
+    shuffle carries only ``partitions x |queries| x k`` candidates into
+    the final global window. The self-row is excluded for free (it
+    always shares the query's label). Labels are assumed non-null.
+
+    ``cos_sim`` is rounded (default 8dp) BEFORE ranking with a
+    neighbor-id tie-break, so ordering is reproducible across engines.
+    """
+    import numpy as np
+
+    qrows = _bounded_query_rows(
+        embeddings, id_col, vec_col, query_filter, max_queries,
+        "hard_negative_topk", extra_cols=(label_col,),
+    )
+    schema = (
+        "vec_id bigint, rank int, neighbor_id bigint, "
+        "neighbor_label int, cos_sim double"
+    )
+    if not qrows:
+        return embeddings.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_labels = [int(r[2]) for r in qrows]
+    qm = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    rf = float(10**round_scale)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nl"),
+        F.col(vec_col).alias("cv"),
+    )
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            t = qm @ cm.T
+            # half-away-from-zero (functions.money.dround twin)
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
+            nids = pdf["neighbor_id"].to_numpy()
+            nlabels = pdf["nl"].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                heap = heaps[int(qid)]
+                s = sims[qi]
+                neq = nlabels != q_labels[qi]
+                # vectorized prefilter: cross-label AND beats-or-ties
+                # the worst kept candidate
+                if len(heap) >= k:
+                    idxs = np.nonzero((s >= heap[0][0]) & neq)[0]
+                else:
+                    idxs = np.nonzero(neq)[0]
+                for ci in idxs:
+                    # min-heap keyed (cos asc, neighbor desc): root is
+                    # the WORST kept under (cos desc, neighbor asc);
+                    # nid is unique so the label never gets compared
+                    item = (float(s[ci]), -int(nids[ci]), int(nlabels[ci]))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, nl, cos)
+            for qid, heap in heaps.items()
+            for cos, neg_nid, nl in heap
+        ]
+        yield pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "neighbor_label", "cos_sim"]
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64",
+             "neighbor_label": "int32", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition,
+        schema="vec_id bigint, neighbor_id bigint, neighbor_label int, cos_sim double",
+    )
+    return top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "vec_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", "neighbor_label", "cos_sim",
+    )
 
 
 def cosine_near_dup_pairs(

@@ -20,10 +20,12 @@ from ..llm.dedup import (
     simhash_pairs,
 )
 from ..llm.multimodal import decode_media_stats, to_media_column
+from ..llm.projection import jl_random_projection
 from ..llm.similarity import (
     ann_recall_summary,
     cosine_near_dup_pairs,
     cosine_topk_bruteforce,
+    hard_negative_topk,
     hyperplane_lsh_topk,
     ivf_topk,
     lsh_near_dup_pairs,
@@ -1082,6 +1084,67 @@ SELECT vec_id, CAST(rnk AS int) AS rank, neighbor_id, cos_sim FROM ranked WHERE 
 def emb_cosine_topk(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+
+
+_HARDNEG_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 100),
+scored AS (
+    SELECT q.vec_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+           {o_round('list_dot_product(q.e, a.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(a.e, a.e)))', 8)} AS cos_sim
+    FROM q JOIN v a ON a.label <> q.label
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, neighbor_label, cos_sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT vec_id, CAST(rnk AS int) AS rank, neighbor_id, neighbor_label, cos_sim
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("emb_hard_negatives", oracle=_HARDNEG_ORACLE,
+          doc="Hard-negative mining for contrastive training: exact top-5 most-similar "
+              "CROSS-label neighbors per query vector (vec_id < 100) — same bounded-query "
+              "BLAS scan as emb_cosine_topk with the same-label columns masked per batch")
+def emb_hard_negatives(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, k=5, query_filter=F.col("vec_id") < 100)
+
+
+# DuckDB twin of llm/projection.py: the Rademacher sign of matrix cell
+# (i, j) is the low bit of md5('rp{i}_{j}') — md5_number_upper's low
+# bit equals Python md5(tag).digest()[0] & 1 (same identity the
+# SimHash oracle is bit-verified on). Both engines fold the signed
+# terms strictly left-to-right (F.aggregate == list_reduce), and the
+# +-1 multiplies are IEEE-exact, so parity never rides on float
+# associativity.
+_RP_TERM = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CASE WHEN md5_number_upper('rp' || CAST(i - 1 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) & 1 = 1 "
+    "THEN ev[i] ELSE -ev[i] END), (a, b) -> a + b) / sqrt(16.0)"
+)
+
+_RP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+j AS (SELECT CAST(unnest(range(16)) AS INT) AS j),
+p AS (
+    SELECT e.vec_id, j.j, {o_round(_RP_TERM, 8)} AS pv
+    FROM e CROSS JOIN j
+)
+SELECT vec_id, list(pv ORDER BY j) AS rp FROM p GROUP BY vec_id
+"""
+
+
+@register("emb_random_projection", oracle=_RP_ORACLE,
+          doc="Johnson-Lindenstrauss 64->16 Rademacher projection (Achlioptas sign "
+              "matrix derived from md5, regenerable by the SQL oracle) — zero-shuffle "
+              "zero-Python whole-stage-codegen map; the dim-reduce pre-step for "
+              "billion-vector dedup/clustering pipelines")
+def emb_random_projection(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return jl_random_projection(emb, out_dim=16, in_dim=64)
 
 
 _CENTROID_KNN_ORACLE = f"""

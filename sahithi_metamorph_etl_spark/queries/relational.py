@@ -1571,6 +1571,51 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+_Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY o_totalprice DESC, order_date, o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_volume_customer", oracle=_Q18_ORACLE,
+          doc="TPC-H Q18 shape (large-volume customers): HAVING-subquery turned "
+              "into aggregate-then-join — lineitem aggregates ONCE per orderkey "
+              "(map-side partial sum, the single fact shuffle), the >300 filter "
+              "makes that side ~0.1% of orders so AQE may broadcast it locally "
+              "but no hint is hard-coded (at 100 TB it is still millions of "
+              "rows), then orders joins the survivors and the customer dim "
+              "broadcasts. l_quantity is integral-valued double, so the re-used "
+              "aggregate is order-independent and exact")
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    c = read_testdata(spark, sf_dir, "customer")
+    o = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("order_date"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 _SCD2_ASOF_ORACLE = """
 WITH dim AS (
   SELECT c_custkey, c_mktsegment, c_acctbal,

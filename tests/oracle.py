@@ -40,6 +40,15 @@ def _canon_value(v):
         return v.isoformat()
     if isinstance(v, (int,)):
         return str(v)
+    # array-valued cells: Spark toPandas and DuckDB fetchdf both hand
+    # list columns back as numpy arrays — recurse elementwise (the
+    # driver's comparator does the same over collect()ed lists)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_value(x) for x in v.tolist()) + "]"
     if pd.isna(v):
         return "∅"
     return str(v)

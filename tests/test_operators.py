@@ -2427,6 +2427,7 @@ def test_semdedup_prune_matches_per_cluster_bruteforce(spark, sf_dir):
 
     got = {r["vec_id"] for r in semdedup_prune(emb, threshold=0.4, k=8, n_iter=2).collect()}
     assert got == survivors
+    assert len(got) < len(vecs)  # something was actually pruned at 0.4
 
 
 def test_kmeans_assign_chunked_equals_full_argmin_past_256_centroids(spark):
@@ -2493,7 +2494,73 @@ def test_semdedup_strips_equal_full_matrix_and_guard_fires(spark):
         semdedup_prune(
             emb, threshold=0.999, k=1, n_iter=1, max_cluster_rows=100
         ).collect()
-    assert len(got) < len(vecs)  # something was actually pruned at 0.4
+
+
+def test_hard_negative_topk_matches_naive_and_masks_labels(spark, sf_dir):
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _nround,
+        hard_negative_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    want = {}
+    for q in (v for v in sorted(vecs) if v < 50):
+        u = vecs[q] / max(float(np.linalg.norm(vecs[q])), 1e-12)
+        scored = sorted(
+            (-float(_nround(float(u @ (vecs[o] / max(float(np.linalg.norm(vecs[o])), 1e-12))), 8)), o)
+            for o in vecs
+            if labels[o] != labels[q]
+        )
+        want[q] = [(i + 1, o, -s) for i, (s, o) in enumerate(scored[:3])]
+
+    got = {}
+    for r in hard_negative_topk(emb, k=3, query_filter=F.col("vec_id") < 50).collect():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+        # every returned neighbor carries its OWN label and it differs
+        # from the query's (self-exclusion follows)
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["neighbor_label"] != labels[r["vec_id"]]
+        assert r["neighbor_id"] != r["vec_id"]
+    for q in got:
+        got[q].sort()
+    assert got == want
+
+
+def test_jl_random_projection_matches_sequential_fold_zero_shuffle(spark, sf_dir):
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.projection import (
+        jl_random_projection,
+        rademacher_signs,
+    )
+    from sahithi_metamorph_etl_spark.llm.similarity import _nround
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = jl_random_projection(emb, out_dim=16, in_dim=64)
+    s = plan_summary(df)
+    # pure map over the scan: no shuffle, no Python stage, one scan
+    assert s.shuffles == 0 and s.python_stages == 0 and s.file_scans == 1
+
+    signs = rademacher_signs(64, 16)
+    got = {r["vec_id"]: list(r["rp"]) for r in df.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    for r in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in r["embedding"]]
+        for j in range(16):
+            acc = 0.0  # the same left-to-right fold the plan pins
+            for x, sgn in zip(v, signs[j]):
+                acc += x * sgn
+            assert got[r["vec_id"]][j] == float(_nround(acc / 4.0, 8))
+
+    # in_dim inference on an empty frame yields an empty result
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert jl_random_projection(empty, out_dim=4).count() == 0
 
 
 def test_dsir_weights_separate_target_vocab(spark):
