@@ -112,6 +112,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "emb_random_projection",
     "tpch_q18_large_volume_customer",
+    "emb_rp_rerank_topk",
 ]
 
 

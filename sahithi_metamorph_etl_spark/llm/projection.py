@@ -92,3 +92,77 @@ def jl_random_projection(
         for j in range(out_dim)
     ]
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def rp_rerank_topk(
+    emb: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    oversample: int = 4,
+    query_filter=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+    decimals: int = 8,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: JL-project the corpus, take cosine
+    top-``k*oversample`` CANDIDATES in the cheap ``out_dim`` space,
+    then exact-rerank only those candidates in the original space.
+    Returns (vec_id, rank, neighbor_id, cos_sim) — same shape as
+    :func:`..similarity.cosine_topk_bruteforce`.
+
+    Scale shape: the candidate stage is still a linear scan, but over a
+    ``out_dim/in_dim``-sized column (4x fewer flops and 4x less memory
+    bandwidth at 64->16 — the same accelerator idea as PQ's ADC, not
+    sublinear like IVF; compose with IVF list-pruning for that). The
+    rerank touches only |queries| x k x oversample rows: the corpus
+    joins a BROADCAST candidate list, so full-width vectors are read
+    for ~0.01% of rows and the corpus never shuffles. Candidate and
+    rerank scores both round (half-away) to ``decimals`` with a
+    neighbor-id tie-break, so an external oracle can replay both
+    stages exactly."""
+    from ..operators.windows import top_k_per_group
+    from .similarity import _dot, _norm, cosine_topk_bruteforce
+
+    proj = jl_random_projection(
+        emb, out_dim=out_dim, id_col=id_col, vec_col=vec_col, in_dim=in_dim
+    )
+    cand = cosine_topk_bruteforce(
+        proj,
+        k=k * oversample,
+        query_filter=query_filter,
+        id_col=id_col,
+        vec_col="rp",
+        round_scale=decimals,
+        max_queries=max_queries,
+    ).select("vec_id", "neighbor_id")
+
+    q = emb
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    q = q.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__qv"))
+    nbr = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+    scored = (
+        nbr.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "vec_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            dround(
+                _dot(F.col("__qv"), F.col("__nv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__nv"))),
+                decimals,
+            ).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim"
+    )

@@ -20,7 +20,7 @@ from ..llm.dedup import (
     simhash_pairs,
 )
 from ..llm.multimodal import decode_media_stats, to_media_column
-from ..llm.projection import jl_random_projection
+from ..llm.projection import jl_random_projection, rp_rerank_topk
 from ..llm.similarity import (
     ann_recall_summary,
     cosine_near_dup_pairs,
@@ -1120,11 +1120,18 @@ def emb_hard_negatives(spark, sf_dir):
 # terms strictly left-to-right (F.aggregate == list_reduce), and the
 # +-1 multiplies are IEEE-exact, so parity never rides on float
 # associativity.
-_RP_TERM = (
-    "list_reduce(list_transform(range(1, 65), i -> "
-    "CASE WHEN md5_number_upper('rp' || CAST(i - 1 AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) & 1 = 1 "
-    "THEN ev[i] ELSE -ev[i] END), (a, b) -> a + b) / sqrt(16.0)"
-)
+def _rp_fold_sql(arr: str, jref: str, in_dim: int = 64, out_dim: int = 16) -> str:
+    """One projected coordinate: the signed sequential fold over
+    ``arr`` for output dim ``jref`` (DuckDB list_reduce == Spark
+    F.aggregate, both strictly left-to-right)."""
+    return (
+        f"list_reduce(list_transform(range(1, {in_dim + 1}), i -> "
+        f"CASE WHEN md5_number_upper('rp' || CAST(i - 1 AS VARCHAR) || '_' || CAST({jref} AS VARCHAR)) & 1 = 1 "
+        f"THEN {arr}[i] ELSE -{arr}[i] END), (a, b) -> a + b) / sqrt({float(out_dim)!r})"
+    )
+
+
+_RP_TERM = _rp_fold_sql("ev", "j.j", 64, 16)
 
 _RP_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
@@ -1145,6 +1152,9 @@ SELECT vec_id, list(pv ORDER BY j) AS rp FROM p GROUP BY vec_id
 def emb_random_projection(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
     return jl_random_projection(emb, out_dim=16, in_dim=64)
+
+
+# (emb_rp_rerank_topk is registered below, after _ann_summary_sql.)
 
 
 _CENTROID_KNN_ORACLE = f"""
@@ -1420,6 +1430,53 @@ def emb_lsh_mp_topk(spark, sf_dir):
         emb, k=5, n_planes=4, query_filter=F.col("vec_id") < 100, n_probes=2
     )
     return ann_recall_summary(exact, ann, recall_floor=0.12)
+
+
+# Two-stage retrieval CTEs: project (64->32), candidate top-40 by
+# rp-space cosine, exact rerank in the original space, top-5. Every
+# score rounds half-away to 8dp with a neighbor-id tie-break, so both
+# stages replay exactly; `v`/`exact` come from _ANN_EXACT_CTES.
+_RP_ANN_CTES = f"""
+rpj AS (SELECT v.vec_id, j.j, {o_round(_rp_fold_sql("v.e", "j.j", 64, 32), 8)} AS pv
+        FROM v CROSS JOIN (SELECT CAST(unnest(range(32)) AS INT) AS j) j),
+rpm AS (SELECT vec_id, list(pv ORDER BY j) AS rp FROM rpj GROUP BY vec_id),
+rp_scored AS (
+    SELECT q.vec_id, a.vec_id AS neighbor_id,
+           {o_round('list_dot_product(q.rp, a.rp) / (sqrt(list_dot_product(q.rp, q.rp)) * sqrt(list_dot_product(a.rp, a.rp)))', 8)} AS rp_sim
+    FROM rpm q JOIN rpm a ON a.vec_id <> q.vec_id
+    WHERE q.vec_id < 100),
+rp_cand AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY rp_sim DESC, neighbor_id) AS rnk
+    FROM rp_scored) WHERE rnk <= 40),
+rr AS (SELECT c.vec_id, c.neighbor_id,
+              {o_round('list_dot_product(q.e, a.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(a.e, a.e)))', 8)} AS cos_sim
+       FROM rp_cand c
+       JOIN v q ON q.vec_id = c.vec_id
+       JOIN v a ON a.vec_id = c.neighbor_id),
+ann AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM rr) WHERE rnk <= 5)"""
+
+
+@register("emb_rp_rerank_topk", oracle=_ann_summary_sql(_RP_ANN_CTES, 0.25),
+          doc="Two-stage retrieval: JL 64->32 candidate scan (half the flops and "
+              "bandwidth of the full-width scan) + exact rerank of the broadcast "
+              "top-40 candidate list — ONE deterministic recall summary row. "
+              "HASH-GRADE: the oracle regenerates the Rademacher matrix from md5, "
+              "replays the projection, both ranking stages AND the exact twin in "
+              "DuckDB. Measured recall 0.586 at sf0.001 / 0.542 at sf0.01 "
+              "(floor 0.25, ~2x margin); a linear-scan accelerator like PQ's ADC, "
+              "not sublinear — compose with IVF list-pruning for that")
+def emb_rp_rerank_topk(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=F.col("vec_id") < 100)
+    ann = rp_rerank_topk(
+        emb, k=5, out_dim=32, oversample=8,
+        query_filter=F.col("vec_id") < 100, in_dim=64,
+    )
+    return ann_recall_summary(exact, ann, recall_floor=0.25)
 
 
 @register("emb_ivf_topk", oracle=_ann_summary_sql(_IVF_ANN_CTES, 0.2),
