@@ -56,12 +56,20 @@ def noop(df):
 
 
 def run_surface(emb, nrows: int) -> dict:
+    from sahithi_metamorph_etl_spark.llm.projection import rp_rerank_topk
+
     res: dict = {"rows": nrows}
     res["hard_negatives_sec"] = timed_best(
         lambda: noop(hard_negative_topk(emb, k=5, query_filter=F.col("vec_id") < 100))
     )
     res["random_projection_sec"] = timed_best(
         lambda: noop(jl_random_projection(emb, out_dim=16, in_dim=64))
+    )
+    res["rp_rerank_sec"] = timed_best(
+        lambda: noop(rp_rerank_topk(
+            emb, k=5, out_dim=32, oversample=8,
+            query_filter=F.col("vec_id") < 100, in_dim=64,
+        ))
     )
     return res
 
