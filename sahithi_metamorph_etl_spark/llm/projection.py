@@ -76,22 +76,30 @@ def jl_random_projection(
     scale = math.sqrt(float(out_dim))
     vec = F.col(vec_col)
     comps = [
-        dround(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(s) for s in signs[j]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(scale),
-            decimals,
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        / F.lit(scale)
         for j in range(out_dim)
     ]
-    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+    # round INSIDE a transform lambda over the assembled array: dround
+    # on each component would inline the whole fold into both its
+    # sign() and abs() branches, and higher-order functions are
+    # CodegenFallback where per-expression CSE does not apply — this
+    # form evaluates each in_dim-element fold exactly once. The lambda
+    # is dround's exact IEEE op sequence, so values are unchanged.
+    rf = float(10**decimals)
+    rounded = F.transform(
+        F.array(*comps),
+        lambda x: F.signum(x) * F.floor(F.abs(x) * F.lit(rf) + F.lit(0.5)) / F.lit(rf),
+    )
+    return df.select(F.col(id_col), rounded.alias(out_col))
 
 
 def rp_rerank_topk(
