@@ -31,9 +31,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import dround
-
-
 def _md5_low_bit(tag: str) -> int:
     """Low bit of the little-endian int64 of md5's first 8 bytes — the
     Python twin of DuckDB ``md5_number_upper(tag) & 1`` (same identity
@@ -131,7 +128,7 @@ def rp_rerank_topk(
     neighbor-id tie-break, so an external oracle can replay both
     stages exactly."""
     from ..operators.windows import top_k_per_group
-    from .similarity import _dot, _norm, cosine_topk_bruteforce
+    from .similarity import _dot, _dround_once, _norm, cosine_topk_bruteforce
 
     proj = jl_random_projection(
         emb, out_dim=out_dim, id_col=id_col, vec_col=vec_col, in_dim=in_dim
@@ -157,7 +154,7 @@ def rp_rerank_topk(
         .select(
             "vec_id",
             "neighbor_id",
-            dround(
+            _dround_once(
                 _dot(F.col("__qv"), F.col("__nv"))
                 / (_norm(F.col("__qv")) * _norm(F.col("__nv"))),
                 decimals,

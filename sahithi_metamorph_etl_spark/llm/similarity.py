@@ -38,6 +38,23 @@ def _norm(a: Column) -> Column:
     return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12))
 
 
+def _dround_once(c: Column, scale: int = 8) -> Column:
+    """``dround`` with its argument evaluated ONCE: binds ``c`` as a
+    transform lambda variable. dround's sign() and abs() branches
+    otherwise inline the child twice, and higher-order functions are
+    CodegenFallback where per-expression CSE does not apply — for a
+    fold-heavy child (``_dot``/``_norm``) that doubles the row cost.
+    Same IEEE op sequence, bit-identical values."""
+    rf = float(10**scale)
+    return F.element_at(
+        F.transform(
+            F.array(c),
+            lambda x: F.signum(x) * F.floor(F.abs(x) * F.lit(rf) + F.lit(0.5)) / F.lit(rf),
+        ),
+        1,
+    )
+
+
 def _nround(t, scale: int = 8):
     """numpy twin of functions.money.dround (half-away-from-zero via
     sign/abs/floor — bit-identical in any engine evaluating the same
@@ -898,7 +915,7 @@ def hyperplane_lsh_topk(
     # sign bit on the ROUNDED dot (8dp dround, oracle twin o_round):
     # an ulp of accumulation skew at the 0 boundary must not flip a
     # bucket between engines
-    dots = F.transform(plane_arr, lambda p: dround(_dot(F.col(vec_col), p), 8))
+    dots = F.transform(plane_arr, lambda p: _dround_once(_dot(F.col(vec_col), p), 8))
     sig_from = lambda d: F.concat_ws(  # noqa: E731
         "", F.transform(d, lambda x: F.when(x >= 0, "1").otherwise("0"))
     )
@@ -945,7 +962,7 @@ def hyperplane_lsh_topk(
     c = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
     pairs = q.join(c, "bucket").filter(F.col("vec_id") != F.col("neighbor_id"))
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = pairs.select("vec_id", "neighbor_id", dround(cos, 8).alias("cos_sim"))
+    scored = pairs.select("vec_id", "neighbor_id", _dround_once(cos, 8).alias("cos_sim"))
     return top_k_per_group(
         scored,
         partition_by=["vec_id"],
