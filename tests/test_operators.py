@@ -2676,6 +2676,62 @@ def test_dsir_gumbel_sample_respects_weights_and_layout(spark):
     assert again == {(r["doc_id"], r["sample_key"]) for r in out}
 
 
+def test_hard_negative_property_matches_naive_on_random_corpora(spark):
+    """hard_negative_topk == exhaustive cross-label ranking for ANY
+    corpus — hypothesis over small discrete-valued vectors (forcing
+    genuine rounded-cosine ties, so the neighbor-id tie-break is
+    exercised) with random labels (including all-same-label queries,
+    which must emit nothing)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _nround,
+        hard_negative_topk,
+    )
+
+    vec = st.lists(
+        st.sampled_from([0.0, 0.5, 1.0, -0.5]), min_size=3, max_size=3
+    )
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(st.tuples(vec, st.integers(0, 2)), min_size=3, max_size=12),
+        st.integers(min_value=1, max_value=3),
+    )
+    def check(items, k):
+        rows = [(i, [float(x) for x in v], lab) for i, (v, lab) in enumerate(items)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        )
+        want = {}
+        for i, vi, li in rows:
+            scored = sorted(
+                (-float(_nround(float(unit(vi) @ unit(vj)), 8)), j, lj)
+                for j, vj, lj in rows
+                if lj != li
+            )
+            if scored:
+                want[i] = [
+                    (r + 1, j, lj, -s) for r, (s, j, lj) in enumerate(scored[:k])
+                ]
+        got = {}
+        for r in hard_negative_topk(emb, k=k, query_filter=F.lit(True)).collect():
+            got.setdefault(r["vec_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["neighbor_label"], r["cos_sim"])
+            )
+        for q in got:
+            got[q].sort()
+        assert got == want
+
+    check()
+
+
 def test_kmeans_property_matches_naive_on_random_corpora(spark):
     """kmeans_lloyd == the sequential replay for ANY vector set —
     hypothesis over small discrete-valued corpora (discrete values
