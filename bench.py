@@ -113,6 +113,7 @@ HEADLINE = [
     "emb_random_projection",
     "tpch_q18_large_volume_customer",
     "emb_rp_rerank_topk",
+    "doc_containment_pairs",
 ]
 
 

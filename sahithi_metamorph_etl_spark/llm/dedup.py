@@ -275,6 +275,78 @@ def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> Data
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs (Broder's containment):
+    ``C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``.
+    Returns (doc_a, doc_b, containment_a_in_b, containment_b_in_a) for
+    doc_a < doc_b where EITHER direction >= ``threshold`` — the measure
+    that catches sub-documents (quotes, boilerplate-wrapped reposts, a
+    chunk extracted from a longer doc), which symmetric Jaccard scores
+    low because the size imbalance dominates the union.
+
+    Scale shape: same inverted-index self-join as the exact Jaccard
+    path (one shingle shuffle, pair fan-out sum of freq² per shingle);
+    ``max_shingle_freq`` drops boilerplate shingles BEFORE the
+    self-join with the same approximation contract as
+    ``jaccard_pairs`` (per-doc sizes recomputed on the capped index so
+    ratios stay internally consistent). A containment-specific prefix
+    filter (c >= ceil(t·|A|) binds only the CONTAINED side, so only
+    A-side prefixes join the full index) is the next pruning step at
+    open-web scale; the exact form here is the correctness baseline.
+    Docs with fewer than ``n`` tokens have no shingles and never pair.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"containment_pairs: threshold must be in (0, 1], got {threshold!r}"
+        )
+    from pyspark import StorageLevel
+
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    # the index feeds three consumers (sizes + both join sides)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") * 1.0 / F.col("n_a")).alias("containment_a_in_b"),
+            (F.col("n_common") * 1.0 / F.col("n_b")).alias("containment_b_in_a"),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            ) >= threshold
+        )
+    )
+
+
 def _shingle_hash_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:

@@ -195,13 +195,15 @@ _PRIORITY: tuple[str, ...] = (
     "events_asof_join", "events_interval_join", "events_json_extract",
     "events_cumulative_new_users",
     # streak-1 fillers, one per family; ANN + dedup entries preferred
-    # because this round touches those code paths. TEN filler slots
+    # because this round touches those code paths. ELEVEN filler slots
     # ceded mid-r11 to the rule-2 newborns below — six
     # (top10_orders, emb_cosine_topk, orders_grouping_sets,
     # doc_token_stats, orders_column_profile, events_funnel) to the
-    # first newborn batch, then four more (customer_running_total,
-    # salted_skew_join, orders_price_quantile_hist, doc_pii_scrub) to
-    # the late batch; the ceded entries become r12 must-returns and
+    # first newborn batch, then five more (customer_running_total,
+    # salted_skew_join, orders_price_quantile_hist, doc_pii_scrub,
+    # multimodal_jpeg_roundtrip — codec family stays repped by the
+    # decode/wav must-returns) to the late batch; the ceded entries
+    # become r12 must-returns and
     # their families stay represented (windows/running via the gapfill
     # must-return; skew via adaptive_salted_skew_join; sketches via
     # sketch_distinct_counts; top-k via top_part_per_supplier +
@@ -214,12 +216,12 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_upsert_roundtrip",
     "doc_jaccard_pairs", "corpus_dedup_report",
     "emb_pq_topk", "emb_ivf_topk",
-    "multimodal_jpeg_roundtrip",
     # r11-born (rule 2: never externally checked => must be in the 50)
     "emb_kmeans_clusters", "emb_semdedup_prune", "emb_ivf_kmeans_topk",
     "doc_dsir_weights", "doc_quality_classifier", "doc_dsir_sample",
     "emb_hard_negatives", "emb_random_projection",
     "tpch_q18_large_volume_customer", "emb_rp_rerank_topk",
+    "doc_containment_pairs",
 )
 
 

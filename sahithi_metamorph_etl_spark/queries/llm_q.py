@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import o_round
 from ..llm.dedup import (
+    containment_pairs,
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -827,6 +828,32 @@ WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.8
           doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8)")
 def doc_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_CONTAINMENT_ORACLE = """
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+shl AS (SELECT doc_id, list_transform(range(greatest(len(w)-2, 0)),
+                                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) sl FROM words),
+sh AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / x.n AS containment_a_in_b,
+       n_common * 1.0 / y.n AS containment_b_in_a
+FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE greatest(n_common * 1.0 / x.n, n_common * 1.0 / y.n) >= 0.8
+"""
+
+
+@register("doc_containment_pairs", oracle=_CONTAINMENT_ORACLE,
+          doc="Asymmetric Broder CONTAINMENT pairs (|A∩B|/|A|, threshold 0.8 on the "
+              "larger direction): catches sub-documents — quotes, boilerplate-wrapped "
+              "reposts, chunks of longer docs — that symmetric Jaccard misses because "
+              "the size imbalance dominates the union; same inverted-index shape as "
+              "doc_jaccard_pairs")
+def doc_containment_pairs(spark, sf_dir):
+    return containment_pairs(read_testdata(spark, sf_dir, "documents"), threshold=0.8)
 
 
 _HOT_SHINGLES_ORACLE = """

@@ -305,6 +305,66 @@ def test_jaccard_pairs_threshold_validation_and_release(spark, sf_dir):
     release.release()  # idempotent
 
 
+def test_containment_pairs_matches_naive_and_catches_subdocs(spark):
+    from sahithi_metamorph_etl_spark.llm.dedup import containment_pairs
+
+    # doc 1 is a strict sub-document of doc 0 (its shingles are a
+    # subset): containment 1-in-0 is 1.0 while Jaccard is low; doc 2 is
+    # unrelated; doc 3 is too short for a 3-gram (never pairs)
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "c d e f g"),
+        (2, "x y z w v u"),
+        (3, "q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    sh = {i: shingles(t) for i, t in rows}
+    for a in sh:
+        for b in sh:
+            if a >= b or not sh[a] or not sh[b]:
+                continue
+            c = len(sh[a] & sh[b])
+            ca, cb = c / len(sh[a]), c / len(sh[b])
+            if c and max(ca, cb) >= 0.5:
+                want[(a, b)] = (ca, cb)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a_in_b"], r["containment_b_in_a"])
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want
+    assert got[(0, 1)][1] == 1.0  # the sub-document direction saturates
+    assert all(3 not in p and 2 not in p for p in got)
+
+    # jaccard at the same threshold misses the asymmetric pair
+    jac = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) not in jac
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold=0.0)
+
+    # hot-shingle cap: capped shingles leave the index entirely —
+    # planting the shared shingles in >max_freq docs removes the pair
+    many = docs.union(
+        spark.createDataFrame(
+            [(10 + i, "c d e f g") for i in range(4)], "doc_id bigint, text string"
+        )
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(many, threshold=0.5, max_shingle_freq=3).collect()
+    }
+    assert (0, 1) not in capped  # their only shared shingles are now hot
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     from sahithi_metamorph_etl_spark.llm.similarity import ivf_topk
 
