@@ -56,8 +56,11 @@ def quality_features(
     """(id, y, x1..x4): y = 1.0 on the target slice; features are
     6dp-rounded doc statistics (log2 token count, stopword ratio,
     punctuation ratio, avg token length / 10 — the /10 keeps every
-    feature O(1) so one fixed learning rate suits all). Null-text rows
-    carry no evidence and are excluded by contract."""
+    feature O(1) so one fixed learning rate suits all). Null-text AND
+    empty-text rows carry no evidence and are excluded by contract
+    (an empty doc would make the punctuation ratio a 0/0 — Spark NULL
+    vs DuckDB NaN — silently dropping its gradient terms while still
+    counting in the denominator)."""
     text = F.col(text_col)
     w = _words(text)
     n_tokens = F.size(w).cast("bigint")
@@ -65,7 +68,7 @@ def quality_features(
     sum_token_len = F.length(F.regexp_replace(text, r"\s", "")).cast("bigint")
     stop = F.size(F.filter(w, lambda t: t.isin(*LANG_LEXICONS["en"]))).cast("bigint")
     punct = (F.length(text) - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("bigint")
-    return df.filter(text.isNotNull()).select(
+    return df.filter(text.isNotNull() & (F.length(text) > 0)).select(
         F.col(id_col),
         F.when(target, 1.0).otherwise(0.0).alias("y"),
         dround(F.log2(1 + n_tokens), 6).alias("x1"),

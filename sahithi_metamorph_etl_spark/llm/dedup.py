@@ -282,6 +282,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    return_release: bool = False,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs (Broder's containment):
     ``C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|``.
@@ -301,10 +302,20 @@ def containment_pairs(
     A-side prefixes join the full index) is the next pruning step at
     open-web scale; the exact form here is the correctness baseline.
     Docs with fewer than ``n`` tokens have no shingles and never pair.
+
+    With ``return_release=True`` returns ``(pairs, CacheRelease)`` —
+    same lifetime contract as ``jaccard_pairs(return_release=True)``:
+    the persisted shingle index drops on ``release()`` instead of
+    pinning block-manager storage for the session.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"containment_pairs: threshold must be in (0, 1], got {threshold!r}"
+        )
+    if max_shingle_freq is not None and max_shingle_freq < 2:
+        raise ValueError(
+            f"max_shingle_freq must be >= 2 (got {max_shingle_freq}): below 2 no "
+            "shingle can connect any pair and the output is empty"
         )
     from pyspark import StorageLevel
 
@@ -330,7 +341,7 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -345,6 +356,11 @@ def containment_pairs(
             ) >= threshold
         )
     )
+    if return_release:
+        from ..operators.windows import CacheRelease
+
+        return pairs, CacheRelease(sh)
+    return pairs
 
 
 def _shingle_hash_arrays(

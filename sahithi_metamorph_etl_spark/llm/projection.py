@@ -63,7 +63,16 @@ def jl_random_projection(
     one row when not given (pass it explicitly in pipelines to keep
     the plan action-free)."""
     if in_dim is None:
-        row = df.select(F.size(F.col(vec_col))).limit(1).collect()
+        # skip NULL vectors: F.size(NULL) is NULL and int(None) would
+        # crash; inference is layout-dependent on mixed-dim corpora —
+        # pass in_dim explicitly in pipelines (also keeps this
+        # plan-construction action-free)
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .limit(1)
+            .collect()
+        )
         if not row:
             return df.sparkSession.createDataFrame(
                 [], f"`{id_col}` bigint, `{out_col}` array<double>"

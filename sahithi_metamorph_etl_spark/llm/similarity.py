@@ -99,6 +99,93 @@ def _bounded_query_rows(
 
 
 
+def _topk_scorer(q_ids, qm, k, rf, exclude_self=True, q_labels=None):
+    """Shared ``mapInPandas`` scorer for the bounded-query BLAS top-k
+    scan (:func:`cosine_topk_bruteforce` / :func:`hard_negative_topk`):
+    per-partition heaps of the best (cos, neighbor) per query, each
+    Arrow batch scored by one matmul, candidates rounded half-away
+    BEFORE compare. With ``q_labels`` the corpus frame must also carry
+    the neighbor label as ``nl``: same-label columns are masked out
+    vectorized (hard negatives — the self row masks for free) and the
+    label rides through the heap into the output. The returned closure
+    is self-contained (pickles by value; no package refs)."""
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            t = qm @ cm.T
+            # half-AWAY-from-zero (functions.money.dround twin): np.round
+            # is half-to-even and can disagree with the oracle on .5 ties
+            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
+            nids = pdf["neighbor_id"].to_numpy()
+            nlabels = pdf["nl"].to_numpy() if q_labels is not None else None
+            for qi, qid in enumerate(q_ids):
+                heap = heaps[int(qid)]
+                s = sims[qi]
+                # vectorized prefilter: only items that can beat (or tie)
+                # the worst kept candidate — and, under a label mask,
+                # carry a DIFFERENT label — enter the Python loop
+                if q_labels is not None:
+                    elig = nlabels != q_labels[qi]
+                    if len(heap) >= k:
+                        elig &= s >= heap[0][0]
+                    idxs = np.nonzero(elig)[0]
+                elif len(heap) >= k:
+                    idxs = np.nonzero(s >= heap[0][0])[0]
+                else:
+                    idxs = range(len(nids))
+                for ci in idxs:
+                    nid = int(nids[ci])
+                    if exclude_self and nid == qid:
+                        continue
+                    # min-heap keyed (cos asc, neighbor desc): root is the
+                    # WORST kept candidate under (cos desc, neighbor asc);
+                    # nid is unique so a trailing label never compares
+                    item = (
+                        (float(s[ci]), -nid)
+                        if nlabels is None
+                        else (float(s[ci]), -nid, int(nlabels[ci]))
+                    )
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        if q_labels is None:
+            out = [
+                (int(qid), -it[1], it[0])
+                for qid, heap in heaps.items()
+                for it in heap
+            ]
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "cos_sim"]
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+            )
+        else:
+            out = [
+                (int(qid), -it[1], it[2], it[0])
+                for qid, heap in heaps.items()
+                for it in heap
+            ]
+            yield pd.DataFrame(
+                out, columns=["vec_id", "neighbor_id", "neighbor_label", "cos_sim"]
+            ).astype(
+                {"vec_id": "int64", "neighbor_id": "int64",
+                 "neighbor_label": "int32", "cos_sim": "float64"}
+            )
+
+    return score_partition
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     k: int = 5,
@@ -149,52 +236,9 @@ def cosine_topk_bruteforce(
     rf = float(10**round_scale)
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
 
-    # self-contained closure (pickles by value; no package refs)
-    def score_partition(batches):
-        import heapq
-
-        import numpy as np
-        import pandas as pd
-
-        heaps = {int(qid): [] for qid in q_ids}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-            t = qm @ cm.T
-            # half-AWAY-from-zero (functions.money.dround twin): np.round
-            # is half-to-even and can disagree with the oracle on .5 ties
-            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
-            nids = pdf["neighbor_id"].to_numpy()
-            for qi, qid in enumerate(q_ids):
-                heap = heaps[int(qid)]
-                s = sims[qi]
-                # vectorized prefilter: only items that can beat (or tie)
-                # the worst kept candidate enter the Python loop
-                idxs = np.nonzero(s >= heap[0][0])[0] if len(heap) >= k else range(len(nids))
-                for ci in idxs:
-                    nid = int(nids[ci])
-                    if exclude_self and nid == qid:
-                        continue
-                    # min-heap keyed (cos asc, neighbor desc): root is the
-                    # WORST kept candidate under (cos desc, neighbor asc)
-                    item = (float(s[ci]), -nid)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-        out = [
-            (int(qid), -neg_nid, cos)
-            for qid, heap in heaps.items()
-            for cos, neg_nid in heap
-        ]
-        yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "cos_sim"]).astype(
-            {"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
-        )
-
     candidates = corpus.mapInPandas(
-        score_partition, schema="vec_id bigint, neighbor_id bigint, cos_sim double"
+        _topk_scorer(q_ids, qm, k, rf, exclude_self=exclude_self),
+        schema="vec_id bigint, neighbor_id bigint, cos_sim double",
     )
     return top_k_per_group(
         candidates,
@@ -260,56 +304,8 @@ def hard_negative_topk(
         F.col(vec_col).alias("cv"),
     )
 
-    def score_partition(batches):
-        import heapq
-
-        import numpy as np
-        import pandas as pd
-
-        heaps = {int(qid): [] for qid in q_ids}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-            t = qm @ cm.T
-            # half-away-from-zero (functions.money.dround twin)
-            sims = np.sign(t) * np.floor(np.abs(t) * rf + 0.5) / rf
-            nids = pdf["neighbor_id"].to_numpy()
-            nlabels = pdf["nl"].to_numpy()
-            for qi, qid in enumerate(q_ids):
-                heap = heaps[int(qid)]
-                s = sims[qi]
-                neq = nlabels != q_labels[qi]
-                # vectorized prefilter: cross-label AND beats-or-ties
-                # the worst kept candidate
-                if len(heap) >= k:
-                    idxs = np.nonzero((s >= heap[0][0]) & neq)[0]
-                else:
-                    idxs = np.nonzero(neq)[0]
-                for ci in idxs:
-                    # min-heap keyed (cos asc, neighbor desc): root is
-                    # the WORST kept under (cos desc, neighbor asc);
-                    # nid is unique so the label never gets compared
-                    item = (float(s[ci]), -int(nids[ci]), int(nlabels[ci]))
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-        out = [
-            (int(qid), -neg_nid, nl, cos)
-            for qid, heap in heaps.items()
-            for cos, neg_nid, nl in heap
-        ]
-        yield pd.DataFrame(
-            out, columns=["vec_id", "neighbor_id", "neighbor_label", "cos_sim"]
-        ).astype(
-            {"vec_id": "int64", "neighbor_id": "int64",
-             "neighbor_label": "int32", "cos_sim": "float64"}
-        )
-
     candidates = corpus.mapInPandas(
-        score_partition,
+        _topk_scorer(q_ids, qm, k, rf, exclude_self=False, q_labels=q_labels),
         schema="vec_id bigint, neighbor_id bigint, neighbor_label int, cos_sim double",
     )
     return top_k_per_group(
@@ -1076,13 +1072,23 @@ def pq_topk(
     then a fixed budget proportional to the probed-list size is
     appropriate. Pass an explicit int to pin the budget (the graded
     catalog entry pins 128 so its oracle hash is scale-stable).
+
+    The auto budget is CAPPED at 8192: per-query per-partition heap
+    memory and the candidate shuffle both scale with ``k + rerank``,
+    so an uncapped n/16 would grow them linearly with the corpus (a
+    50M-row corpus would mean ~3M-entry heaps per query — executor
+    OOM). Past the cap, flat-scan PQ stops being the right tool:
+    compose with IVF so the per-probe pool, and hence a fixed budget,
+    stays bounded. The one ``count()`` job at call time is the
+    documented price of auto-scaling; pass an explicit ``rerank`` to
+    stay action-free.
     """
     import math
 
     import numpy as np
 
     if rerank is None:
-        rerank = max(128, math.ceil(embeddings.count() / 16))
+        rerank = max(128, min(math.ceil(embeddings.count() / 16), 8192))
 
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "pq_topk"

@@ -604,6 +604,7 @@ def dsir_gumbel_sample(
     seed: int = 42,
     id_col: str = "doc_id",
     weight_col: str = "avg_logratio",
+    carry_cols: tuple[str, ...] = ("n_tokens",),
 ) -> DataFrame:
     """Gumbel-top-k importance RESAMPLING over DSIR weights: draw ``k``
     documents without replacement with probability proportional to
@@ -619,6 +620,9 @@ def dsir_gumbel_sample(
     (0,1) with pure IEEE ops; keys round half-away at 6dp with id
     tie-breaks. The top-k is a sort+limit (distributed TakeOrdered —
     per-partition heaps, never a global sort materialization).
+    ``carry_cols`` are pure pass-through columns kept in the output
+    (the default matches ``dsir_logratio_weights``'s frame); pass
+    ``()`` for a weights frame that carries only id + weight.
     """
     from .dedup import _md5_64_le  # lazy: dedup imports this module
 
@@ -637,7 +641,10 @@ def dsir_gumbel_sample(
     key = dround(F.lit(float(tau)) * F.col(weight_col) + g, 6)
     return (
         weights.select(
-            F.col(id_col), "n_tokens", F.col(weight_col), key.alias("sample_key")
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col(weight_col),
+            key.alias("sample_key"),
         )
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)

@@ -380,7 +380,7 @@ def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5) -> str:
                  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                       t -> t IN ('the','of','and','is','to'))) AS bigint) AS stop,
                  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS bigint) AS punct
-          FROM documents WHERE text IS NOT NULL) b),
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0) b),
 wts0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
     z = o_round("w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4", 6)
     sig = o_round("1.0 / (1.0 + exp(-z))", 6)

@@ -364,6 +364,41 @@ def test_containment_pairs_matches_naive_and_catches_subdocs(spark):
     }
     assert (0, 1) not in capped  # their only shared shingles are now hot
 
+    with _pytest.raises(ValueError, match="max_shingle_freq"):
+        containment_pairs(docs, max_shingle_freq=1)  # silent-empty degenerate
+
+    # release handle: result unchanged, pinned index dropped after
+    pairs, release = containment_pairs(docs, threshold=0.5, return_release=True)
+    assert {
+        (r["doc_a"], r["doc_b"]) for r in pairs.collect()
+    } == set(want)
+    release.release()
+    release.release()  # idempotent
+
+
+def test_jl_inference_skips_null_rows_and_gumbel_carry_cols(spark):
+    from sahithi_metamorph_etl_spark.llm.projection import jl_random_projection
+    from sahithi_metamorph_etl_spark.llm.textstats import dsir_gumbel_sample
+
+    # in_dim inference must skip a NULL first vector, not crash
+    emb = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)
+    out = jl_random_projection(emb, out_dim=2)
+    got = {r["vec_id"]: r["rp"] for r in out.collect()}
+    assert len(got[1]) == 2
+    assert got[0] == [None, None]  # NULL vector -> NULL components, not a crash
+
+    # a weights frame without n_tokens works with carry_cols=()
+    w = spark.createDataFrame(
+        [(0, 1.5), (1, -0.5), (2, 0.25)], "doc_id bigint, avg_logratio double"
+    )
+    rows = dsir_gumbel_sample(w, k=2, carry_cols=()).collect()
+    assert len(rows) == 2 and set(rows[0].asDict()) == {
+        "doc_id", "avg_logratio", "sample_key"
+    }
+
 
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     from sahithi_metamorph_etl_spark.llm.similarity import ivf_topk
