@@ -339,6 +339,11 @@ def test_containment_pairs_matches_naive_and_catches_subdocs(spark):
         for r in containment_pairs(docs, threshold=0.5).collect()
     }
     assert got == want
+    # the prefix=True scale path must agree exactly
+    assert {
+        (r["doc_a"], r["doc_b"]): (r["containment_a_in_b"], r["containment_b_in_a"])
+        for r in containment_pairs(docs, threshold=0.5, prefix=True).collect()
+    } == want
     assert got[(0, 1)][1] == 1.0  # the sub-document direction saturates
     assert all(3 not in p and 2 not in p for p in got)
 

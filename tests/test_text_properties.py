@@ -571,6 +571,67 @@ def test_jaccard_prefix_equals_naive_on_random_corpora(spark, texts):
         assert got == want, (t, got ^ want)
 
 
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=10))
+def test_containment_prefix_equals_naive_on_random_corpora(spark, texts):
+    """Prefix-filtered containment_pairs must equal the naive
+    inverted-index form on ANY corpus. The containment prefix lemma is
+    subtler than Jaccard's — it binds only the CONTAINED (smaller)
+    side, with an id tie-break at equal sizes — so random small-vocab
+    corpora (maximal shingle collisions, frequent size ties) are the
+    right adversary for its completeness."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        _containment_from_shingles,
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+
+    def naive(threshold):
+        words = docs.select(
+            F.col("doc_id"),
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w"),
+        )
+        w = F.col("w")
+        grams = F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(3)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = (
+            words.select(F.col("doc_id"), F.explode(grams).alias("__s"))
+            .select(F.col("doc_id"), F.xxhash64("__s").alias("shingle"))
+            .distinct()
+        )
+        return _containment_from_shingles(sh, "doc_id", threshold)
+
+    def canon(rows):
+        return {
+            (
+                r["doc_a"],
+                r["doc_b"],
+                round(r["containment_a_in_b"], 9),
+                round(r["containment_b_in_a"], 9),
+            )
+            for r in rows
+        }
+
+    for t in (0.34, 0.85, 1.0):
+        got = canon(containment_pairs(docs, threshold=t, prefix=True).collect())
+        want = canon(naive(t).collect())
+        assert got == want, (t, got ^ want)
+        # the default (inverted-index) path runs the same engine as the
+        # naive model plus persist/cap plumbing — pin it once per corpus
+        if t == 0.85:
+            assert canon(containment_pairs(docs, threshold=t).collect()) == want
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_doc, min_size=2, max_size=8))
 def test_dsir_weights_match_python_model(spark, texts):
