@@ -613,19 +613,23 @@ def minhash_lsh_pairs(
     # in some candidate pair (the sub-quadratic point — verifying
     # against the full corpus would re-do the O(N^2) work).
     #
-    # Deliberately word_shingles (exploded STRING rows), not a reuse of
-    # _shingle_hash_arrays: exploding the HOF-built hash array inlines
-    # the whole nested transform chain into the Generate node and
-    # re-evaluates it per emitted row — measured 6.5s vs 0.7s for the
-    # plain exploded-shingle projection over the sf0.1 corpus. The
-    # array form exists for the SIGNATURE stage, whose consumer is an
-    # Arrow batch (no explode).
+    # _hashed_shingle_index, NOT an explode of _shingle_hash_arrays'
+    # HOF-built array: that explode inlines the whole nested transform
+    # chain into the Generate node and re-evaluates it per emitted row
+    # (measured 6.5s vs 0.7s over the sf0.1 corpus). The index helper
+    # hashes via a SCALAR projection AFTER the explode — long join
+    # keys at string-index cost (interleaved A/B ~5% off the LSH
+    # wall), uniform with jaccard/containment. The array form exists
+    # for the SIGNATURE stage, whose consumer is an Arrow batch (no
+    # explode).
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = word_shingles(df.join(cand_docs, id_col, "left_semi"), text_col, id_col, n)
+    sh_cand = _hashed_shingle_index(
+        df.join(cand_docs, id_col, "left_semi"), text_col, id_col, n
+    )
     exact = _jaccard_from_shingles(sh_cand, id_col, threshold=threshold)
     return candidates.join(exact, ["doc_a", "doc_b"])
 
