@@ -368,6 +368,14 @@ def test_containment_pairs_matches_naive_and_catches_subdocs(spark):
         for r in containment_pairs(many, threshold=0.5, max_shingle_freq=3).collect()
     }
     assert (0, 1) not in capped  # their only shared shingles are now hot
+    # the cap composes identically with the prefix path (sizes are
+    # recomputed on the capped index in both)
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(
+            many, threshold=0.5, max_shingle_freq=3, prefix=True
+        ).collect()
+    } == capped
 
     with _pytest.raises(ValueError, match="max_shingle_freq"):
         containment_pairs(docs, max_shingle_freq=1)  # silent-empty degenerate
