@@ -676,10 +676,16 @@ def ivf_build_index(
     else:
         cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
     spark = embeddings.sparkSession
+    # repartition(1), NOT coalesce(1): a driver-local DataFrame
+    # parallelizes into defaultParallelism Python-backed slices, and a
+    # coalesced single task evaluates every slice SEQUENTIALLY through
+    # the Python runner (~3.5 s of worker roundtrips for 16 rows,
+    # measured local[32]); the 16-row shuffle evaluates them in
+    # parallel first and costs nothing at any scale.
     spark.createDataFrame(
         [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
         "list_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
 
     cents_ship = cents.copy()
 
