@@ -458,6 +458,15 @@ def test_ivf_physical_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     list_dirs = [d for d in os.listdir(f"{idx}/lists") if d.startswith("list_id=")]
     assert 1 < len(list_dirs) <= 8
     assert spark.read.parquet(f"{idx}/lists").count() == emb.count()
+    # the k-row centroid table is ONE part file (single footer read at
+    # search time); pinned because the single-partition write must come
+    # from repartition(1) — coalesce(1) on the driver-local frame made
+    # one task evaluate all parallelize slices sequentially through the
+    # Python runner (~3.5s stall measured on local[32])
+    cent_parts = [
+        f for f in os.listdir(f"{idx}/centroids") if f.endswith(".parquet")
+    ]
+    assert len(cent_parts) == 1
 
     queries = emb.filter(F.col("vec_id") < 50)
     ann = ivf_search(spark, idx, queries, k=5, n_probe=4)
