@@ -508,6 +508,53 @@ def test_ivf_physical_index_prunes_probe_scan(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_ivf_physical_equals_logical_on_random_corpora(spark):
+    """The materialized index path (ivf_build_index + ivf_search) must
+    return EXACTLY what the index-free ivf_topk returns on ANY corpus —
+    the physical layout is a storage optimization, never a semantics
+    change. Discrete small-range coordinates force genuine rounded-dot
+    ties (duplicate vectors, zero vectors, equal cos_sims), exercising
+    the stored-assignment vs recomputed-assignment agreement, the
+    stable lowest-list-id probe tie-break, and the (sim, -nid) heap
+    tie-break on both paths; n may be below n_lists (fewer trained
+    centroids than lists) and k may exceed every list's population."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ivf_build_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    vec = st.lists(st.integers(min_value=-2, max_value=2), min_size=3, max_size=3)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(vec, min_size=2, max_size=14))
+    def check(vecs):
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in vv]) for i, vv in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        logical = ivf_topk(
+            emb, k=3, n_lists=3, n_probe=2, query_filter=F.col("vec_id") >= 0
+        )
+        idx = tempfile.mkdtemp(prefix="ivf_prop_")
+        try:
+            ivf_build_index(emb, idx, n_lists=3)
+            physical = ivf_search(spark, idx, emb, k=3, n_probe=2)
+            got = sorted(tuple(r) for r in physical.collect())
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        want = sorted(tuple(r) for r in logical.collect())
+        assert got == want, (vecs, got, want)
+
+    check()
+
+
 def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = cosine_topk_bruteforce(emb, k=1, query_filter=F.col("vec_id") < 50)
