@@ -126,8 +126,11 @@ def funnel(
         .groupBy("stage", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
-    # a stage nobody reached still gets its row (n_users = 0)
-    return stages_df.join(counts, ["stage", "event_type"], "left").select(
+    # a stage nobody reached still gets its row (n_users = 0). counts is
+    # k rows post-aggregation — hint it broadcast so the static plan is
+    # the BHJ AQE would pick anyway (stages_df is the PRESERVED side of
+    # the left join, so only counts is broadcastable)
+    return stages_df.join(F.broadcast(counts), ["stage", "event_type"], "left").select(
         "stage", "event_type", F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users")
     )
 

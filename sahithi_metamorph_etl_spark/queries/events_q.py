@@ -426,7 +426,9 @@ def events_stream_funnel(spark, sf_dir):
             .groupBy("stage", "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         )
-        return stages_df.join(counts, ["stage", "event_type"], "left").select(
+        # counts is k rows post-aggregation: broadcast, same as the
+        # batch funnel's backfill join
+        return stages_df.join(F.broadcast(counts), ["stage", "event_type"], "left").select(
             "stage",
             "event_type",
             F.coalesce("n_users", F.lit(0).cast("bigint")).alias("n_users"),
