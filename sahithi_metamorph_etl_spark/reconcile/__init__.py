@@ -1,3 +1,10 @@
 from .diff import DiffResult, diff
+from .report import deliver_recon_report, render_report_html, smtp_transport
 
-__all__ = ["DiffResult", "diff"]
+__all__ = [
+    "DiffResult",
+    "diff",
+    "deliver_recon_report",
+    "render_report_html",
+    "smtp_transport",
+]
