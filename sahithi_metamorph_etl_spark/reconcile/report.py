@@ -64,12 +64,10 @@ SECTION_TITLES = (
 )
 
 
-def _table_html(df: DataFrame, limit: int) -> str:
-    """Collect at most ``limit`` rows and render one HTML table —
-    header from the schema, every cell escaped (a value containing
-    markup must not inject into the report)."""
-    rows = df.limit(limit).collect()
-    cols = df.columns
+def _rows_html(rows, cols: Sequence[str]) -> str:
+    """Render collected rows as one HTML table — header from the
+    column list, every cell escaped (a value containing markup must
+    not inject into the report)."""
     head = "".join(f"<th>{_html.escape(c)}</th>" for c in cols)
     body = "".join(
         "<tr>"
@@ -82,15 +80,31 @@ def _table_html(df: DataFrame, limit: int) -> str:
     return f"<table><tr>{head}</tr>{body}</table>"
 
 
+def _table_html(df: DataFrame, limit: int) -> str:
+    """Collect at most ``limit`` rows and render one HTML table."""
+    return _rows_html(df.limit(limit).collect(), df.columns)
+
+
 def render_report_html(
     d: DiffResult,
     keys: Sequence[str],
     sample_rows: int = 15,
     extra_sample_rows: int = 5,
+    summary_rows: Sequence | None = None,
 ) -> str:
     """The five-section report body. ``keys`` are the reconciliation's
     PK columns — used to make the per-column sample and the extra-row
-    samples deterministically ordered."""
+    samples deterministically ordered. ``summary_rows`` lets a caller
+    that already collected the overall summary (the delivery path's
+    FAILED probe) hand the rows in instead of re-running the job.
+
+    The sections materialize several DiffResult members in one
+    session — exactly the case :func:`.diff.diff`'s docstring flags:
+    for LARGE reconciliations build the DiffResult with
+    ``diff(..., persist=True)`` (so the PK join backing the summary,
+    the per-column sample and the percentages computes once) and call
+    ``DiffResult.unpersist()`` after delivery; the default recomputes
+    the join per section, which is fine at report-sized inputs."""
     from ..operators.windows import top_k_per_group
 
     key_cols = [F.col(k).asc() for k in keys]
@@ -106,8 +120,13 @@ def render_report_html(
     pct_desc = d.column_mismatches.orderBy(
         F.col("pct_of_common").desc(), F.col("column_name").asc()
     )
+    summary_html = (
+        _rows_html(summary_rows, d.summary.columns)
+        if summary_rows is not None
+        else _table_html(d.summary, 1)
+    )
     sections = (
-        _table_html(d.summary, 1),
+        summary_html,
         _table_html(per_column_sample, sample_rows),
         _table_html(pct_desc, sample_rows),
         _table_html(d.source_only.orderBy(*key_cols), extra_sample_rows),
@@ -171,10 +190,17 @@ def deliver_recon_report(
     An empty overall-summary frame means the reconciliation itself
     produced nothing — subject flips to FAILED and the body is a
     failure paragraph, the reference's contract (``Raptor.py:252-258``).
-    The summary probe is ``limit(1)``— one row of driver traffic."""
-    if d.summary.limit(1).count() > 0:
+    (A ``diff()``-produced summary is one row by construction — the
+    branch exists for DiffResults assembled by other means.) The probe
+    collects the summary ONCE and hands the rows to the render, so the
+    happy path never recomputes it; for large inputs see
+    :func:`render_report_html`'s ``persist=True`` note."""
+    summary_rows = d.summary.limit(sample_rows).collect()
+    if summary_rows:
         subject = f"Reconciliation summary for {table_name}"
-        body = render_report_html(d, keys, sample_rows, extra_sample_rows)
+        body = render_report_html(
+            d, keys, sample_rows, extra_sample_rows, summary_rows=summary_rows
+        )
     else:
         subject = f"Reconciliation FAILED for {table_name}"
         body = "<p>Reconciliation produced no summary.</p>"
