@@ -16,6 +16,12 @@ Run from the repo root: ``python scripts/rotation_plan.py``.
 tests/test_entry.py pins the same check in CI so a round that adds
 entries or forgets to rotate fails loudly instead of silently
 starving an entry of external verification.
+
+``--propose`` additionally prints the NEXT round's slot arithmetic
+from the shipped history: the fixed slots (anchors + rule-2
+never-checked + rule-3 streak-2 must-returns), the free-slot count,
+and the streak-1 holdovers ranked as filler candidates — run it FIRST
+thing each round, after the driver writes the new CORRECTNESS file.
 """
 
 from __future__ import annotations
@@ -111,6 +117,32 @@ def main() -> int:
         print("out and accruing streak (must return within rule-3 bound):")
         for n in due:
             print(f"  {n}: out {info['streaks'][n]} round(s)")
+    if "--propose" in sys.argv:
+        streaks = info.get("streaks", {})
+        must = sorted(n for n, s in streaks.items() if s >= 2)
+        fixed = list(ANCHORS) + [n for n in never if n not in ANCHORS] + [
+            n for n in must if n not in ANCHORS and n not in never
+        ]
+        print(f"\nPROPOSAL for the round after r{info.get('last_round')}:")
+        print(f"  anchors: {len(ANCHORS)}")
+        print(f"  rule-2 never-checked: {len(never)} {never or ''}")
+        print(f"  rule-3 must-returns (streak>=2): {len(must)}")
+        for n in must:
+            print(f"    {n}")
+        free = 50 - len(fixed)
+        print(f"  fixed slots: {len(fixed)}  ->  free filler slots: {free}")
+        if free < 0:
+            print("  IMPOSSIBLE: fixed slots exceed 50 — the policy cannot be met")
+            return 1
+        fillers = sorted(
+            (n for n, s in streaks.items() if s == 1 and n not in set(fixed)),
+            key=str,
+        )
+        print(f"  streak-1 filler candidates ({len(fillers)}, pick one per family;")
+        print("  unchosen ones become the NEXT round's must-returns):")
+        for n in fillers:
+            print(f"    {n}")
+
     if errs:
         print("POLICY VIOLATIONS:")
         for e in errs:
