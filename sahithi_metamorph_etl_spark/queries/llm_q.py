@@ -1167,7 +1167,7 @@ p AS (
     SELECT e.vec_id, j.j, {o_round(_RP_TERM, 8)} AS pv
     FROM e CROSS JOIN j
 )
-SELECT vec_id, list(pv ORDER BY j) AS rp FROM p GROUP BY vec_id
+SELECT vec_id, j, pv AS rp_value FROM p
 """
 
 
@@ -1175,10 +1175,17 @@ SELECT vec_id, list(pv ORDER BY j) AS rp FROM p GROUP BY vec_id
           doc="Johnson-Lindenstrauss 64->16 Rademacher projection (Achlioptas sign "
               "matrix derived from md5, regenerable by the SQL oracle) — zero-shuffle "
               "zero-Python whole-stage-codegen map; the dim-reduce pre-step for "
-              "billion-vector dedup/clustering pipelines")
+              "billion-vector dedup/clustering pipelines. The graded entry emits "
+              "EXPLODED scalar rows (vec_id, j, rp_value) — one row per output "
+              "coordinate — because hash-graded catalog results must be atomic-typed "
+              "(the r11 driver could not canonicalize a top-level array cell); the "
+              "array-returning jl_random_projection API is unchanged for pipeline use")
 def emb_random_projection(spark, sf_dir):
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return jl_random_projection(emb, out_dim=16, in_dim=64)
+    proj = jl_random_projection(emb, out_dim=16, in_dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("rp").alias("j", "rp_value")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "rp_value")
 
 
 # (emb_rp_rerank_topk is registered below, after _ann_summary_sql.)

@@ -25,6 +25,22 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
     q = get_query(name)
     df = q.fn(spark, sf_dir)
+    # Hash-graded catalog output must be ATOMIC-typed only: the r11
+    # driver's pandas canonicalizer cannot sort/hash list cells
+    # (emb_random_projection's array<double> column drew the round's
+    # only red row despite matching the oracle). Entries with nested
+    # results must explode/array_join before returning.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: non-atomic output column(s) {nested} — graded catalog "
+        "entries must emit scalar rows (posexplode or array_join first; "
+        "keep the array-returning API for pipelines, reshape the entry)"
+    )
     if name not in _BOUNDED_GLOBAL_WINDOW_OK:
         s = plan_summary(df)
         assert s.unpartitioned_windows == 0, (
