@@ -119,6 +119,7 @@ def rp_rerank_topk(
     in_dim: int | None = None,
     decimals: int = 8,
     max_queries: int | None = None,
+    seed_tag: str = "rp",
 ) -> DataFrame:
     """Two-stage retrieval: JL-project the corpus, take cosine
     top-``k*oversample`` CANDIDATES in the cheap ``out_dim`` space,
@@ -140,7 +141,8 @@ def rp_rerank_topk(
     from .similarity import _dot, _dround_once, _norm, cosine_topk_bruteforce
 
     proj = jl_random_projection(
-        emb, out_dim=out_dim, id_col=id_col, vec_col=vec_col, in_dim=in_dim
+        emb, out_dim=out_dim, id_col=id_col, vec_col=vec_col, in_dim=in_dim,
+        decimals=decimals, seed_tag=seed_tag,
     )
     cand = cosine_topk_bruteforce(
         proj,
@@ -152,10 +154,19 @@ def rp_rerank_topk(
         max_queries=max_queries,
     ).select("vec_id", "neighbor_id")
 
+    # Bound the broadcast query side by the CANDIDATE stage's query ids
+    # (a left-semi against the |queries|-sized distinct cand keys):
+    # with query_filter=None the old path broadcast the ENTIRE
+    # full-width corpus, contradicting the "full-width vectors read for
+    # ~0.01% of rows" contract and risking OOM at scale. The filter is
+    # kept too so predicate pushdown still prunes the scan.
     q = emb
     if query_filter is not None:
         q = q.filter(query_filter)
-    q = q.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__qv"))
+    q = (
+        q.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__qv"))
+        .join(F.broadcast(cand.select("vec_id").distinct()), "vec_id", "left_semi")
+    )
     nbr = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
     scored = (
         nbr.join(F.broadcast(cand), "neighbor_id")

@@ -275,13 +275,29 @@ def hard_negative_topk(
     matmul with the same-label columns masked out vectorized, and the
     shuffle carries only ``partitions x |queries| x k`` candidates into
     the final global window. The self-row is excluded for free (it
-    always shares the query's label). Labels are assumed non-null.
+    always shares the query's label).
+
+    Label contract: ``label_col`` must be an INTEGRAL column
+    (byte/short/int/long) with no nulls among the queries — the output
+    schema pins ``neighbor_label int`` and the mask compares int64
+    vectors. A non-integer label column raises ``ValueError`` up front
+    (map string labels through a dictionary join first); a null query
+    label raises ``ValueError`` at plan construction.
 
     ``cos_sim`` is rounded (default 8dp) BEFORE ranking with a
     neighbor-id tie-break, so ordering is reproducible across engines.
     """
     import numpy as np
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ltype = embeddings.schema[label_col].dataType
+    if not isinstance(ltype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"hard_negative_topk: label column {label_col!r} must be an "
+            f"integral type (byte/short/int/long), got {ltype.simpleString()} "
+            "— join string labels through a dictionary table first"
+        )
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries,
         "hard_negative_topk", extra_cols=(label_col,),
@@ -292,6 +308,12 @@ def hard_negative_topk(
     )
     if not qrows:
         return embeddings.sparkSession.createDataFrame([], schema)
+    if any(r[2] is None for r in qrows):
+        raise ValueError(
+            f"hard_negative_topk: null {label_col!r} among query rows — "
+            "the different-label mask is undefined for null labels; "
+            "filter or impute them first"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_labels = [int(r[2]) for r in qrows]
     qm = np.array([r[1] for r in qrows], dtype=np.float64)

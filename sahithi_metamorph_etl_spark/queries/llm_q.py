@@ -352,7 +352,9 @@ def doc_dsir_sample(spark, sf_dir):
               "into scaled BIGINTs and sum exactly (shuffle-order-independent); "
               "zero-token docs excluded by contract. JVM-only, TWO corpus scans: "
               "one word-count aggregate carrying raw+target counts (totals fold "
-              "the vocabulary-sized word table) + the scoring join/aggregate")
+              "the vocabulary-sized word table) + the scoring join/aggregate. "
+              "NOTE: the vocabulary table stays persisted for the session "
+              "(|V|-row blocks; long-lived pipelines use return_release=True)")
 def doc_dsir_weights(spark, sf_dir):
     from ..llm.textstats import dsir_logratio_weights
 

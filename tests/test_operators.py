@@ -2695,6 +2695,47 @@ def test_hard_negative_topk_matches_naive_and_masks_labels(spark, sf_dir):
     assert got == want
 
 
+def test_hard_negative_topk_rejects_non_int_and_null_labels(spark):
+    from sahithi_metamorph_etl_spark.llm.similarity import hard_negative_topk
+
+    str_emb = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", [0.0, 1.0])],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="integral type"):
+        hard_negative_topk(str_emb, k=1)
+
+    null_emb = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, 7, [0.0, 1.0])],
+        "vec_id bigint, label int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="null"):
+        hard_negative_topk(null_emb, k=1, query_filter=F.col("vec_id") == 1)
+
+
+def test_rp_rerank_unfiltered_query_side_is_bounded(spark, sf_dir):
+    """With query_filter=None the broadcast rerank side must be bounded
+    by the candidate stage's query ids (a left-semi against the distinct
+    cand keys), never the raw corpus frame: the optimized plan carries
+    the LeftSemi and results equal the explicitly-filtered twin."""
+    from sahithi_metamorph_etl_spark.llm.projection import rp_rerank_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 20
+    )
+    df = rp_rerank_topk(emb, k=3, max_queries=25)
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+    unfiltered = df.collect()
+    assert {r["vec_id"] for r in unfiltered} == set(range(20))
+    filtered = rp_rerank_topk(
+        emb, k=3, query_filter=F.col("vec_id") < 20
+    ).collect()
+    canon = lambda rows: sorted(
+        (r["vec_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in rows
+    )
+    assert canon(unfiltered) == canon(filtered)
+
+
 def test_jl_random_projection_matches_sequential_fold_zero_shuffle(spark, sf_dir):
     import numpy as np
 
