@@ -527,26 +527,33 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int, int]]:
     ]
 
 
-def minhash_lsh_pairs(
+def band_signature_store(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
-    threshold: float = 0.8,
-    verify: bool = True,
 ) -> DataFrame:
-    """Sub-quadratic near-dup detection: MinHash signatures + LSH bands.
+    """(id, band, sig) MinHash-LSH band signatures — the persistable
+    BAND STORE a cross-snapshot near-dup pipeline appends to after each
+    batch (see :func:`neardup_against_seen`), and the signature stage
+    :func:`minhash_lsh_pairs` self-joins within one corpus.
 
-    With 64 perms / 16 bands x 4 rows, the candidate probability for
-    jaccard s is 1-(1-s^4)^16 (~0.99 at s=0.8, ~0.07 at s=0.3). If
-    ``verify``, candidates are re-scored with exact Jaccard and filtered
-    — output schema matches :func:`jaccard_pairs`.
-    """
+    Zero-shuffle, split JVM/Python at the right seam:
+    tokenize→shingle→xxhash64 runs in whole-stage codegen
+    (_shingle_hash_arrays — Python never sees a string), then one Arrow
+    batch pass does the vectorized a*h+b mod p min-matrix per doc
+    (a,h < 2^31 so the uint64 product can't overflow); only
+    |docs| x bands tiny signature rows ever leave the partition.
+    Self-contained closure — pickles by value, no package refs on
+    workers. (The previous all-Python form md5-hashed every shingle in
+    a Python loop — ~1.5M hashlib calls at sf0.1, the single hottest
+    Python section in the bench.) Docs with < n tokens emit no rows.
+    In production, bucket the persisted store by (band, sig)
+    (sinks/warehouse.write_bucketed) so the daily collision join is
+    co-located."""
     import numpy as np
-
-    from pyspark import StorageLevel
 
     if bands <= 0 or num_perm % bands != 0:
         raise ValueError(
@@ -559,16 +566,6 @@ def minhash_lsh_pairs(
     perm_b = np.array([b for _, _, b in _perm_params(num_perm)], dtype=np.uint64)
     mersenne = np.uint64(_MERSENNE31)
 
-    # signature stage is ZERO-shuffle and split JVM/Python at the right
-    # seam: tokenize→shingle→xxhash64 runs in whole-stage codegen
-    # (_shingle_hash_arrays — Python never sees a string), then one
-    # Arrow batch pass does the vectorized a*h+b mod p min-matrix per
-    # doc (a,h < 2^31 so the uint64 product can't overflow); only
-    # |docs| x bands tiny signature rows ever leave the partition.
-    # Self-contained closure — pickles by value, no package refs on
-    # workers. (The previous all-Python form md5-hashed every shingle
-    # in a Python loop — ~1.5M hashlib calls at sf0.1, the single
-    # hottest Python section in the bench.)
     def band_signatures(batches):
         import numpy as np
         import pandas as pd
@@ -590,12 +587,108 @@ def minhash_lsh_pairs(
                 {"__band_id": "int64", "band": "int32", "sig": "string"}
             )
 
-    band_sigs = (
+    return (
         _shingle_hash_arrays(df, text_col, id_col, n)
         .withColumnRenamed(id_col, "__id")
         .mapInPandas(band_signatures, schema="__band_id bigint, band int, sig string")
         .withColumnRenamed("__band_id", id_col)
     )
+
+
+def neardup_against_seen(
+    new_df: DataFrame,
+    seen_bands: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental (cross-snapshot) NEAR-dup detection: which documents
+    of the incoming batch near-duplicate something already in the
+    corpus? The MinHash complement of :func:`dedup_against_seen`
+    (which catches only EXACT fingerprint repeats — a one-word edit
+    defeats it). Returns verified (id, seen_id, jaccard) pairs, one row
+    per (new doc, seen doc) with word-``n``-gram Jaccard >=
+    ``threshold``; anti-join the batch against the distinct ids to keep
+    only novel docs, and append ``band_signature_store(novel)`` to the
+    store for the next batch.
+
+    ``seen_bands`` is the persisted (id, band, sig) store from prior
+    snapshots (:func:`band_signature_store`); ``old_df`` holds the
+    prior snapshots' payloads and is touched ONLY for candidate
+    verification (semi-joined down to colliding docs first).
+
+    SCALE SHAPE: batch signatures are zero-shuffle; the collision join
+    hash-partitions on (band, sig) — co-located for free when the store
+    is bucketed on those keys, and the batch side broadcasts in steady
+    state (today's batch << corpus); verification shingles ONLY the
+    colliding docs on both sides (the sub-quadratic point: candidates,
+    never |batch| x |corpus|). Recall is the standard banded bound —
+    1-(1-s^r)^b, ~0.99+ at s=0.8 with 16 bands x 4 rows."""
+    new_sigs = band_signature_store(new_df, text_col, id_col, n, num_perm, bands)
+    seen = seen_bands.select(
+        F.col(id_col).alias("seen_id"), F.col("band"), F.col("sig")
+    )
+    candidates = (
+        new_sigs.join(seen, ["band", "sig"])
+        .select(F.col(id_col), "seen_id")
+        .filter(F.col(id_col) != F.col("seen_id"))
+        .distinct()
+    )
+    # exact-verify candidates only: shingle just the colliding docs
+    sh_new = _hashed_shingle_index(
+        new_df.join(candidates.select(id_col).distinct(), id_col, "left_semi"),
+        text_col, id_col, n,
+    )
+    sh_old = _hashed_shingle_index(
+        old_df.join(
+            candidates.select(F.col("seen_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        ),
+        text_col, id_col, n,
+    )
+    sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("__na"))
+    sz_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nb"))
+    common = (
+        sh_new.join(
+            sh_old.select(F.col(id_col).alias("seen_id"), "shingle"), "shingle"
+        )
+        .groupBy(id_col, "seen_id")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    jac = F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))
+    return (
+        candidates.join(common, [id_col, "seen_id"])
+        .join(sz_new, id_col)
+        .join(sz_old.select(F.col(id_col).alias("seen_id"), "__nb"), "seen_id")
+        .filter(jac >= F.lit(threshold))
+        .select(id_col, "seen_id", jac.alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Sub-quadratic near-dup detection: MinHash signatures + LSH bands.
+
+    With 64 perms / 16 bands x 4 rows, the candidate probability for
+    jaccard s is 1-(1-s^4)^16 (~0.99 at s=0.8, ~0.07 at s=0.3). If
+    ``verify``, candidates are re-scored with exact Jaccard and filtered
+    — output schema matches :func:`jaccard_pairs`.
+    """
+    from pyspark import StorageLevel
+
+    band_sigs = band_signature_store(df, text_col, id_col, n, num_perm, bands)
     # consumed by both sides of the band self-join — persist the tiny
     # signature table so the scoring pass runs once
     band_sigs = band_sigs.persist(StorageLevel.MEMORY_AND_DISK)

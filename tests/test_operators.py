@@ -2127,6 +2127,42 @@ def test_dedup_against_seen_drops_known_content(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
 
 
+def test_neardup_against_seen_catches_edited_repeats(spark):
+    """Cross-snapshot NEAR-dup: a new doc that is a one-word edit of a
+    seen doc collides through the band store and verifies above
+    threshold (exact-fingerprint dedup misses it); unrelated new docs
+    emit no pair; the seen store is consulted content-wise. The verified
+    jaccard equals the exact shingle-set value."""
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        band_signature_store,
+        dedup_against_seen,
+        neardup_against_seen,
+    )
+    from sahithi_metamorph_etl_spark.llm.textstats import content_fingerprint
+
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = " ".join("XX" if i == 20 else f"w{i}" for i in range(40))
+    prior = spark.createDataFrame(
+        [(1, base), (2, "a completely different old document here")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, edited), (11, "novel content nothing like the corpus at all")],
+        "doc_id bigint, text string",
+    )
+    got = neardup_against_seen(
+        batch, band_signature_store(prior), prior, threshold=0.5
+    ).collect()
+    assert [(r["doc_id"], r["seen_id"]) for r in got] == [(10, 1)]
+    # exact 3-gram jaccard of a one-token edit over 38 shingles: the
+    # edit at position 20 breaks the 3 windows covering it, so
+    # 35 shared / (38 + 38 - 35)
+    assert abs(got[0]["jaccard"] - 35 / 41) < 1e-12
+    # the fingerprint op misses the edited repeat — both new docs "novel"
+    kept = dedup_against_seen(batch, content_fingerprint(prior))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
+
+
 def test_cosine_topk_cross_frame_queries(spark, sf_dir):
     """Cross-frame KNN: with queries from a separate frame and
     exclude_self=False, a corpus row sharing a query's id number must
