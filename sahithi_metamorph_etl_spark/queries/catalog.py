@@ -172,6 +172,27 @@ def _load() -> None:
 # lsh-near-dup + pq + ivf; codecs via decode/wav/jpeg; events via
 # asof/interval/json/funnel + the three streaming entries; warehouse
 # via upsert-roundtrip + bucketed-recon).
+# r12 rotation: IN = the 35 rule-3 must-returns (out-streak 2 after
+# r11; scripts/rotation_plan.py --propose recomputes authoritatively
+# from the shipped CORRECTNESS files), the rule-2 newborn
+# doc_neardup_incremental (born this round, never externally
+# checked), emb_random_projection (r11's single red driver row —
+# reshaped to scalar output this round and ordered back by the
+# verdict), and 4 streak-1 fillers chosen one-per-family, preferring
+# entries whose code paths this round touches
+# (doc_minhash_lsh_pairs sits on the band_signature_store refactor
+# that the incremental near-dup newborn factored out;
+# customer_scd2_merge keeps the warehouse/SCD2 family live).
+# OUT = the r11-green entries (fresh history, streak 1) and the
+# unchosen streak-1 holdovers that become r13 must-returns; each
+# leaves a same-family representative in the 50 (relational via
+# top10/by-month/cube/grouping-sets/union/setops/Q3; sketches via
+# mergeable-distinct + quantile-hist; text via token-stats/language/
+# fingerprint/pii/train-split/profile; dedup via exact + hot-shingles
+# + near-dup-prune + minhash-pairs + the incremental newborn;
+# similarity via cosine-topk + lsh-ann; codecs via resize/
+# frame-sample/jpeg; events via tumbling/asof-fwd/incremental/funnel;
+# warehouse via scd2-merge; skew via salted + lineitem_key_skew).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -182,46 +203,30 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r10)
-    "top_part_per_supplier", "parts_sales_left_join",
-    "adaptive_salted_skew_join", "orders_priority_daily_gapfill",
-    "parts_fuzzy_match", "tpch_q5_local_supplier_volume",
-    "recon_bucketed_zero_shuffle", "doc_quality_score",
-    "doc_incremental_dedup", "doc_mixture_sample", "doc_simhash_pairs",
-    "emb_lsh_near_dup", "corpus_vocabulary", "doc_tfidf_keywords",
-    "corpus_clean_pipeline", "multimodal_decode_stats",
-    "multimodal_wav_roundtrip", "corpus_bpe_merges",
-    "events_stream_dedup", "events_stream_running_counts",
-    "events_asof_join", "events_interval_join", "events_json_extract",
-    "events_cumulative_new_users",
-    # streak-1 fillers, one per family; ANN + dedup entries preferred
-    # because this round touches those code paths. ELEVEN filler slots
-    # ceded mid-r11 to the rule-2 newborns below — six
-    # (top10_orders, emb_cosine_topk, orders_grouping_sets,
-    # doc_token_stats, orders_column_profile, events_funnel) to the
-    # first newborn batch, then five more (customer_running_total,
-    # salted_skew_join, orders_price_quantile_hist, doc_pii_scrub,
-    # multimodal_jpeg_roundtrip — codec family stays repped by the
-    # decode/wav must-returns) to the late batch; the ceded entries
-    # become r12 must-returns and
-    # their families stay represented (windows/running via the gapfill
-    # must-return; skew via adaptive_salted_skew_join; sketches via
-    # sketch_distinct_counts; top-k via top_part_per_supplier +
-    # emb_pq/ivf_topk; similarity via the ANN triad + the newborns;
-    # relational via Q5 + the new Q18 + heavy-hitters; text/scrubbing
-    # via quality/vocabulary/tfidf/clean-pipeline + the selection
-    # newborns; events via the six events_* must-returns incl. the
-    # stream-funnel batch twin).
-    "sketch_distinct_counts",
-    "warehouse_upsert_roundtrip",
-    "doc_jaccard_pairs", "corpus_dedup_report",
-    "emb_pq_topk", "emb_ivf_topk",
-    # r11-born (rule 2: never externally checked => must be in the 50)
-    "emb_kmeans_clusters", "emb_semdedup_prune", "emb_ivf_kmeans_topk",
-    "doc_dsir_weights", "doc_quality_classifier", "doc_dsir_sample",
-    "emb_hard_negatives", "emb_random_projection",
-    "tpch_q18_large_volume_customer", "emb_rp_rerank_topk",
-    "doc_containment_pairs",
+    # rule-3 must-returns (out-streak 2 after r11)
+    "corpus_near_dup_prune", "corpus_text_profile",
+    "customer_order_gaps", "customer_running_total",
+    "customer_segments_setops", "doc_exact_dedup", "doc_fingerprint",
+    "doc_hot_shingles", "doc_language_guess", "doc_pack_sequences",
+    "doc_pii_scrub", "doc_token_stats", "doc_train_split",
+    "duplicate_order_lines", "emb_cosine_topk", "emb_lsh_ann_topk",
+    "events_asof_join_forward", "events_funnel",
+    "events_hourly_tumbling", "events_incremental_slice",
+    "lineitem_key_skew", "lineitem_union_slices",
+    "multimodal_frame_sample", "multimodal_jpeg_roundtrip",
+    "multimodal_resize", "orders_by_month", "orders_column_profile",
+    "orders_cube", "orders_filter_case", "orders_grouping_sets",
+    "orders_price_quantile_hist", "salted_skew_join",
+    "sketch_mergeable_distinct", "supplier_region_rollup",
+    "top10_orders",
+    # rule-2 newborn (born r12, never externally checked)
+    "doc_neardup_incremental",
+    # r11's one red driver row, reshaped to scalar output this round;
+    # the verdict orders a green r12 row
+    "emb_random_projection",
+    # streak-1 fillers, one per family
+    "customer_scd2_merge", "doc_minhash_lsh_pairs",
+    "tpch_q3_shipping_priority", "doc_decontaminate",
 )
 
 
