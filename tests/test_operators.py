@@ -1746,6 +1746,45 @@ def test_pq_topk_empty_corpus_returns_empty(spark):
     assert out.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
 
 
+def test_sq8_topk_recall_rerank_exactness_and_layout_independence(spark, sf_dir):
+    """SQ8 ANN invariants, mirroring the PQ suite: (a) with
+    rerank >= corpus size the exact re-rank reproduces brute force
+    EXACTLY — 8-bit quantization error can only cost candidates, never
+    distort survivors' scores; (b) at the catalog parameters
+    (rerank=32) recall clears the 0.8 floor; (c) the result is
+    partition-layout independent (the rounded-ADC heaps + global cut
+    are a superset of the global top list under any repartitioning);
+    (d) empty corpus returns the empty typed frame."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ann_recall_summary,
+        cosine_topk_bruteforce,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    qf = F.col("vec_id") < 50
+
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+    full = sq8_topk(emb, k=5, rerank=n, query_filter=qf)
+    assert full.exceptAll(exact).count() == 0 and exact.exceptAll(full).count() == 0
+
+    ann = sq8_topk(emb, k=5, rerank=32, query_filter=qf)
+    row = ann_recall_summary(exact, ann, recall_floor=0.8).collect()[0]
+    assert row["floor_ok"], row
+
+    relaid = sq8_topk(emb.repartition(7, "label"), k=5, rerank=32, query_filter=qf)
+    assert ann.exceptAll(relaid).count() == 0
+    assert relaid.exceptAll(ann).count() == 0
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = sq8_topk(empty, k=3, query_filter=F.col("vec_id") < 10)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
+
+
 def test_global_rank_two_phase_equals_sequential_model(spark):
     """global_rank must equal the rank a single sorted pass would give,
     for any partition count (including more partitions than rows and a
