@@ -123,6 +123,134 @@ def kmeans_assign(
     ).mapInPandas(assign, schema=schema)
 
 
+def kmeans_parallel_init(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    oversample: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 8,
+    max_candidates: int = 4096,
+    return_frame: bool = False,
+):
+    """k-means||-style seeded init (Bahmani et al. 2012) — the
+    scale-correct alternative to both lowest-id seeding (ignores data
+    geometry) and classic k-means++ (k SEQUENTIAL corpus passes: each
+    pick needs the previous one). k-means|| oversamples in a FIXED
+    number of rounds: each round every point enters the candidate set
+    independently with probability ``l * d²(x) / Σd²`` (d = distance
+    to the nearest current candidate), so far-out regions are found in
+    O(rounds) passes; the final k seeds are the candidates that
+    attract the most corpus points (this deterministic
+    weight-ranked reduction replaces the paper's weighted recluster —
+    same intent, SQL-replayable).
+
+    Cost: ``rounds`` x (one assign pass + one exact-decimal Σd²
+    aggregate + a bounded candidate collect) + one weighting pass —
+    independent of k, vs k passes for sequential k-means++. The
+    candidate set is ~1 + rounds*l vectors on the driver (l defaults
+    to 2k), hard-capped by ``max_candidates`` with a clear error.
+
+    Determinism (oracle hash-grade, the Lloyd treatment): the first
+    candidate is the lowest-id vector; per-candidate distances round
+    half-away at ``decimals`` before the min (an ulp can't flip it);
+    d² re-rounds at ``decimals``; Σd² is an exact DECIMAL(38,12) sum
+    (order-independent); the selection uniform derives from the
+    bit-verified md5-int64 twin of ``"kmpp:{seed}:" + id`` exactly
+    like DSIR's Gumbel draw, so the p-vs-u compare sees identical
+    doubles in both engines; already-chosen candidates have d=0 and
+    can never re-enter; candidate order is id-sorted so tie-breaks in
+    the weighting pass are by candidate id. An external SQL oracle
+    unrolls the rounds as CTEs.
+
+    Returns the (k, dim) float64 seed array for ``kmeans_fit/
+    kmeans_lloyd(centroids=...)``; with ``return_frame=True`` returns
+    the (init_rank, vec_id, n_assigned) DataFrame instead (the graded
+    catalog form).
+    """
+    import numpy as np
+
+    from .dedup import _md5_64_le
+    from ..functions.money import dround
+
+    l = 2 * k if oversample is None else oversample
+    first = emb.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty corpus")
+    cand = {int(first[0][0]): np.asarray(first[0][1], dtype=np.float64)}
+
+    u = (
+        _md5_64_le(
+            F.concat(F.lit(f"kmpp:{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double") / F.lit(18446744073709551616.0) + F.lit(0.5)
+    )
+    u = F.least(
+        F.greatest(u, F.lit(5.421010862427522e-20)),
+        F.lit(0.9999999999999999),
+    )
+
+    for _ in range(rounds):
+        ids = sorted(cand)
+        cents = np.array([cand[i] for i in ids], dtype=np.float64)
+        assigned = kmeans_assign(
+            emb, cents, id_col, vec_col, decimals, carry_vec=True
+        ).withColumn("d2r", dround(F.col("dist") * F.col("dist"), decimals))
+        # exact decimal sum -> one double: order-independent, so the
+        # per-point threshold l*d2/total is the same double everywhere
+        total = float(
+            assigned.agg(
+                F.sum(F.col("d2r").cast("decimal(38,12)")).cast("double")
+            ).collect()[0][0]
+            or 0.0
+        )
+        if total <= 0.0:
+            # every point sits on a candidate (rounded d = 0): the set
+            # already covers the corpus; selecting via u < l*0/0 would
+            # be a NaN compare (which Spark orders ABOVE any double)
+            break
+        picked = (
+            assigned.filter(u < F.lit(float(l)) * F.col("d2r") / F.lit(total))
+            .select(id_col, vec_col)
+            .limit(max_candidates + 1)
+            .collect()
+        )
+        if len(cand) + len(picked) > max_candidates:
+            raise ValueError(
+                f"kmeans_parallel_init: candidate set would exceed "
+                f"max_candidates={max_candidates}; lower oversample/rounds "
+                "or raise the cap deliberately"
+            )
+        for r in picked:
+            cand[int(r[0])] = np.asarray(r[1], dtype=np.float64)
+
+    if len(cand) < k:
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(cand)} candidates after "
+            f"{rounds} rounds, need k={k}; raise oversample or rounds"
+        )
+    ids = sorted(cand)
+    cents = np.array([cand[i] for i in ids], dtype=np.float64)
+    weights = {
+        r["cluster_id"]: r["n"]
+        for r in kmeans_assign(emb, cents, id_col, vec_col, decimals)
+        .groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    ranked = sorted(
+        range(len(ids)), key=lambda ci: (-weights.get(ci, 0), ids[ci])
+    )[:k]
+    if return_frame:
+        rows = [
+            (rank + 1, ids[ci], int(weights.get(ci, 0)))
+            for rank, ci in enumerate(ranked)
+        ]
+        return emb.sparkSession.createDataFrame(
+            rows, "init_rank int, vec_id bigint, n_assigned bigint"
+        )
+    return cents[ranked]
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

@@ -220,14 +220,14 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_mergeable_distinct", "supplier_region_rollup",
     "top10_orders",
     # rule-2 newborns (born r12, never externally checked)
-    "doc_neardup_incremental", "emb_sq8_topk",
+    "doc_neardup_incremental", "emb_sq8_topk", "emb_kmeans_pp_init",
     # r11's one red driver row, reshaped to scalar output this round;
     # the verdict orders a green r12 row
     "emb_random_projection",
-    # streak-1 fillers, one per family (one slot ceded mid-round to
-    # the sq8 newborn; text-selection stays repped by pii/train-split)
+    # streak-1 fillers, one per family (two slots ceded mid-round to
+    # the sq8 + kmeans|| newborns; text-selection stays repped by
+    # pii/train-split, relational by the ten must-return slots)
     "customer_scd2_merge", "doc_minhash_lsh_pairs",
-    "tpch_q3_shipping_priority",
 )
 
 

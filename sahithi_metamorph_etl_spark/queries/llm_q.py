@@ -2459,6 +2459,80 @@ def emb_kmeans_clusters(spark, sf_dir):
     return kmeans_lloyd(emb, k=8, n_iter=2)
 
 
+def _kmpp_oracle_sql(k: int = 8, rounds: int = 2, l: int = 16,
+                     seed: int = 42) -> str:
+    """Unrolled k-means|| init (the Lloyd-oracle treatment applied to
+    SEEDING): lowest-id first candidate -> [rounded min-distance ->
+    exact-decimal Σd² -> seeded-uniform threshold pick -> candidate
+    union] x rounds -> weight every corpus point to its nearest
+    candidate -> top-k candidates by (count DESC, id). The uniform is
+    the DSIR md5-int64 recipe with a 'kmpp:{seed}:' tag."""
+    rdist = o_round("sqrt(sum((x.val - c.val) * (x.val - c.val)))", 8)
+    md5u = f"md5_number_upper('kmpp:{seed}:' || CAST(vec_id AS VARCHAR))"
+    parts = [f"""kv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+kx AS (SELECT vec_id, CAST(i AS int) AS pos, e[CAST(i + 1 AS int)] AS val
+       FROM kv CROSS JOIN unnest(range(0, len(e))) AS t(i)),
+ku AS (SELECT vec_id,
+              least(greatest(
+                CAST(CAST({md5u} AS HUGEINT)
+                     - CASE WHEN {md5u} >= CAST(9223372036854775808 AS UBIGINT)
+                            THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+                  AS DOUBLE) / 18446744073709551616.0 + 0.5,
+                5.421010862427522e-20), 0.9999999999999999) AS u
+       FROM kv),
+kc0 AS (SELECT vec_id FROM kv ORDER BY vec_id LIMIT 1)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""kpd{r} AS (SELECT x.vec_id, c.vec_id AS cid, {rdist} AS d
+        FROM kx x JOIN kx c ON c.pos = x.pos
+        JOIN kc{r - 1} s ON s.vec_id = c.vec_id
+        GROUP BY x.vec_id, c.vec_id),
+kd{r} AS (SELECT vec_id, {o_round('min(d) * min(d)', 8)} AS d2
+          FROM kpd{r} GROUP BY vec_id),
+kt{r} AS (SELECT CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) AS tot FROM kd{r}),
+ks{r} AS (SELECT d.vec_id FROM kd{r} d
+          JOIN ku ON ku.vec_id = d.vec_id CROSS JOIN kt{r} t
+          WHERE ku.u < {float(l)!r} * d.d2 / t.tot),
+kc{r} AS (SELECT vec_id FROM kc{r - 1} UNION SELECT vec_id FROM ks{r})""")
+    parts.append(f"""kpw AS (SELECT x.vec_id, c.vec_id AS cid, {rdist} AS d
+        FROM kx x JOIN kx c ON c.pos = x.pos
+        JOIN kc{rounds} s ON s.vec_id = c.vec_id
+        GROUP BY x.vec_id, c.vec_id),
+kasg AS (SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+    FROM kpw) WHERE rnk = 1),
+kw AS (SELECT cid, count(*) AS n FROM kasg GROUP BY cid),
+kch AS (SELECT cid, n, row_number() OVER (ORDER BY n DESC, cid) AS rnk FROM kw)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT CAST(rnk AS int) AS init_rank, CAST(cid AS bigint) AS vec_id,
+       CAST(n AS bigint) AS n_assigned
+FROM kch WHERE rnk <= {k}
+"""
+
+
+@register("emb_kmeans_pp_init", oracle=_kmpp_oracle_sql(8, 2, 16),
+          doc="k-means||-style seeded init (Bahmani et al. 2012): oversample "
+              "candidates in 2 FIXED passes — each point enters with probability "
+              "l*d²/Σd² against the current candidate set via a seeded md5 "
+              "uniform — then keep the k=8 candidates that attract the most "
+              "corpus points. O(rounds) corpus passes instead of k-means++'s k "
+              "sequential ones; feeds kmeans_fit(centroids=...) as a "
+              "geometry-aware alternative to lowest-id seeding. HASH-GRADE: "
+              "rounded distances, exact-decimal Σd², the bit-verified md5 "
+              "uniform and id tie-breaks make every pick deterministic; the "
+              "oracle unrolls both rounds, the weighting pass and the final "
+              "cut as CTEs")
+def emb_kmeans_pp_init(spark, sf_dir):
+    from ..llm.clustering import kmeans_parallel_init
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return kmeans_parallel_init(
+        emb, k=8, rounds=2, oversample=16, seed=42, return_frame=True
+    )
+
+
 @register("emb_semdedup_prune", oracle=_semdedup_oracle_sql(8, 2, 0.4),
           doc="SemDeDup-style semantic dedup: k-means cluster (k=8, 2 Lloyd "
               "iterations), then WITHIN each cluster drop vectors with cosine >= 0.4 "

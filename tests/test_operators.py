@@ -2608,6 +2608,56 @@ def test_kmeans_lloyd_matches_naive_and_is_layout_independent(spark, sf_dir):
     assert len({c for c, _ in got.values()}) > 1
 
 
+def test_kmeans_parallel_init_layout_independent_and_beats_lowid(spark, sf_dir):
+    """k-means|| init invariants: (a) the picked seeds are identical
+    under any partition layout (seeded-hash selection + exact-decimal
+    Σd² + id tie-breaks); (b) the frame and array forms agree; (c)
+    after the same Lloyd budget the geometry-aware init's total
+    within-cluster distance is no worse than lowest-id seeding; (d)
+    the candidate cap and the too-few-candidates path raise clearly."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    frame = kmeans_parallel_init(emb, k=8, rounds=2, seed=42, return_frame=True)
+    rows = sorted((r["init_rank"], r["vec_id"], r["n_assigned"])
+                  for r in frame.collect())
+    assert len(rows) == 8
+    for parts in (emb.coalesce(1), emb.repartition(13, "label")):
+        again = sorted(
+            (r["init_rank"], r["vec_id"], r["n_assigned"])
+            for r in kmeans_parallel_init(
+                parts, k=8, rounds=2, seed=42, return_frame=True
+            ).collect()
+        )
+        assert again == rows
+
+    cents = kmeans_parallel_init(emb, k=8, rounds=2, seed=42)
+    by_id = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    want = np.array([by_id[vid] for _, vid, _ in rows], dtype=np.float64)
+    assert np.array_equal(cents, want)
+
+    def cost(seeds):
+        fit = kmeans_fit(emb, k=8, n_iter=2, centroids=seeds)
+        return kmeans_assign(emb, fit).agg(F.sum("dist")).collect()[0][0]
+
+    low_id = kmeans_fit(emb, k=8, n_iter=0)  # the plain seeded init
+    assert cost(cents) <= cost(low_id) * 1.0001
+
+    with _pytest.raises(ValueError, match="max_candidates"):
+        kmeans_parallel_init(emb, k=8, rounds=2, max_candidates=2)
+    tiny = emb.limit(3)
+    with _pytest.raises(ValueError, match="need k"):
+        kmeans_parallel_init(tiny, k=8, rounds=1, oversample=0)
+
+
 def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     """Two far groups + k=3 where the third seed is immediately starved:
     the fit must not crash and the surviving centroids still split the
