@@ -35,6 +35,15 @@ class PlanSummary:
     python_stages: int       # mapInPandas/applyInPandas/row-UDF stages
     file_scans: int          # FileScan/BatchScan source nodes (re-scan detector)
     unpartitioned_windows: int = 0  # Window nodes with NO partition spec (single-partition funnels)
+    # Of the above, how many sit INSIDE an InMemoryRelation subtree —
+    # the cache-BUILD plan a persisted frame prints under every
+    # InMemoryTableScan consumer. Those stages run ONCE at
+    # materialization, not per consumer, so a static count that
+    # includes them overstates per-run work (e.g. the minhash band
+    # frame: its Arrow signature stage appears under each of many
+    # band self-join branches but executes a single time).
+    python_stages_cached: int = 0
+    shuffles_cached: int = 0
 
 
 def _plan_string(df: DataFrame) -> str:
@@ -67,11 +76,43 @@ def _count_unpartitioned_windows(plan: str) -> int:
     return n
 
 
+def _cached_line_mask(plan: str) -> list[bool]:
+    """True per line when the line sits inside an ``InMemoryRelation``
+    subtree (the cache-build plan). Tree membership follows the print
+    indentation: a node's children render strictly deeper, so a line at
+    depth <= the relation's depth closes the subtree. Depth = offset of
+    the node name past the `` :+-*`` tree-drawing prefix."""
+    mask: list[bool] = []
+    stack: list[int] = []  # depths of open InMemoryRelation nodes
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*")
+        depth = len(line) - len(stripped)
+        if stripped:
+            while stack and depth <= stack[-1]:
+                stack.pop()
+        mask.append(bool(stack))
+        if stripped.startswith("InMemoryRelation"):
+            stack.append(depth)
+    return mask
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     """Count the scale-relevant physical operators in ``df``'s plan
     (pre-execution; AQE may further coalesce at runtime, it does not add
-    exchanges or joins)."""
+    exchanges or joins). ``python_stages_cached``/``shuffles_cached``
+    report the subset of those counts that live under an
+    ``InMemoryRelation`` (one-time cache-build work, not per-run)."""
     plan = _plan_string(df)
+    cached = _cached_line_mask(plan)
+    lines = plan.splitlines()
+    py_cached = sum(
+        len(re.findall(r"InPandas|BatchEvalPython|ArrowEvalPython", ln))
+        for ln, c in zip(lines, cached) if c
+    )
+    shuf_cached = sum(
+        len(re.findall(r"(?<![A-Za-z])Exchange ", ln))
+        for ln, c in zip(lines, cached) if c
+    )
     # count every shuffle Exchange variant: a guard that missed
     # RoundRobinPartitioning (df.repartition(n) / REBALANCE hints) would
     # pass while a full-data round-robin shuffle crept into a pinned
@@ -89,6 +130,8 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         # it (how an operator that "only" adds probe passes shows up)
         file_scans=len(re.findall(r"FileScan|BatchScan", plan)),
         unpartitioned_windows=_count_unpartitioned_windows(plan),
+        python_stages_cached=py_cached,
+        shuffles_cached=shuf_cached,
     )
 
 

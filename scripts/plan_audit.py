@@ -59,6 +59,13 @@ def main() -> None:
                 "python_stages": s.python_stages,
                 "file_scans": s.file_scans,
                 "unpartitioned_windows": s.unpartitioned_windows,
+                # counts sitting under an InMemoryRelation: cache-BUILD
+                # work that runs once at materialization, not per run —
+                # subtract before reading the static totals as per-run
+                # cost (e.g. doc_minhash_lsh_pairs' persisted band frame
+                # repeats its Arrow stage under every self-join branch)
+                "python_stages_cached": s.python_stages_cached,
+                "shuffles_cached": s.shuffles_cached,
                 "localized": localized,
             }
         except Exception as e:  # pragma: no cover - audit must finish
@@ -80,6 +87,15 @@ def main() -> None:
     print(
         "unpartitioned_window_entries="
         + ",".join(sorted(n for n, r in live.items() if r["unpartitioned_windows"])),
+        file=sys.stderr,
+    )
+    print(
+        "cached_branch_entries (python/shuffle counts partly one-time "
+        "cache-build, not per-run)="
+        + ",".join(sorted(
+            n for n, r in live.items()
+            if r["python_stages_cached"] or r["shuffles_cached"]
+        )),
         file=sys.stderr,
     )
     worst = sorted(live.items(), key=lambda kv: -kv[1]["shuffles"])[:10]

@@ -1328,6 +1328,43 @@ def test_plan_guards_pin_headline_shapes(spark, sf_dir):
         assert_plan(qs["supplier_part_agg"](spark, sf_dir), max_shuffles=1)
 
 
+def test_plan_summary_attributes_cached_branch_counts(spark, sf_dir):
+    """Counters under an InMemoryRelation are cache-BUILD work (runs
+    once at materialization, not per consumer): a persisted Arrow-stage
+    frame consumed twice must show its Python stages as cached, while
+    the same pipeline unpersisted shows them live."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.operators.plancheck import plan_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+
+    def arrow_stage(df):
+        def gen(batches):
+            for pdf in batches:
+                yield pdf.assign(n=pdf["text"].str.len())
+        return df.select("doc_id", "text").mapInPandas(
+            gen, schema="doc_id bigint, text string, n int")
+
+    staged = arrow_stage(docs).persist()
+    try:
+        two_branch = staged.join(
+            staged.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")),
+            F.col("doc_id") < F.col("d2"),
+        )
+        two_branch.count()  # materialize so the plan shows InMemoryRelation
+        s = plan_summary(two_branch)
+        assert s.python_stages >= 2
+        assert s.python_stages_cached == s.python_stages
+    finally:
+        staged.unpersist()
+
+    live = arrow_stage(docs)
+    s2 = plan_summary(live)
+    assert s2.python_stages == 1 and s2.python_stages_cached == 0
+    assert s2.shuffles_cached == 0
+
+
 def test_quantile_histogram_edges(spark):
     from sahithi_metamorph_etl_spark.operators.profiling import quantile_histogram
 
