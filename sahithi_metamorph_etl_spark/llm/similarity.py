@@ -463,7 +463,8 @@ def lsh_near_dup_pairs(
             f"band_planes={band_planes}): ~{random_pair_frac:.0%} of ALL "
             "pairs share a bucket, so exact scoring is effectively "
             "all-pairs and cost grows QUADRATICALLY with the corpus "
-            "(SCALING.md: 26x work for 8x rows in this regime). Raise "
+            "(SCALING.md 'LSH regimes at a glance': 31x wall for 8x "
+            "rows in this regime vs 1.4x at t=0.9/12-planes). Raise "
             "band_planes (with a higher threshold), or use multi-probe "
             "hyperplane_lsh_topk / prefix-filtered jaccard_pairs for "
             "sub-quadratic near-dup at scale.",
