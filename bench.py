@@ -114,6 +114,11 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "emb_rp_rerank_topk",
     "doc_containment_pairs",
+    # round-12: incremental near-dup vs a persisted band store, the
+    # int8 scalar-quantized scan, k-means|| seeded init
+    "doc_neardup_incremental",
+    "emb_sq8_topk",
+    "emb_kmeans_pp_init",
 ]
 
 
