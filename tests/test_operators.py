@@ -2239,6 +2239,57 @@ def test_neardup_against_seen_catches_edited_repeats(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
 
 
+def test_neardup_band_store_bucketed_colocation(spark, sf_dir, tmp_path):
+    """The docstring's 100 TB claim, plan-proven: with the persisted
+    band store written BUCKETED on (band, sig) — the collision-join
+    keys — the store side satisfies the join distribution from its
+    layout, so with broadcast disabled the plan drops the store-side
+    exchange (only the small daily batch still shuffles) and the
+    bucketed scan is actually exploited. Data path identical to the
+    unbucketed store."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        band_signature_store,
+        neardup_against_seen,
+    )
+    from sahithi_metamorph_etl_spark.operators.plancheck import (
+        _plan_string,
+        plan_summary,
+    )
+    from sahithi_metamorph_etl_spark.sinks.warehouse import LayeredWarehouse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    store_df = band_signature_store(old)
+
+    tbl = "band_store_bk_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = LayeredWarehouse(str(tmp_path))
+    wh.write_bucketed(store_df, tbl, ["band", "sig"], num_buckets=8,
+                      path=str(tmp_path / "bk"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = neardup_against_seen(batch, spark.table(tbl), old)
+        plain = neardup_against_seen(batch, store_df, old)
+        got_b = sorted((r["doc_id"], r["seen_id"], r["jaccard"])
+                       for r in bucketed.collect())
+        got_p = sorted((r["doc_id"], r["seen_id"], r["jaccard"])
+                       for r in plain.collect())
+        assert got_b == got_p
+        assert "Bucketed: true" in _plan_string(bucketed)
+        # the store-side hash exchange disappears; everything else is
+        # common to both plans
+        assert plan_summary(bucketed).shuffles < plan_summary(plain).shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_cosine_topk_cross_frame_queries(spark, sf_dir):
     """Cross-frame KNN: with queries from a separate frame and
     exclude_self=False, a corpus row sharing a query's id number must
