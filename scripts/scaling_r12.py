@@ -45,12 +45,15 @@ from sahithi_metamorph_etl_spark.llm.dedup import (  # noqa: E402
 from sahithi_metamorph_etl_spark.llm.similarity import (  # noqa: E402
     ann_recall_summary,
     cosine_topk_bruteforce,
+    sq8_build_index,
+    sq8_search,
     sq8_topk,
 )
 from scaling_ann import replicate_8x  # noqa: E402
 from scaling_containment_r11 import tag_tokens  # noqa: E402
 
 _SPARK = None
+_WORK = None
 
 
 def timed_best(fn, n=3):
@@ -87,13 +90,25 @@ def emb_surface(spark, emb, res: dict, tag: str) -> None:
 
     res[f"kmeans_pp_init_sec_{tag}"] = timed_best(kmpp)
 
+    # the physical layout: one-time encode vs per-query byte scan
+    idx = os.path.join(_WORK, f"sq8_idx_{tag}")
+    res[f"sq8_build_sec_{tag}"] = timed_best(lambda: sq8_build_index(emb, idx))
+
+    def search():
+        sq8_search(
+            emb.sparkSession, idx, emb.filter(qf), emb, k=5, rerank=32
+        ).write.format("noop").mode("overwrite").save()
+
+    res[f"sq8_search_sec_{tag}"] = timed_best(search)
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scaling_r12")
-    global _SPARK
+    global _SPARK, _WORK
     _SPARK = spark
     work = tempfile.mkdtemp(prefix="scaling_r12_")
+    _WORK = work
     res: dict = {"sf_dir": sf_dir}
     try:
         # --- embeddings: sq8 + kmeans|| ---------------------------------

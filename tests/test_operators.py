@@ -2696,6 +2696,63 @@ def test_kmeans_lloyd_matches_naive_and_is_layout_independent(spark, sf_dir):
     assert len({c for c, _ in got.values()}) > 1
 
 
+def test_sq8_physical_index_matches_flat_scan(spark, sf_dir, tmp_path):
+    """The SQ8 physical layout (the ivf_build_index treatment applied
+    to quantization): (a) sq8_search over a materialized codes index
+    equals sq8_topk row for row at the same parameters (codes are
+    bit-identical by construction — both quantize the JVM-rounded unit
+    values against the same min/max); (b) the candidate stage's only
+    Python stage is the byte scan and the float corpus enters the plan
+    only via broadcast joins on the candidate list; (c) the codes
+    files carry a fraction of the float table's bytes — the bandwidth
+    claim, measured."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        sq8_build_index,
+        sq8_search,
+        sq8_topk,
+    )
+    from sahithi_metamorph_etl_spark.operators.plancheck import (
+        _plan_string,
+        plan_summary,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qf = F.col("vec_id") < 30
+    idx = str(tmp_path / "sq8_idx")
+    sq8_build_index(emb, idx)
+
+    flat = sq8_topk(emb, k=5, rerank=32, query_filter=qf)
+    srch = sq8_search(spark, idx, emb.filter(qf), emb, k=5, rerank=32)
+    # plan asserted PRE-execution (a collected AdaptiveSparkPlan prints
+    # its Initial Plan section too and doubles every string count)
+    s = plan_summary(srch)
+    assert s.python_stages == 1  # the byte scan; the exact re-rank is JVM
+    assert s.broadcast_hash_joins >= 2  # candidate list + query vectors
+    assert "codes" in _plan_string(srch)
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, srch.collect()))
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p) for f in fs
+        )
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb_bytes = (
+        du(emb_path) if os.path.isdir(emb_path) else os.path.getsize(emb_path)
+    )
+    assert du(f"{idx}/codes") < emb_bytes / 3
+
+    # empty query set: typed empty frame, no job
+    none = sq8_search(spark, idx, emb.filter(F.col("vec_id") < 0), emb)
+    assert none.count() == 0
+    assert none.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
+
+
 def test_kmeans_parallel_init_layout_independent_and_beats_lowid(spark, sf_dir):
     """k-means|| init invariants: (a) the picked seeds are identical
     under any partition layout (seeded-hash selection + exact-decimal
