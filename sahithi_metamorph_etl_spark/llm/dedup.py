@@ -628,24 +628,38 @@ def neardup_against_seen(
     colliding docs on both sides (the sub-quadratic point: candidates,
     never |batch| x |corpus|). Recall is the standard banded bound —
     1-(1-s^r)^b, ~0.99+ at s=0.8 with 16 bands x 4 rows."""
+    from pyspark import StorageLevel
+
     new_sigs = band_signature_store(new_df, text_col, id_col, n, num_perm, bands)
     seen = seen_bands.select(
         F.col(id_col).alias("seen_id"), F.col("band"), F.col("sig")
     )
+    # candidate-pair-sized by the banding argument (collisions, never
+    # |batch| x |corpus|) and consumed by THREE downstream branches
+    # (both semi-joins + the final assembly) — persist so the collision
+    # join against the store runs once per call, not three times; the
+    # blocks are freed with the session like the minhash band frame
     candidates = (
         new_sigs.join(seen, ["band", "sig"])
         .select(F.col(id_col), "seen_id")
         .filter(F.col(id_col) != F.col("seen_id"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # exact-verify candidates only: shingle just the colliding docs
+    # exact-verify candidates only: shingle just the colliding docs;
+    # the candidate id lists are tiny — broadcast the semi-join probes
     sh_new = _hashed_shingle_index(
-        new_df.join(candidates.select(id_col).distinct(), id_col, "left_semi"),
+        new_df.join(
+            F.broadcast(candidates.select(id_col).distinct()),
+            id_col, "left_semi",
+        ),
         text_col, id_col, n,
     )
     sh_old = _hashed_shingle_index(
         old_df.join(
-            candidates.select(F.col("seen_id").alias(id_col)).distinct(),
+            F.broadcast(
+                candidates.select(F.col("seen_id").alias(id_col)).distinct()
+            ),
             id_col, "left_semi",
         ),
         text_col, id_col, n,
