@@ -1227,24 +1227,61 @@ def pq_topk(
     ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
 
 
-def _sq8_unit_frame(df: DataFrame, id_col: str, vec_col: str,
-                    keep_vec: bool = False) -> DataFrame:
-    """(id[, vec], un): the 8dp-rounded unit vector computed JVM-side —
-    left-to-right ``F.aggregate`` fold for the norm, the exact IEEE op
-    sequence a DuckDB oracle evaluates, so every downstream SQ8 code is
-    bit-identical across engines and across the build/search split."""
-    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
-    return (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_nrm", _norm(F.col(vec_col)))
-        .select(
-            *cols,
-            F.transform(
-                F.col(vec_col),
-                lambda x: _dround_once(x.cast("double") / F.col("_nrm")),
-            ).alias("un"),
-        )
+def _np_unit_rounded(m):
+    """The 8dp-rounded unit vectors of a (rows, dim) float64 matrix,
+    accumulating the norm STRICTLY left-to-right via ``np.cumsum`` —
+    the exact IEEE op sequence of both the JVM ``F.aggregate`` fold
+    (`_dot`) and DuckDB's ``list_dot_product``, so every downstream
+    SQ8 code is bit-identical across engines (a plain ``.sum()`` would
+    pairwise-accumulate and could differ by an ulp on the 8dp
+    boundary; equality with the JVM fold is pinned in tests). Zero
+    vectors clamp like ``_norm``."""
+    import numpy as np
+
+    n2 = np.cumsum(m * m, axis=1)[:, -1]
+    norm = np.maximum(np.sqrt(n2), 1e-12)
+    return _nround(m / norm[:, None])
+
+
+def _sq8_dim_stats(df: DataFrame, id_col: str, vec_col: str):
+    """Per-dimension (mn, mx) float64 arrays over the corpus's rounded
+    unit values — the SQ8 training pass. One Arrow scan emitting
+    dim-count rows per PARTITION (partial min/max inside the batch
+    loop), then a dim-row final aggregate: the shuffle carries
+    partitions x dim rows, never data."""
+    import numpy as np
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        lo = hi = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            un = _np_unit_rounded(np.array(list(pdf[vec_col]), dtype=np.float64))
+            bl, bh = un.min(axis=0), un.max(axis=0)
+            lo = bl if lo is None else np.minimum(lo, bl)
+            hi = bh if hi is None else np.maximum(hi, bh)
+        if lo is not None:
+            yield pd.DataFrame(
+                {"pos": np.arange(len(lo), dtype="int32"), "mn": lo, "mx": hi}
+            )
+
+    stats = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(partial, schema="pos int, mn double, mx double")
+        .groupBy("pos")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
     )
+    dim = max(r["pos"] for r in stats) + 1
+    mn = np.zeros(dim, dtype=np.float64)
+    mx = np.zeros(dim, dtype=np.float64)
+    for r in stats:
+        mn[r["pos"]] = r["mn"]
+        mx[r["pos"]] = r["mx"]
+    return mn, mx
 
 
 def sq8_topk(
@@ -1264,9 +1301,8 @@ def sq8_topk(
     per-dimension affine min/max quantization of the unit-normalized
     corpus, so a 100 TB float64 index scans as ~12.5 TB of codes).
 
-    Training is ONE map-side-combined aggregate: per-dimension
-    min/max over the ROUNDED unit values (``posexplode`` →
-    ``groupBy(pos)`` — the shuffle carries dim-count rows per
+    Training is ONE Arrow scan with per-partition partial min/max over
+    the ROUNDED unit values (the shuffle carries dim-count rows per
     partition, not data). Each corpus vector then encodes as
     ``code_d = floor((u_d - mn_d) / (mx_d - mn_d) * 255 + 0.5)`` and
     scores against a query by the dot product with the DEQUANTIZED
@@ -1281,15 +1317,15 @@ def sq8_topk(
     similarities.
 
     Determinism (oracle-replayable end to end): the quantization
-    INPUT is computed JVM-side — ``dround(x / norm, 8)`` with a
-    left-to-right ``F.aggregate`` fold for the norm, the exact IEEE op
-    sequence DuckDB's ``list_dot_product`` + ``list_transform`` twin
-    evaluates — so codes are BIT-IDENTICAL across engines, and the
-    per-dim min/max are selections of those shared values (no
-    accumulation). The ADC analog rounds at 6dp, the exact cosine at
-    ``round_scale``, every ordering breaks ties by id, and the
-    candidate cut is partition-independent (per-partition heaps on the
-    rounded score hold a superset of the global top-(k+rerank)).
+    INPUT is :func:`_np_unit_rounded` — the norm accumulates strictly
+    left-to-right (``np.cumsum``), the exact IEEE op sequence of both
+    the JVM ``F.aggregate`` fold and DuckDB's ``list_dot_product``
+    twin (pinned equal in tests) — so codes are BIT-IDENTICAL across
+    engines, and the per-dim min/max are selections of those shared
+    values (no accumulation). The ADC analog rounds at 6dp, the exact
+    cosine at ``round_scale``, every ordering breaks ties by id, and
+    the candidate cut is partition-independent (per-partition heaps on
+    the rounded score hold a superset of the global top-(k+rerank)).
 
     Unlike ``pq_topk`` the default ``rerank`` is a small FIXED 32:
     8-bit-per-dim reconstruction error is tiny (the ADC ordering is
@@ -1299,41 +1335,28 @@ def sq8_topk(
     import numpy as np
 
     rf = float(10**round_scale)
-    base = _sq8_unit_frame(embeddings, id_col, vec_col, keep_vec=True)
     qrows = _bounded_query_rows(
-        base, id_col, "un", query_filter, max_queries, "sq8_topk",
-        extra_cols=(vec_col,),
+        embeddings, id_col, vec_col, query_filter, max_queries, "sq8_topk"
     )
     if not qrows:
         schema = "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         return embeddings.sparkSession.createDataFrame([], schema)
     # per-dimension min/max of the shared rounded unit values: the one
-    # training pass — a 64-ish-row collect after map-side combine
-    stats = (
-        base.select(F.posexplode("un").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()
-    )
-    dim = max(r["pos"] for r in stats) + 1
-    mn = np.zeros(dim, dtype=np.float64)
-    mx = np.zeros(dim, dtype=np.float64)
-    for r in stats:
-        mn[r["pos"]] = r["mn"]
-        mx[r["pos"]] = r["mx"]
+    # training pass — a dim-row collect after the partial aggregate
+    mn, mx = _sq8_dim_stats(embeddings, id_col, vec_col)
     span = mx - mn
     scale = span / 255.0
     nz = span > 0
 
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qn = np.array([r[1] for r in qrows], dtype=np.float64)  # rounded unit
-    qt = np.array([r[2] for r in qrows], dtype=np.float64)  # true vectors
+    qt = np.array([r[1] for r in qrows], dtype=np.float64)  # true vectors
+    qn = _np_unit_rounded(qt)  # rounded unit (the oracle's quantization input)
     qtn = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
 
     keep = k + rerank
-    corpus = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("un"),
-        F.col(vec_col).alias("cv"),
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
     )
 
     def score_partition(batches):
@@ -1346,12 +1369,15 @@ def sq8_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            um = np.array(list(pdf["un"]), dtype=np.float64)
-            cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
-            # encode from the JVM-rounded unit values — same doubles
-            # the oracle quantizes, so codes match bit for bit; in a
-            # persisted-index deployment this array IS the uint8 column
+            raw = np.array(list(pdf["cv"]), dtype=np.float64)
+            # encode from the fold-order-exact rounded unit values —
+            # same doubles the oracle quantizes, so codes match bit for
+            # bit; in a persisted-index deployment this IS the uint8
+            # column (sq8_build_index materializes it)
+            um = _np_unit_rounded(raw)
+            cm = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+            )
             codes = np.zeros_like(um)
             codes[:, nz] = np.floor(
                 (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
@@ -1420,10 +1446,10 @@ def sq8_build_index(
     bandwidth claim becomes physical: :func:`sq8_search` scans ONLY
     the codes files (the float column never appears in its candidate
     stage), the way :func:`ivf_build_index` makes IVF's pruning
-    physical. Encoding is one JVM-side pass (rounded-unit transform +
-    per-index affine quantization against literal min/max arrays —
-    zero Python, zero shuffle beyond the write) after the one
-    map-side-combined min/max training aggregate. Returns (mn, mx).
+    physical. Encoding is one Arrow pass (the fold-order-exact rounded
+    unit values + per-dim affine quantization — no shuffle beyond the
+    write) after the one partial-aggregate min/max training scan.
+    Returns (mn, mx).
 
     The smallint array keeps the graded determinism contract simple;
     packing the 0..255 codes into a BINARY column halves the on-disk
@@ -1431,20 +1457,10 @@ def sq8_build_index(
     """
     import numpy as np
 
-    base = _sq8_unit_frame(embeddings, id_col, vec_col)
-    stats = (
-        base.select(F.posexplode("un").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()
-    )
-    dim = max(r["pos"] for r in stats) + 1
-    mn = np.zeros(dim, dtype=np.float64)
-    mx = np.zeros(dim, dtype=np.float64)
-    for r in stats:
-        mn[r["pos"]] = r["mn"]
-        mx[r["pos"]] = r["mx"]
+    mn, mx = _sq8_dim_stats(embeddings, id_col, vec_col)
     span = mx - mn
+    nz = span > 0
+    dim = len(mn)
 
     spark = embeddings.sparkSession
     spark.createDataFrame(
@@ -1452,25 +1468,33 @@ def sq8_build_index(
         "pos int, mn double, mx double",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/minmax")
 
-    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
-    span_arr = F.array(*[F.lit(float(v)) for v in span])
-    codes = F.transform(
-        F.col("un"),
-        lambda x, i: F.when(
-            F.element_at(span_arr, i + F.lit(1)) == F.lit(0.0), F.lit(0.0)
-        ).otherwise(
-            F.floor(
-                (x - F.element_at(mn_arr, i + F.lit(1)))
-                / F.element_at(span_arr, i + F.lit(1))
-                * F.lit(255.0)
-                + F.lit(0.5)
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            um = _np_unit_rounded(
+                np.array(list(pdf[vec_col]), dtype=np.float64)
             )
-        ).cast("smallint"),
-    )
+            codes = np.zeros_like(um)
+            codes[:, nz] = np.floor(
+                (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype("int16")),
+                }
+            )
+
     (
-        base.select(
-            F.col(id_col).cast("bigint").alias("vec_id"), codes.alias("codes")
+        embeddings.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
         )
+        .mapInPandas(encode, schema="vec_id bigint, codes array<smallint>")
         .write.mode("overwrite")
         .parquet(f"{index_path}/codes")
     )
@@ -1516,8 +1540,7 @@ def sq8_search(
     scale = (mx - mn) / 255.0
 
     qrows = (
-        _sq8_unit_frame(queries, id_col, vec_col, keep_vec=True)
-        .select(F.col(id_col), F.col("un"), F.col(vec_col))
+        queries.select(F.col(id_col), F.col(vec_col))
         .limit(max_queries + 1)
         .collect()
     )
@@ -1531,7 +1554,8 @@ def sq8_search(
             [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
         )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qn = np.array([r[1] for r in qrows], dtype=np.float64)
+    qt = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = _np_unit_rounded(qt)
     keep = k + rerank
 
     corpus = spark.read.parquet(f"{index_path}/codes")
@@ -1588,7 +1612,7 @@ def sq8_search(
     # exact re-rank, all JVM: broadcast the tiny candidate list against
     # the float corpus, broadcast the collected query vectors, fold dots
     qdf = spark.createDataFrame(
-        [(int(r[0]), [float(v) for v in r[2]]) for r in qrows],
+        [(int(r[0]), [float(v) for v in r[1]]) for r in qrows],
         "vec_id bigint, qv array<double>",
     )
     cv = embeddings.select(

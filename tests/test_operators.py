@@ -2753,6 +2753,39 @@ def test_sq8_physical_index_matches_flat_scan(spark, sf_dir, tmp_path):
     assert none.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
 
 
+def test_sq8_numpy_unit_fold_equals_jvm_fold(spark, sf_dir):
+    """The SQ8 determinism keystone: _np_unit_rounded's np.cumsum norm
+    accumulates strictly left-to-right, so its rounded unit values are
+    BIT-IDENTICAL to the JVM F.aggregate fold (and therefore to
+    DuckDB's list_dot_product twin the oracle evaluates). Pinned over
+    the whole embeddings fixture — exact equality, no tolerance."""
+    import numpy as np
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _dround_once,
+        _norm,
+        _np_unit_rounded,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    jvm = (
+        emb.withColumn("_nrm", _norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: _dround_once(x.cast("double") / F.col("_nrm")),
+            ).alias("un"),
+        )
+        .collect()
+    )
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    ids = [r["vec_id"] for r in jvm]
+    got = _np_unit_rounded(np.array([raw[i] for i in ids], dtype=np.float64))
+    want = np.array([r["un"] for r in jvm], dtype=np.float64)
+    assert np.array_equal(got, want)
+
+
 def test_kmeans_parallel_init_layout_independent_and_beats_lowid(spark, sf_dir):
     """k-means|| init invariants: (a) the picked seeds are identical
     under any partition layout (seeded-hash selection + exact-decimal
