@@ -1527,6 +1527,12 @@ def sq8_search(
     Matches :func:`sq8_topk` row for row at the same parameters (the
     codes are bit-identical by construction; property-pinned in
     tests), the way the physical IVF path equals its logical twin.
+
+    CONTRACT: ``embeddings`` must be the SAME corpus the index was
+    built from (the rerank joins survivors back by id) — a drifted
+    float table silently re-scores candidates against different
+    vectors; rebuild the index when the corpus changes, exactly as
+    with ``ivf_build_index``.
     """
     import numpy as np
 
