@@ -555,6 +555,112 @@ def test_ivf_physical_equals_logical_on_random_corpora(spark):
     check()
 
 
+def test_sq8_physical_equals_flat_on_random_corpora(spark):
+    """sq8_search over a materialized index must return EXACTLY what
+    the flat sq8_topk scan returns on ANY corpus — the codes table is
+    a storage optimization, never a semantics change. Discrete
+    small-range coordinates force the hard cases: duplicate vectors
+    (adc and cosine ties -> id tie-breaks on both paths), zero vectors
+    (norm clamp), and CONSTANT dimensions (mx == mn -> the code-0
+    branch on both the numpy and the replay side)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        sq8_build_index,
+        sq8_search,
+        sq8_topk,
+    )
+
+    vec = st.lists(st.integers(min_value=-2, max_value=2), min_size=3, max_size=3)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(vec, min_size=2, max_size=14))
+    def check(vecs):
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in vv]) for i, vv in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        flat = sq8_topk(emb, k=3, rerank=2, query_filter=F.col("vec_id") >= 0)
+        idx = tempfile.mkdtemp(prefix="sq8_prop_")
+        try:
+            sq8_build_index(emb, idx)
+            physical = sq8_search(spark, idx, emb, emb, k=3, rerank=2)
+            got = sorted(tuple(r) for r in physical.collect())
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        want = sorted(tuple(r) for r in flat.collect())
+        assert got == want, (vecs, got, want)
+
+    check()
+
+
+def test_neardup_against_seen_matches_python_model_on_random_docs(spark):
+    """Property vs a driver-side model: the returned pairs are EXACTLY
+    the (new, seen) pairs that (a) collide in >=1 MinHash band — ground
+    truth taken from band_signature_store's own frames, which zero-
+    shuffle determinism makes layout-independent — and (b) have exact
+    word-3-gram Jaccard >= threshold computed in pure Python. Random
+    small-vocabulary docs generate genuine near-dups, exact dups and
+    unrelated docs; docs under 3 tokens emit no shingles and never
+    pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.dedup import (
+        band_signature_store,
+        neardup_against_seen,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5), st.lists(doc, min_size=1, max_size=5))
+    def check(old_texts, new_texts):
+        old = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(old_texts)], "doc_id bigint, text string"
+        )
+        new = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(new_texts)],
+            "doc_id bigint, text string",
+        )
+        store = band_signature_store(old)
+        got = {
+            (r["doc_id"], r["seen_id"]): r["jaccard"]
+            for r in neardup_against_seen(new, store, old, threshold=0.5).collect()
+        }
+        # ground-truth collisions from the deterministic band frames
+        old_bands = {}
+        for r in store.collect():
+            old_bands.setdefault((r["band"], r["sig"]), set()).add(r["doc_id"])
+        collide = set()
+        for r in band_signature_store(new).collect():
+            for sid in old_bands.get((r["band"], r["sig"]), ()):
+                collide.add((r["doc_id"], sid))
+        want = {}
+        for (nid, sid) in collide:
+            a = shingles(new_texts[nid - 100])
+            b = shingles(old_texts[sid])
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                want[(nid, sid)] = jac
+        assert set(got) == set(want), (old_texts, new_texts, got, want)
+        for pair, jac in got.items():
+            assert abs(jac - want[pair]) < 1e-12
+
+    check()
+
+
 def test_lsh_ann_agrees_with_bruteforce_when_bucketed(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = cosine_topk_bruteforce(emb, k=1, query_filter=F.col("vec_id") < 50)
