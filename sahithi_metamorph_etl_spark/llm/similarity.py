@@ -1438,6 +1438,7 @@ def sq8_build_index(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = True,
 ):
     """Materialize the SQ8 physical layout: the corpus encoded to
     ``{index_path}/codes`` as (vec_id, codes array<smallint>) — one
@@ -1451,9 +1452,14 @@ def sq8_build_index(
     write) after the one partial-aggregate min/max training scan.
     Returns (mn, mx).
 
-    The smallint array keeps the graded determinism contract simple;
-    packing the 0..255 codes into a BINARY column halves the on-disk
-    footprint again and is the next notch at extreme scale.
+    ``packed=True`` (the default) stores each vector's 0..255 codes as
+    ONE ``binary`` cell — exactly ``dim`` bytes of payload, decoded in
+    the scan by a single ``np.frombuffer`` over the Arrow batch
+    instead of per-element list materialization. On DISK parquet's
+    bit-packing makes the two layouts near-identical (measured at
+    sf0.001); the packed win is decode/transfer cost, not compression.
+    ``packed=False`` writes ``array<smallint>`` for layouts a plain
+    SQL engine should unnest. :func:`sq8_search` auto-detects either.
     """
     import numpy as np
 
@@ -1482,19 +1488,29 @@ def sq8_build_index(
             codes[:, nz] = np.floor(
                 (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
             )
+            u8 = codes.astype("uint8")
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
-                    "codes": list(codes.astype("int16")),
+                    "codes": (
+                        [row.tobytes() for row in u8]
+                        if packed
+                        else list(u8.astype("int16"))
+                    ),
                 }
             )
 
+    schema = (
+        "vec_id bigint, codes binary"
+        if packed
+        else "vec_id bigint, codes array<smallint>"
+    )
     (
         embeddings.select(
             F.col(id_col).cast("bigint").alias(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         )
-        .mapInPandas(encode, schema="vec_id bigint, codes array<smallint>")
+        .mapInPandas(encode, schema=schema)
         .write.mode("overwrite")
         .parquet(f"{index_path}/codes")
     )
@@ -1576,7 +1592,13 @@ def sq8_search(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+            cells = list(pdf["codes"])
+            if isinstance(cells[0], (bytes, bytearray)):  # packed layout
+                codes = np.frombuffer(
+                    b"".join(cells), dtype=np.uint8
+                ).reshape(len(cells), -1).astype(np.float64)
+            else:
+                codes = np.array(cells, dtype=np.float64)
             deq = mn + codes * scale
             nids = pdf["vec_id"].to_numpy()
             adc_all = qn @ deq.T

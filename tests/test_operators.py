@@ -2853,6 +2853,13 @@ def test_sq8_physical_index_matches_flat_scan(spark, sf_dir, tmp_path):
     )
     assert du(f"{idx}/codes") < emb_bytes / 3
 
+    # the unpacked array<smallint> layout decodes to the same answer
+    # (sq8_search auto-detects the cell type)
+    idx2 = str(tmp_path / "sq8_idx_unpacked")
+    sq8_build_index(emb, idx2, packed=False)
+    srch2 = sq8_search(spark, idx2, emb.filter(qf), emb, k=5, rerank=32)
+    assert sorted(map(tuple, srch2.collect())) == sorted(map(tuple, flat.collect()))
+
     # empty query set: typed empty frame, no job
     none = sq8_search(spark, idx, emb.filter(F.col("vec_id") < 0), emb)
     assert none.count() == 0
