@@ -1,0 +1,112 @@
+"""Steady-state incremental near-dup INGESTION as a Structured
+Streaming pipeline — the daily-batch loop the batch operator
+(:func:`..llm.dedup.neardup_against_seen`) documents, wired end to
+end: each micro-batch collides with the persisted band store, only
+content-novel documents land, and their signatures extend the store
+for the next batch.
+
+Reference parity: the reference engine has no streaming dedup; this is
+part of the LLM-curation extension surface (SURVEY.md §2 extras),
+composing §2.9's exactly-once streaming treatment with the dedup
+stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm.dedup import band_signature_store, neardup_against_seen
+
+
+def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
+    """Batches strictly BEFORE ``batch_id`` from a __BATCH_ID-partitioned
+    path, or None when nothing earlier exists. The strict bound is the
+    replay keystone: a crash between the sink writes and the checkpoint
+    commit replays the same batch id, and reading only earlier
+    partitions (a partition-pruned filter) makes the replayed decision
+    IDENTICAL to the original — the batch can never collide with its
+    own earlier half-written output."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # first batch: nothing persisted yet
+        return None
+    df = df.filter(F.col("__BATCH_ID") < batch_id)
+    return df
+
+
+def neardup_ingest_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+):
+    """Start the incremental near-dup ingestion stream: per micro-batch
+
+    1. detect near-duplicates of the batch against the PERSISTED band
+       store (``neardup_against_seen`` — collision join + exact
+       verification, never batch x corpus),
+    2. anti-join the batch against the detected ids → novel documents,
+    3. append the novel payloads to ``corpus_path`` and their band
+       signatures to ``store_path``, each under the batch's own
+       ``__BATCH_ID`` partition with dynamic partition overwrite — the
+       ``stream_to_legacy`` exactly-once treatment: a replayed batch
+       REPLACES its own files instead of appending duplicates, and
+       both reads filter to strictly-earlier batches so the replayed
+       decision is bit-identical.
+
+    WITHIN-batch near-dups are deliberately out of scope (they are
+    ``minhash_lsh_pairs``'s job at corpus build time); this pipeline
+    answers "is the incoming document new vs everything ALREADY
+    ingested". Returns the StreamingQuery; caller owns its lifecycle.
+
+    Scale shape per batch: batch signatures zero-shuffle; the
+    collision join prunes to earlier ``__BATCH_ID`` partitions and is
+    co-located when the store is bucketed on (band, sig); corpus
+    payloads are touched only for colliding candidates.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = _read_prior(spark, store_path, batch_id)
+        novel = batch_df
+        if store is not None:
+            old = _read_prior(spark, corpus_path, batch_id)
+            dups = neardup_against_seen(
+                batch_df, store, old,
+                text_col=text_col, id_col=id_col,
+                n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+            )
+            novel = batch_df.join(
+                F.broadcast(dups.select(id_col).distinct()),
+                id_col, "left_anti",
+            )
+        for df, path in (
+            (novel, corpus_path),
+            (
+                band_signature_store(
+                    novel, text_col, id_col, n, num_perm, bands
+                ),
+                store_path,
+            ),
+        ):
+            (
+                df.withColumn("__BATCH_ID", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__BATCH_ID")
+                .parquet(path)
+            )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )

@@ -719,3 +719,81 @@ def test_streaming_scd2_merges_converge_to_batch_chain(spark, sf_dir, tmp_path):
     # the overlap replay was a true no-op: no zero-length same-day
     # versions were introduced for unchanged rows
     assert len(got) == len(set(got))
+
+
+def test_neardup_ingest_stream_keeps_only_content_novel_docs(spark, tmp_path):
+    """End-to-end steady-state incremental near-dup ingestion
+    (streaming/neardup.py): micro-batch 1 lands two novel docs; batch
+    2's one-word edit of a batch-1 doc is dropped while its fresh doc
+    lands; batch 3 drops edits of docs from BOTH earlier batches (the
+    store accumulates); a second stream resumed from the same
+    checkpoint keeps deduplicating against everything already
+    ingested."""
+    import shutil as _shutil
+    import time as _time
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        neardup_ingest_stream,
+    )
+
+    base_a = " ".join(f"a{i}" for i in range(40))
+    edit_a = " ".join("XX" if i == 20 else f"a{i}" for i in range(40))
+    edit_a2 = " ".join("ZZ" if i == 30 else f"a{i}" for i in range(40))
+    base_b = " ".join(f"b{i}" for i in range(40))
+    base_c = " ".join(f"c{i}" for i in range(40))
+    edit_c = " ".join("YY" if i == 5 else f"c{i}" for i in range(40))
+    base_d = " ".join(f"d{i}" for i in range(40))
+
+    batches = [
+        [(1, base_a), (2, base_b)],
+        [(10, edit_a), (11, base_c)],
+        [(20, edit_c), (21, edit_a2), (22, base_d)],
+    ]
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    schema = "doc_id bigint, text string"
+    for i, rows_ in enumerate(batches):
+        stage = tmp_path / f"nd_stage_{i}"
+        spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(str(stage))
+        _shutil.copy(next(stage.glob("part-*.parquet")), src / f"{i:02d}.parquet")
+        _time.sleep(1.05)
+
+    corpus = str(tmp_path / "nd_corpus")
+    store = str(tmp_path / "nd_store")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return neardup_ingest_stream(stream, corpus, store, ckpt, threshold=0.5)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 2, 11, 22]
+    # the store holds band signatures for exactly the kept docs
+    sids = sorted({r["doc_id"] for r in spark.read.parquet(store).collect()})
+    assert sids == [1, 2, 11, 22]
+
+    # resume from the same checkpoint: an edit of an already-kept doc
+    # is dropped, the genuinely new doc lands
+    edit_d = " ".join("QQ" if i == 7 else f"d{i}" for i in range(40))
+    base_e = " ".join(f"e{i}" for i in range(40))
+    stage = tmp_path / "nd_stage_3"
+    spark.createDataFrame([(30, edit_d), (31, base_e)], schema).coalesce(
+        1
+    ).write.parquet(str(stage))
+    _shutil.copy(next(stage.glob("part-*.parquet")), src / "03.parquet")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept2 == [1, 2, 11, 22, 31]
