@@ -26,13 +26,18 @@ def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
     commit replays the same batch id, and reading only earlier
     partitions (a partition-pruned filter) makes the replayed decision
     IDENTICAL to the original — the batch can never collide with its
-    own earlier half-written output."""
+    own earlier half-written output. Only PATH_NOT_FOUND means "first
+    batch" — any other read failure (corrupt store, permissions) must
+    propagate, not silently ingest the whole batch as novel."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-    except Exception:  # first batch: nothing persisted yet
-        return None
-    df = df.filter(F.col("__BATCH_ID") < batch_id)
-    return df
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    return df.filter(F.col("__BATCH_ID") < batch_id)
 
 
 def neardup_ingest_stream(
