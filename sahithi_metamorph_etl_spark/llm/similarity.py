@@ -1439,6 +1439,10 @@ def sq8_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     packed: bool = True,
+    n_lists: int | None = None,
+    centroids=None,
+    seed: int = 42,
+    train_sample: int = 2048,
 ):
     """Materialize the SQ8 physical layout: the corpus encoded to
     ``{index_path}/codes`` as (vec_id, codes array<smallint>) — one
@@ -1460,6 +1464,15 @@ def sq8_build_index(
     sf0.001); the packed win is decode/transfer cost, not compression.
     ``packed=False`` writes ``array<smallint>`` for layouts a plain
     SQL engine should unnest. :func:`sq8_search` auto-detects either.
+
+    ``n_lists`` COMPOSES the two pruning axes: the codes additionally
+    carry an IVF coarse-list assignment and write PARTITIONED BY
+    ``list_id`` (centroids to ``{index_path}/centroids`` as in
+    :func:`ivf_build_index`), so a probed :func:`sq8_search` reads
+    ``n_probe/n_lists`` of the FILES and an eighth of the BYTES —
+    IVF prunes what is read, SQ8 shrinks what is scanned.
+    ``centroids`` overrides the seeded k-means trainer exactly as in
+    ``ivf_build_index``.
     """
     import numpy as np
 
@@ -1474,6 +1487,18 @@ def sq8_build_index(
         "pos int, mn double, mx double",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/minmax")
 
+    cents = None
+    if n_lists is not None:
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
+        )
+        spark.createDataFrame(
+            [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
+            "list_id int, centroid array<double>",
+        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
     def encode(batches):
         import numpy as np
         import pandas as pd
@@ -1481,39 +1506,49 @@ def sq8_build_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            um = _np_unit_rounded(
-                np.array(list(pdf[vec_col]), dtype=np.float64)
-            )
+            raw = np.array(list(pdf[vec_col]), dtype=np.float64)
+            um = _np_unit_rounded(raw)
             codes = np.zeros_like(um)
             codes[:, nz] = np.floor(
                 (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
             )
             u8 = codes.astype("uint8")
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "codes": (
-                        [row.tobytes() for row in u8]
-                        if packed
-                        else list(u8.astype("int16"))
-                    ),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "codes": (
+                    [row.tobytes() for row in u8]
+                    if packed
+                    else list(u8.astype("int16"))
+                ),
+            }
+            if cents is not None:
+                # the ivf_build_index assignment: argmax rounded dot of
+                # the np-normalized vector, first-index = lowest list
+                m = raw / np.maximum(
+                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+                )
+                out["list_id"] = _nround(m @ cents.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(out)
 
     schema = (
         "vec_id bigint, codes binary"
         if packed
         else "vec_id bigint, codes array<smallint>"
     )
-    (
+    writer = (
         embeddings.select(
             F.col(id_col).cast("bigint").alias(id_col),
             F.col(vec_col).cast("array<double>").alias(vec_col),
         )
-        .mapInPandas(encode, schema=schema)
+        .mapInPandas(
+            encode,
+            schema=schema + (", list_id int" if cents is not None else ""),
+        )
         .write.mode("overwrite")
-        .parquet(f"{index_path}/codes")
     )
+    if cents is not None:
+        writer = writer.partitionBy("list_id")
+    writer.parquet(f"{index_path}/codes")
     return mn, mx
 
 
@@ -1528,6 +1563,7 @@ def sq8_search(
     vec_col: str = "embedding",
     round_scale: int = 8,
     max_queries: int = 10_000,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Search a materialized SQ8 index (:func:`sq8_build_index`): the
     candidate stage scans ONLY (vec_id, codes) — 8x less bandwidth
@@ -1539,6 +1575,13 @@ def sq8_search(
     full-width vectors are read for candidates, never the corpus. The
     exact re-rank runs JVM-side (codegen fold dot products), so the
     whole search has exactly one Python stage: the byte scan.
+
+    On an IVF-composed index (``sq8_build_index(n_lists=...)``) the
+    probe set prunes BOTH axes: ``list_id IN (probes)`` is a partition
+    filter (non-probed directories never open, as in ``ivf_search``)
+    and what IS read is bytes — ``n_probe/n_lists`` of the files at an
+    eighth of the width. ``n_probe`` defaults to 4 there; probing
+    every list reproduces the flat-index answer exactly.
 
     Matches :func:`sq8_topk` row for row at the same parameters (the
     codes are bit-identical by construction; property-pinned in
@@ -1581,6 +1624,29 @@ def sq8_search(
     keep = k + rerank
 
     corpus = spark.read.parquet(f"{index_path}/codes")
+    q_probes = None
+    if "list_id" in corpus.columns:
+        # IVF-composed index: probe like ivf_search — per-query
+        # top-n_probe centroid lists (rounded dot, stable lowest-list
+        # ties), the probe UNION pushed as a partition filter so
+        # non-probed list directories never open
+        if n_probe is None:
+            n_probe = 4
+        cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+        cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+        for r in cent_rows:
+            cents[r["list_id"]] = r["centroid"]
+        qm = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
+        q_probes = np.argsort(
+            -_nround(qm @ cents.T), axis=1, kind="stable"
+        )[:, :n_probe]
+        probe_union = sorted({int(p) for row in q_probes for p in row})
+        corpus = corpus.filter(F.col("list_id").isin(probe_union))
+    elif n_probe is not None:
+        raise ValueError(
+            "sq8_search: n_probe given but the index has no list_id "
+            "partitions — rebuild with sq8_build_index(n_lists=...)"
+        )
 
     def score_partition(batches):
         import heapq
@@ -1589,6 +1655,10 @@ def sq8_search(
         import pandas as pd
 
         heaps = {int(qid): [] for qid in q_ids}
+        probe_sets = (
+            None if q_probes is None
+            else [set(map(int, row)) for row in q_probes]
+        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1601,6 +1671,7 @@ def sq8_search(
                 codes = np.array(cells, dtype=np.float64)
             deq = mn + codes * scale
             nids = pdf["vec_id"].to_numpy()
+            lids = pdf["list_id"].to_numpy() if probe_sets is not None else None
             adc_all = qn @ deq.T
             adc_all = np.sign(adc_all) * np.floor(np.abs(adc_all) * 1e6 + 0.5) / 1e6
             for qi, qid in enumerate(q_ids):
@@ -1608,6 +1679,8 @@ def sq8_search(
                 heap = heaps[int(qid)]
                 floor = heap[0][0] if len(heap) >= keep else -2.0
                 for ci in np.nonzero(adc >= floor)[0]:
+                    if lids is not None and int(lids[ci]) not in probe_sets[qi]:
+                        continue  # another query's probe, not this one's
                     nid = int(nids[ci])
                     if nid == qid:
                         continue

@@ -2899,6 +2899,57 @@ def test_sq8_numpy_unit_fold_equals_jvm_fold(spark, sf_dir):
     assert np.array_equal(got, want)
 
 
+def test_sq8_ivf_composition_prunes_files_and_bytes(spark, sf_dir, tmp_path):
+    """The two pruning axes composed (sq8_build_index(n_lists=...)):
+    (a) probing EVERY list reproduces the flat SQ8 answer exactly (the
+    partition layout is a storage optimization); (b) a pruned probe
+    pushes ``list_id IN (probes)`` into the scan as a partition filter
+    and clears a recall floor vs brute force; (c) n_probe on a
+    flat (un-listed) index raises clearly."""
+    import contextlib
+    import io
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ann_recall_summary,
+        cosine_topk_bruteforce,
+        sq8_build_index,
+        sq8_search,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qf = F.col("vec_id") < 50
+    idx = str(tmp_path / "sq8_ivf_idx")
+    sq8_build_index(emb, idx, n_lists=8)
+
+    flat = sq8_topk(emb, k=5, rerank=32, query_filter=qf)
+    full = sq8_search(spark, idx, emb.filter(qf), emb, k=5, rerank=32, n_probe=8)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
+
+    ann = sq8_search(spark, idx, emb.filter(qf), emb, k=5, rerank=32, n_probe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann.explain(mode="formatted")
+    plan = buf.getvalue()
+    scan = next(
+        s for s in plan.split("\n\n") if "Scan parquet" in s and "codes" in s
+    )
+    assert "PartitionFilters" in scan
+    assert "list_id" in scan.split("PartitionFilters")[1]
+
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+    row = ann_recall_summary(exact, ann, recall_floor=0.3).collect()[0]
+    assert row["floor_ok"], row
+
+    flat_idx = str(tmp_path / "sq8_flat_idx")
+    sq8_build_index(emb, flat_idx)
+    with _pytest.raises(ValueError, match="n_probe"):
+        sq8_search(spark, flat_idx, emb.filter(qf), emb, n_probe=4)
+
+
 def test_kmeans_parallel_init_layout_independent_and_beats_lowid(spark, sf_dir):
     """k-means|| init invariants: (a) the picked seeds are identical
     under any partition layout (seeded-hash selection + exact-decimal
