@@ -101,6 +101,29 @@ def emb_surface(spark, emb, res: dict, tag: str) -> None:
 
     res[f"sq8_search_sec_{tag}"] = timed_best(search)
 
+    # IVF x SQ8: probed search reads n_probe/n_lists of the files at
+    # an eighth of the width — both pruning axes at once
+    idx2 = os.path.join(_WORK, f"sq8_ivf_idx_{tag}")
+    res[f"sq8_ivf_build_sec_{tag}"] = timed_best(
+        lambda: sq8_build_index(emb, idx2, n_lists=32)
+    )
+
+    def probed():
+        sq8_search(
+            emb.sparkSession, idx2, emb.filter(qf), emb,
+            k=5, rerank=32, n_probe=4,
+        ).write.format("noop").mode("overwrite").save()
+
+    res[f"sq8_ivf_search_sec_{tag}"] = timed_best(probed)
+    res[f"sq8_ivf_recall_{tag}"] = float(
+        ann_recall_summary(
+            exact,
+            sq8_search(emb.sparkSession, idx2, emb.filter(qf), emb,
+                       k=5, rerank=32, n_probe=4),
+            recall_floor=0.0,
+        ).collect()[0]["recall"]
+    )
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
