@@ -237,9 +237,18 @@ def kmeans_parallel_init(
         for r in kmeans_assign(emb, cents, id_col, vec_col, decimals)
         .groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
     }
-    ranked = sorted(
-        range(len(ids)), key=lambda ci: (-weights.get(ci, 0), ids[ci])
-    )[:k]
+    # zero-assignment candidates (possible when near-duplicate vectors
+    # are picked in the same round) never enter the ranking: the oracle
+    # ranks only candidates that appear in the assignment (kasg), so a
+    # retained n_assigned=0 row would diverge row-count-wise in exactly
+    # that degenerate case
+    live = [ci for ci in range(len(ids)) if weights.get(ci, 0) >= 1]
+    if len(live) < k:
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(live)} candidates attract "
+            f"any corpus point, need k={k}; raise oversample or rounds"
+        )
+    ranked = sorted(live, key=lambda ci: (-weights[ci], ids[ci]))[:k]
     if return_frame:
         rows = [
             (rank + 1, ids[ci], int(weights.get(ci, 0)))

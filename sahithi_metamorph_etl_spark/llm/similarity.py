@@ -1284,6 +1284,56 @@ def _sq8_dim_stats(df: DataFrame, id_col: str, vec_col: str):
     return mn, mx
 
 
+def _sq8_exact_rerank(
+    spark,
+    cand_cut: DataFrame,
+    qrows,
+    float_corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_scale: int,
+) -> DataFrame:
+    """The SHARED exact re-rank stage of :func:`sq8_topk` and
+    :func:`sq8_search`: broadcast the tiny ADC-survivor list
+    (|queries| x (k+rerank) ids) against the float table, broadcast
+    the collected query vectors, and score with the JVM codegen
+    ``_dot``/``_norm`` fold — the same left-to-right IEEE op sequence
+    DuckDB's ``list_dot_product`` uses, so the ``round_scale``-rounded
+    cosine is identical across engines by construction (an
+    accumulation-order ulp on the rounding boundary cannot occur; the
+    two callers share this code, so their row-for-row parity is
+    structural). Full-width vectors are read for candidates only,
+    never the corpus."""
+    qdf = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in qrows],
+        "vec_id bigint, qv array<double>",
+    )
+    cv = float_corpus.select(
+        F.col(id_col).cast("bigint").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cos = _dround_once(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        round_scale,
+    )
+    scored = (
+        cv.join(F.broadcast(cand_cut), "neighbor_id")
+        .join(F.broadcast(qdf), "vec_id")
+        .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    return top_k_per_group(
+        scored,
+        partition_by=["vec_id"],
+        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim"
+    )
+
+
 def sq8_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -1326,6 +1376,14 @@ def sq8_topk(
     cosine at ``round_scale``, every ordering breaks ties by id, and
     the candidate cut is partition-independent (per-partition heaps on
     the rounded score hold a superset of the global top-(k+rerank)).
+    The exact re-rank itself runs JVM-SIDE (survivors of the global
+    ADC cut broadcast-join back to the float table and score with the
+    codegen ``_dot``/``_norm`` fold) — the same left-to-right IEEE op
+    sequence as DuckDB's ``list_dot_product``, so the 8dp-rounded
+    exact value can never differ by a boundary ulp the way a
+    numpy/BLAS accumulation could, and :func:`sq8_search` shares the
+    stage verbatim (the row-for-row parity claim rests on identical
+    code, not on two accumulation orders happening to agree).
 
     Unlike ``pq_topk`` the default ``rerank`` is a small FIXED 32:
     8-bit-per-dim reconstruction error is tiny (the ADC ordering is
@@ -1334,7 +1392,6 @@ def sq8_topk(
     """
     import numpy as np
 
-    rf = float(10**round_scale)
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "sq8_topk"
     )
@@ -1351,7 +1408,6 @@ def sq8_topk(
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qt = np.array([r[1] for r in qrows], dtype=np.float64)  # true vectors
     qn = _np_unit_rounded(qt)  # rounded unit (the oracle's quantization input)
-    qtn = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
 
     keep = k + rerank
     corpus = embeddings.select(
@@ -1375,9 +1431,6 @@ def sq8_topk(
             # bit; in a persisted-index deployment this IS the uint8
             # column (sq8_build_index materializes it)
             um = _np_unit_rounded(raw)
-            cm = raw / np.maximum(
-                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
-            )
             codes = np.zeros_like(um)
             codes[:, nz] = np.floor(
                 (um[:, nz] - mn[nz]) / span[nz] * 255.0 + 0.5
@@ -1394,29 +1447,25 @@ def sq8_topk(
                     nid = int(nids[ci])
                     if nid == qid:
                         continue
-                    # exact cosine only for heap-entering candidates
-                    exact = float(qtn[qi] @ cm[ci])
-                    item = (float(adc[ci]), -nid, exact)
+                    item = (float(adc[ci]), -nid)
                     if len(heap) < keep:
                         heapq.heappush(heap, item)
-                    elif item[:2] > heap[0][:2]:
+                    elif item > heap[0]:
                         heapq.heapreplace(heap, item)
         out = [
-            (int(qid), -neg_nid, adc_r,
-             float(np.sign(exact) * np.floor(abs(exact) * rf + 0.5) / rf))
+            (int(qid), -neg_nid, adc_r)
             for qid, heap in heaps.items()
-            for adc_r, neg_nid, exact in heap
+            for adc_r, neg_nid in heap
         ]
         yield pd.DataFrame(
-            out, columns=["vec_id", "neighbor_id", "adc", "cos_sim"]
+            out, columns=["vec_id", "neighbor_id", "adc"]
         ).astype(
-            {"vec_id": "int64", "neighbor_id": "int64",
-             "adc": "float64", "cos_sim": "float64"}
+            {"vec_id": "int64", "neighbor_id": "int64", "adc": "float64"}
         )
 
     candidates = corpus.mapInPandas(
         score_partition,
-        schema="vec_id bigint, neighbor_id bigint, adc double, cos_sim double",
+        schema="vec_id bigint, neighbor_id bigint, adc double",
     )
     adc_cut = top_k_per_group(
         candidates,
@@ -1424,14 +1473,10 @@ def sq8_topk(
         order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
         k=keep,
     )
-    return top_k_per_group(
-        adc_cut,
-        partition_by=["vec_id"],
-        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
-        rank_col="rank",
-        keep_rank=True,
-    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+    return _sq8_exact_rerank(
+        embeddings.sparkSession, adc_cut, qrows, embeddings,
+        id_col, vec_col, k, round_scale,
+    )
 
 def sq8_build_index(
     embeddings: DataFrame,
@@ -1558,7 +1603,7 @@ def sq8_search(
     queries: DataFrame,
     embeddings: DataFrame,
     k: int = 5,
-    rerank: int = 32,
+    rerank: int | None = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_scale: int = 8,
@@ -1583,9 +1628,27 @@ def sq8_search(
     eighth of the width. ``n_probe`` defaults to 4 there; probing
     every list reproduces the flat-index answer exactly.
 
-    Matches :func:`sq8_topk` row for row at the same parameters (the
-    codes are bit-identical by construction; property-pinned in
-    tests), the way the physical IVF path equals its logical twin.
+    ``rerank=None`` applies the PQ-style corpus-scaled budget
+    (``pq_topk``'s recipe, scoped to what this search actually scans):
+    ``max(64, ceil(n_scanned / 16))`` capped at 8192, where
+    ``n_scanned`` is the row count of the PROBED codes frame (the
+    partition-pruned scan — one cheap count of a codes-only read), so
+    the exact window grows with the candidate pool the way PQ's must.
+    Measured honestly (r13 sweep, SCALING.md): on this corpus SQ8's
+    8-bit ADC orders nearly exactly, so recall is INSENSITIVE to the
+    budget (32 vs 128 identical at every probe setting, 1x and 8x) —
+    the recall knob for the composed search is ``n_probe``
+    (4/16 -> 0.54, 8/16 -> 0.77, 10/16 -> 0.86-0.91, 12/16 -> 0.94
+    across sf0.001..sf0.1 and 8x). The auto budget is the guard rail
+    for corpora where per-dim quantization error is material (wider
+    dynamic range per dimension), not a recall lever here; a pinned
+    int keeps the call action-free and the oracle scale-stable.
+
+    Matches :func:`sq8_topk` row for row at the same parameters — the
+    codes are bit-identical by construction (property-pinned in
+    tests) and the exact re-rank IS the same code
+    (:func:`_sq8_exact_rerank`), the way the physical IVF path equals
+    its logical twin.
 
     CONTRACT: ``embeddings`` must be the SAME corpus the index was
     built from (the rerank joins survivors back by id) — a drifted
@@ -1621,7 +1684,6 @@ def sq8_search(
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     qt = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = _np_unit_rounded(qt)
-    keep = k + rerank
 
     corpus = spark.read.parquet(f"{index_path}/codes")
     q_probes = None
@@ -1647,6 +1709,15 @@ def sq8_search(
             "sq8_search: n_probe given but the index has no list_id "
             "partitions — rebuild with sq8_build_index(n_lists=...)"
         )
+    if rerank is None:
+        # PQ-style corpus-scaled budget over what this search SCANS:
+        # the probed codes frame (partition-pruned, codes-only — the
+        # count never touches float vectors). See docstring for the
+        # measured honesty note: a guard rail here, not a recall lever.
+        import math
+
+        rerank = max(64, min(math.ceil(corpus.count() / 16), 8192))
+    keep = k + rerank
 
     def score_partition(batches):
         import heapq
@@ -1710,30 +1781,6 @@ def sq8_search(
         order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
         k=keep,
     )
-    # exact re-rank, all JVM: broadcast the tiny candidate list against
-    # the float corpus, broadcast the collected query vectors, fold dots
-    qdf = spark.createDataFrame(
-        [(int(r[0]), [float(v) for v in r[1]]) for r in qrows],
-        "vec_id bigint, qv array<double>",
+    return _sq8_exact_rerank(
+        spark, cand_cut, qrows, embeddings, id_col, vec_col, k, round_scale
     )
-    cv = embeddings.select(
-        F.col(id_col).cast("bigint").alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
-    cos = _dround_once(
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-        round_scale,
-    )
-    scored = (
-        cv.join(F.broadcast(cand_cut), "neighbor_id")
-        .join(F.broadcast(qdf), "vec_id")
-        .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
-    )
-    return top_k_per_group(
-        scored,
-        partition_by=["vec_id"],
-        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
-        rank_col="rank",
-        keep_rank=True,
-    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
