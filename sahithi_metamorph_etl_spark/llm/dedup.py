@@ -605,7 +605,8 @@ def neardup_against_seen(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-) -> DataFrame:
+    return_release: bool = False,
+):
     """Incremental (cross-snapshot) NEAR-dup detection: which documents
     of the incoming batch near-duplicate something already in the
     corpus? The MinHash complement of :func:`dedup_against_seen`
@@ -627,7 +628,17 @@ def neardup_against_seen(
     state (today's batch << corpus); verification shingles ONLY the
     colliding docs on both sides (the sub-quadratic point: candidates,
     never |batch| x |corpus|). Recall is the standard banded bound —
-    1-(1-s^r)^b, ~0.99+ at s=0.8 with 16 bands x 4 rows."""
+    1-(1-s^r)^b, ~0.99+ at s=0.8 with 16 bands x 4 rows.
+
+    With ``return_release=True`` returns ``(pairs, CacheRelease)`` —
+    the ``jaccard_pairs`` lifetime contract: the candidate frame stays
+    pinned until :meth:`CacheRelease.release` is called after the
+    result materializes. Spark's CacheManager holds each persisted
+    entry until explicit unpersist, so a LONG-LIVED caller that
+    invokes this repeatedly (the streaming ingest loop calls it once
+    per micro-batch) MUST use this form — the default's
+    freed-with-the-session rationale only holds for one-shot batch
+    jobs."""
     from pyspark import StorageLevel
 
     new_sigs = band_signature_store(new_df, text_col, id_col, n, num_perm, bands)
@@ -674,13 +685,18 @@ def neardup_against_seen(
         .agg(F.count(F.lit(1)).alias("__nc"))
     )
     jac = F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))
-    return (
+    pairs = (
         candidates.join(common, [id_col, "seen_id"])
         .join(sz_new, id_col)
         .join(sz_old.select(F.col(id_col).alias("seen_id"), "__nb"), "seen_id")
         .filter(jac >= F.lit(threshold))
         .select(id_col, "seen_id", jac.alias("jaccard"))
     )
+    if return_release:
+        from ..operators.windows import CacheRelease
+
+        return pairs, CacheRelease(candidates)
+    return pairs
 
 
 def minhash_lsh_pairs(

@@ -739,6 +739,142 @@ def doc_neardup_incremental(spark, sf_dir):
     return neardup_against_seen(new, band_signature_store(old), old)
 
 
+# Streaming near-dup ingest loop (r13): the steady-state foreachBatch
+# pipeline graded end to end. Three deterministic "daily" batches
+# (doc_id % 3, one parquet file each, strictly increasing pinned
+# mtimes so the file source ingests them in order) flow through
+# neardup_ingest_stream; the graded frame is one row PER DOCUMENT —
+# its batch, whether it landed in the corpus (novel), and how many
+# band rows it contributed to the persisted store. The oracle replays
+# the batch-sequential novelty RECURSION (a doc drops iff it
+# exact-Jaccard >= 0.8 matches an earlier-batch doc that itself
+# survived) unrolled over the three batches, plus the store
+# cardinality rule (16 bands per novel doc with >= 1 shingle, 0
+# otherwise). Banded-miss treatment as doc_neardup_incremental
+# (p ~ 2e-4 at s=0.8). Within-batch duplicates deliberately both
+# survive (minhash_lsh_pairs' job at corpus build time).
+_NEARDUP_STREAM_ORACLE = r"""
+WITH words AS (SELECT doc_id, CAST(doc_id % 3 AS int) AS b,
+                      string_split_regex(trim(text), '\s+') w FROM documents),
+shl AS (SELECT doc_id, list_transform(range(greatest(len(w)-2, 0)),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) sl FROM words),
+sh AS (SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shl),
+sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+bt AS (SELECT doc_id, b FROM words),
+pr AS (SELECT a.doc_id, x.b AS bn, p.doc_id AS seen_id, y.b AS bo, count(*) n_common
+       FROM sh a JOIN sh p ON a.shingle = p.shingle
+       JOIN bt x ON x.doc_id = a.doc_id JOIN bt y ON y.doc_id = p.doc_id
+       WHERE x.b > y.b GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT p.doc_id, p.bn, p.seen_id, p.bo
+          FROM pr p JOIN sz x ON p.doc_id = x.doc_id
+          JOIN sz y ON p.seen_id = y.doc_id
+          WHERE p.n_common * 1.0 / (x.n + y.n - p.n_common) >= 0.8),
+n0 AS (SELECT doc_id FROM bt WHERE b = 0),
+d1 AS (SELECT DISTINCT p.doc_id FROM pairs p
+       JOIN n0 s ON p.seen_id = s.doc_id WHERE p.bn = 1),
+n1 AS (SELECT doc_id FROM bt WHERE b = 1
+       AND doc_id NOT IN (SELECT doc_id FROM d1)),
+d2 AS (SELECT DISTINCT p.doc_id FROM pairs p
+       WHERE p.bn = 2 AND (p.seen_id IN (SELECT doc_id FROM n0)
+                           OR p.seen_id IN (SELECT doc_id FROM n1))),
+n2 AS (SELECT doc_id FROM bt WHERE b = 2
+       AND doc_id NOT IN (SELECT doc_id FROM d2)),
+novel AS (SELECT doc_id FROM n0 UNION ALL SELECT doc_id FROM n1
+          UNION ALL SELECT doc_id FROM n2)
+SELECT t.doc_id, t.b AS batch_id,
+       (nv.doc_id IS NOT NULL) AS is_novel,
+       CAST(CASE WHEN nv.doc_id IS NOT NULL AND sz.n IS NOT NULL
+                 THEN 16 ELSE 0 END AS bigint) AS n_store_rows
+FROM bt t
+LEFT JOIN novel nv ON nv.doc_id = t.doc_id
+LEFT JOIN sz ON sz.doc_id = t.doc_id
+"""
+
+
+@register("doc_neardup_stream", oracle=_NEARDUP_STREAM_ORACLE,
+          doc="STREAMING near-dup ingest loop graded end to end: three "
+              "deterministic daily batches (doc_id % 3, pinned-mtime files, "
+              "maxFilesPerTrigger=1) flow through neardup_ingest_stream — "
+              "per micro-batch the incoming docs collide with the PERSISTED "
+              "band store, only content-novel docs land in the corpus, and "
+              "their signatures extend the store under __BATCH_ID dynamic "
+              "overwrite (exactly-once; strictly-earlier-batch reads make "
+              "replays bit-identical). Graded frame: one row per document "
+              "(batch, novel?, store band rows). HASH-GRADE: the oracle "
+              "unrolls the batch-sequential novelty recursion — a doc drops "
+              "iff it exact-Jaccard >= 0.8 matches an earlier-batch "
+              "SURVIVOR — plus the 16-bands-per-novel-doc store rule; the "
+              "replay-determinism contract is what makes the steady-state "
+              "loop oracle-replayable at all")
+def doc_neardup_stream(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.neardup import neardup_ingest_stream
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    try:
+        watch = os.path.join(work, "incoming")
+        os.makedirs(watch)
+        # one parquet FILE per batch with strictly increasing pinned
+        # mtimes: the file source (maxFilesPerTrigger=1) ingests in
+        # mtime order, so batch ids 0,1,2 map to doc_id % 3 == 0,1,2
+        base = time.time() - 3600
+        for b in range(3):
+            stage = os.path.join(work, f"stage{b}")
+            (
+                docs.filter(F.col("doc_id") % 3 == b)
+                .coalesce(1).write.mode("overwrite").parquet(stage)
+            )
+            part = next(
+                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(watch, f"batch{b}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (base + b * 60, base + b * 60))
+        corpus = os.path.join(work, "corpus")
+        store = os.path.join(work, "store")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(watch)
+        )
+        q = neardup_ingest_stream(
+            stream, corpus, store, os.path.join(work, "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        landed = spark.read.parquet(corpus).select(
+            "doc_id", F.lit(True).alias("is_novel")
+        )
+        store_rows = (
+            spark.read.parquet(store)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_store_rows"))
+        )
+        out = (
+            docs.select(
+                "doc_id", (F.col("doc_id") % 3).cast("int").alias("batch_id")
+            )
+            .join(landed, "doc_id", "left")
+            .join(store_rows, "doc_id", "left")
+            .select(
+                "doc_id", "batch_id",
+                F.coalesce("is_novel", F.lit(False)).alias("is_novel"),
+                F.coalesce("n_store_rows", F.lit(0)).cast("bigint").alias("n_store_rows"),
+            )
+        )
+        # localize before the tempdir (and its parquet listings) vanish
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # --- source-weighted mixture sampling ---------------------------------------
 
 _MIXTURE_ORACLE = r"""

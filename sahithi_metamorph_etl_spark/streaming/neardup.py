@@ -26,7 +26,8 @@ def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
     commit replays the same batch id, and reading only earlier
     partitions (a partition-pruned filter) makes the replayed decision
     IDENTICAL to the original — the batch can never collide with its
-    own earlier half-written output. Only PATH_NOT_FOUND means "first
+    own earlier half-written output. Only missing-data reads (path
+    absent, or present with zero parquet footers) mean "first
     batch" — any other read failure (corrupt store, permissions) must
     propagate, not silently ingest the whole batch as novel."""
     from pyspark.errors import AnalysisException
@@ -34,7 +35,18 @@ def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        s = str(e)
+        # UNABLE_TO_INFER_SCHEMA: the directory exists but holds no
+        # parquet footers — an EMPTY first micro-batch under dynamic
+        # overwrite writes the base dir without partition files;
+        # treating that as an error would wedge the stream permanently
+        # on every replay. It is "no prior data", same as PATH_NOT_FOUND.
+        if (
+            "PATH_NOT_FOUND" in s
+            or "Path does not exist" in s
+            or "UNABLE_TO_INFER_SCHEMA" in s
+            or "Unable to infer schema" in s
+        ):
             return None
         raise
     return df.filter(F.col("__BATCH_ID") < batch_id)
@@ -78,36 +90,55 @@ def neardup_ingest_stream(
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
         spark = batch_df.sparkSession
         store = _read_prior(spark, store_path, batch_id)
         novel = batch_df
+        release = None
         if store is not None:
             old = _read_prior(spark, corpus_path, batch_id)
-            dups = neardup_against_seen(
+            # return_release: the collision-candidate frame inside
+            # neardup_against_seen is persisted per call; a steady-state
+            # stream invokes this EVERY micro-batch, so the cache must
+            # drop when the batch commits, not accumulate one pinned
+            # frame per batch for the life of the query
+            dups, release = neardup_against_seen(
                 batch_df, store, old,
                 text_col=text_col, id_col=id_col,
                 n=n, num_perm=num_perm, bands=bands, threshold=threshold,
+                return_release=True,
             )
             novel = batch_df.join(
                 F.broadcast(dups.select(id_col).distinct()),
                 id_col, "left_anti",
             )
-        for df, path in (
-            (novel, corpus_path),
-            (
-                band_signature_store(
-                    novel, text_col, id_col, n, num_perm, bands
+        # novel feeds BOTH sink writes; persist so the dedup pipeline
+        # (collision join + semi-joins + exact verification) runs once
+        # per batch — the corpus write materializes the cache, the
+        # store write reuses it
+        novel = novel.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for df, path in (
+                (novel, corpus_path),
+                (
+                    band_signature_store(
+                        novel, text_col, id_col, n, num_perm, bands
+                    ),
+                    store_path,
                 ),
-                store_path,
-            ),
-        ):
-            (
-                df.withColumn("__BATCH_ID", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__BATCH_ID")
-                .parquet(path)
-            )
+            ):
+                (
+                    df.withColumn("__BATCH_ID", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__BATCH_ID")
+                    .parquet(path)
+                )
+        finally:
+            novel.unpersist()
+            if release is not None:
+                release.release()
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -797,3 +797,92 @@ def test_neardup_ingest_stream_keeps_only_content_novel_docs(spark, tmp_path):
         q2.stop()
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert kept2 == [1, 2, 11, 22, 31]
+
+
+def test_neardup_ingest_stream_survives_empty_first_batch(spark, tmp_path):
+    """An EMPTY first micro-batch writes the corpus/store base dirs with
+    zero parquet footers (dynamic overwrite emits no partition files);
+    the next batch's prior-state read must treat that as 'no prior
+    data' (UNABLE_TO_INFER_SCHEMA), not wedge the stream permanently."""
+    import shutil as _shutil
+    import time as _time
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        neardup_ingest_stream,
+    )
+
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "nde_src"
+    src.mkdir()
+    batches = [
+        [],  # empty first batch
+        [(1, " ".join(f"a{i}" for i in range(40)))],
+        [(2, " ".join("XX" if i == 20 else f"a{i}" for i in range(40))),
+         (3, " ".join(f"b{i}" for i in range(40)))],
+    ]
+    for i, rows_ in enumerate(batches):
+        stage = tmp_path / f"nde_stage_{i}"
+        spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(str(stage))
+        _shutil.copy(next(stage.glob("part-*.parquet")), src / f"{i:02d}.parquet")
+        _time.sleep(1.05)
+
+    corpus = str(tmp_path / "nde_corpus")
+    store = str(tmp_path / "nde_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = neardup_ingest_stream(
+        stream, corpus, store, str(tmp_path / "nde_ckpt"), threshold=0.5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 3]  # 2 is a near-dup of 1 and drops
+
+
+def test_neardup_ingest_stream_releases_caches_per_batch(spark, tmp_path):
+    """Steady-state cache hygiene: every micro-batch persists the novel
+    frame and the collision-candidate frame, and BOTH must drop when
+    the batch commits — a long-running stream must not accumulate one
+    pinned DataFrame per batch (Spark's CacheManager holds entries
+    until explicit unpersist)."""
+    import shutil as _shutil
+    import time as _time
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        neardup_ingest_stream,
+    )
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "ndc_src"
+    src.mkdir()
+    for i in range(3):
+        rows_ = [(i * 10 + j, " ".join(f"w{i}_{j}_{t}" for t in range(30)))
+                 for j in range(2)]
+        stage = tmp_path / f"ndc_stage_{i}"
+        spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(str(stage))
+        _shutil.copy(next(stage.glob("part-*.parquet")), src / f"{i:02d}.parquet")
+        _time.sleep(1.05)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = neardup_ingest_stream(
+        stream, str(tmp_path / "ndc_corpus"), str(tmp_path / "ndc_store"),
+        str(tmp_path / "ndc_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (
+        f"stream leaked {after - before} pinned cache entr(ies) across "
+        "3 micro-batches"
+    )
