@@ -119,6 +119,10 @@ HEADLINE = [
     "doc_neardup_incremental",
     "emb_sq8_topk",
     "emb_kmeans_pp_init",
+    # round-13: the streaming near-dup ingest loop graded end to end
+    # and the IVF x SQ8 composed physical search
+    "doc_neardup_stream",
+    "emb_sq8_ivf_topk",
 ]
 
 
@@ -141,13 +145,16 @@ def main() -> None:
     # best-of-2 timed passes: single runs on a shared machine swing by
     # seconds from GC/scheduler noise; the minimum is the stable
     # steady-state figure
-    # canary: ONE frozen control query re-timed at the start, middle
-    # and end of the bench so cross-round per-query deltas can be
-    # normalized against same-run machine shift (shared-machine
-    # rep-to-rep variance reached 1.9x in the r7 audit). pricing_summary
-    # is the control: single-scan single-shuffle JVM-only plan, frozen
-    # since r1.
+    # canary: ONE frozen control query interleaved PER BLOCK of ~10
+    # queries (r12 protocol fix: the start/mid/end-only canary
+    # under-resolved a uniform ~1.25x sandbox-load shift that hit every
+    # heavy row — BENCH_r12 vs the same-HEAD local run; with a
+    # per-block load index the shift becomes machine-attributable from
+    # the bench file alone). pricing_summary is the control:
+    # single-scan single-shuffle JVM-only plan, frozen since r1.
     CANARY = "pricing_summary"
+    BLOCK = 10
+    blocks = [HEADLINE[i : i + BLOCK] for i in range(0, len(HEADLINE), BLOCK)]
 
     def run_canary() -> float:
         t0 = time.perf_counter()
@@ -157,15 +164,31 @@ def main() -> None:
         return el
 
     timings: dict[str, float] = {}
-    canary: list[float] = [run_canary()]
+    # canary_blocks[pass][i] = canary timed right BEFORE block i
+    # (plus one trailing sample per pass after the last block)
+    canary_blocks: list[list[float]] = []
     for _ in range(2):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
-            spark.catalog.clearCache()
-        canary.append(run_canary())
+        row: list[float] = []
+        for blk in blocks:
+            row.append(run_canary())
+            for name in blk:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                el = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, el), el)
+                spark.catalog.clearCache()
+        row.append(run_canary())
+        canary_blocks.append(row)
+
+    flat = [c for row in canary_blocks for c in row]
+    cmin = min(flat)
+    # per-block load index: the block's best canary over the run's best
+    # — 1.0 = quietest observed machine state; a uniformly elevated row
+    # of indexes = sandbox load, not a code regression
+    block_load = [
+        round(min(row[i] for row in canary_blocks) / cmin, 3)
+        for i in range(len(blocks) + 1)
+    ]
 
     # Key order is truncation-aware: the archived BENCH_r*.json can be
     # tail-kept (the r10 file lost the first ~8 keys of the line), so
@@ -180,17 +203,24 @@ def main() -> None:
                         "persists); r01 reused cached intermediates across passes, so "
                         "r01 per-query numbers are ~30-50% flattered on cache-heavy queries. "
                         "Shared-machine load shifts ALL queries together between rounds "
-                        "(r7 measured a uniform +15-50% vs r6 with interleaved A/B runs "
-                        "showing no per-query cause; see PLANS.md bloom-filter audit) — "
-                        "divide per-query ratios by the canary median ratio between "
-                        "rounds to separate machine shift from structural change. "
-                        "queries map is sorted ascending by sec since r11 (was HEADLINE "
-                        "order); top20 lists the most expensive descending",
+                        "(r7 measured a uniform +15-50% vs r6; r12's driver run was a "
+                        "uniform ~1.25x vs the same-HEAD local run) — divide per-query "
+                        "ratios by the canary median ratio between rounds to separate "
+                        "machine shift from structural change. Since r13 the canary "
+                        "interleaves PER BLOCK of 10 queries (HEADLINE order; "
+                        "canary.per_block_sec rows = one timed pass each, one trailing "
+                        "sample per pass; block_load_index = block best / run best, a "
+                        "uniformly elevated row means sandbox load). queries map is "
+                        "sorted ascending by sec since r11 (was HEADLINE order); top20 "
+                        "lists the most expensive descending",
                 "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
                 "canary": {
                     "query": CANARY,
-                    "start_mid_end_sec": canary,
-                    "median_sec": round(sorted(canary)[len(canary) // 2], 3),
+                    "block_size": BLOCK,
+                    "per_block_sec": canary_blocks,
+                    "block_load_index": block_load,
+                    "start_mid_end_sec": [flat[0], flat[len(flat) // 2], flat[-1]],
+                    "median_sec": round(sorted(flat)[len(flat) // 2], 3),
                 },
                 "sf": sf,
                 "top20": dict(

@@ -529,13 +529,13 @@ def dsir_logratio_weights(
     whole computation.
 
     Cache lifetime: the vocabulary word table is persisted to keep the
-    corpus at two scans, and with ``return_release=False`` (the
-    default, used by the graded catalog entries whose consumer
-    materializes the returned plan) those |V|-row blocks stay pinned
-    for the session — bounded by language size, not corpus size, but
-    they DO accumulate across repeated invocations. Long-lived
-    pipelines should call with ``return_release=True`` and release
-    after materializing, exactly like ``jaccard_pairs``.
+    corpus at two scans. With ``return_release=False`` (the one-shot
+    default) those |V|-row blocks stay pinned for the session —
+    bounded by language size, not corpus size, but they DO accumulate
+    across repeated invocations; anything that calls this more than
+    once per session (the graded catalog entries do, since r13)
+    should pass ``return_release=True`` and release after
+    materializing, exactly like ``jaccard_pairs``.
 
     Scale shape: tokenize/explode in JVM codegen; ONE map-side-combined
     word-count aggregate carries BOTH the raw and the target counts

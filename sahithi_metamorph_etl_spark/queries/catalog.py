@@ -193,6 +193,29 @@ def _load() -> None:
 # similarity via cosine-topk + lsh-ann; codecs via resize/
 # frame-sample/jpeg; events via tumbling/asof-fwd/incremental/funnel;
 # warehouse via scd2-merge; skew via salted + lineitem_key_skew).
+# r13 rotation: the tightest roster yet — rule 3 binds on THIRTY-NINE
+# entries (out-streak 2 after r12; scripts/rotation_plan.py --propose
+# recomputes authoritatively from the shipped CORRECTNESS files), so
+# 9 anchors + 39 must-returns = 48 fixed slots and exactly TWO free
+# slots, spent on the two r13-born entries the r12 verdict ordered:
+# doc_neardup_stream (the steady-state streaming near-dup ingest loop
+# graded end to end — the replay-determinism contract built in r12
+# exists precisely to make it oracle-replayable) and emb_sq8_ivf_topk
+# (the IVF x SQ8 composed physical search, graded at probe settings
+# the r13 sweep measured at recall 0.86-0.91 across sf0.001..sf0.1
+# and 8x — the quality knob the r12 verdict flagged, closed).
+# OUT = the r12-green entries (fresh history, streak 1: the 35
+# returned must-returns, the three r12 newborns, emb_random_projection
+# and the two fillers) — every family keeps a representative in the 50
+# (relational via pricing-summary/with-without-orders/pivot/histogram/
+# Q3/heavy-hitters/part-class; sketches via price-percentiles; text
+# via repetition/rarity/bigram/decontaminate/chunks/token-budget/
+# stratified; dedup via passage-dups/dedup-clusters/simhash/
+# near-dup-prune-lsh + the streaming newborn; similarity via
+# centroid-knn/cosine-near-dup/label-centroids/lsh-mp + the composed
+# sq8 newborn; codecs via png/audio/gif; events via sliding/session/
+# stream-funnel; warehouse via zorder + scd2 asof/chain + range-join;
+# validators via orders_expectations).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -203,31 +226,26 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r11)
-    "corpus_near_dup_prune", "corpus_text_profile",
-    "customer_order_gaps", "customer_running_total",
-    "customer_segments_setops", "doc_exact_dedup", "doc_fingerprint",
-    "doc_hot_shingles", "doc_language_guess", "doc_pack_sequences",
-    "doc_pii_scrub", "doc_token_stats", "doc_train_split",
-    "duplicate_order_lines", "emb_cosine_topk", "emb_lsh_ann_topk",
-    "events_asof_join_forward", "events_funnel",
-    "events_hourly_tumbling", "events_incremental_slice",
-    "lineitem_key_skew", "lineitem_union_slices",
-    "multimodal_frame_sample", "multimodal_jpeg_roundtrip",
-    "multimodal_resize", "orders_by_month", "orders_column_profile",
-    "orders_cube", "orders_filter_case", "orders_grouping_sets",
-    "orders_price_quantile_hist", "salted_skew_join",
-    "sketch_mergeable_distinct", "supplier_region_rollup",
-    "top10_orders",
-    # rule-2 newborns (born r12, never externally checked)
-    "doc_neardup_incremental", "emb_sq8_topk", "emb_kmeans_pp_init",
-    # r11's one red driver row, reshaped to scalar output this round;
-    # the verdict orders a green r12 row
-    "emb_random_projection",
-    # streak-1 fillers, one per family (two slots ceded mid-round to
-    # the sq8 + kmeans|| newborns; text-selection stays repped by
-    # pii/train-split, relational by the ten must-return slots)
-    "customer_scd2_merge", "doc_minhash_lsh_pairs",
+    # rule-3 must-returns (out-streak 2 after r12)
+    "corpus_near_dup_prune_lsh", "customer_scd2_asof",
+    "customer_scd2_chain", "customer_tiers_percent_rank",
+    "customers_with_orders", "customers_without_orders",
+    "doc_bigram_logprob", "doc_bpe_tokenize", "doc_bpe_tokens",
+    "doc_chunks", "doc_decontaminate", "doc_dedup_clusters",
+    "doc_passage_dups", "doc_rarity_score", "doc_repetition_stats",
+    "doc_simhash", "doc_stratified_sample", "doc_token_budget",
+    "emb_centroid_knn", "emb_cosine_near_dup", "emb_label_centroids",
+    "emb_lsh_mp_topk", "events_sessionization",
+    "events_sliding_window", "events_stream_funnel",
+    "lineitem_heavy_hitters", "multimodal_audio_stats",
+    "multimodal_gif_frames", "multimodal_png_roundtrip",
+    "orders_expectations", "orders_price_histogram",
+    "orders_status_pivot", "orders_zorder_pruning",
+    "part_price_band_range_join", "part_price_class",
+    "pricing_summary", "sketch_price_percentiles",
+    "supplier_part_agg", "tpch_q3_shipping_priority",
+    # rule-2 newborns (born r13, never externally checked)
+    "doc_neardup_stream", "emb_sq8_ivf_topk",
 )
 
 

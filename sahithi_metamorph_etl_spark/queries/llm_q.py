@@ -339,8 +339,18 @@ def doc_dsir_sample(spark, sf_dir):
     from ..llm.textstats import dsir_gumbel_sample, dsir_logratio_weights
 
     docs = read_testdata(spark, sf_dir, "documents")
-    w = dsir_logratio_weights(docs, target=F.col("source") == "src0")
-    return dsir_gumbel_sample(w, k=100, tau=1.0, seed=42)
+    # release-after-materialize (r12 verdict #5): the persisted
+    # vocabulary table serves this entry's one materialization (the
+    # k-row sample localizes), then its pinned blocks drop — repeated
+    # catalog runs in one session no longer accumulate |V|-row caches
+    w, release = dsir_logratio_weights(
+        docs, target=F.col("source") == "src0", return_release=True
+    )
+    try:
+        out = dsir_gumbel_sample(w, k=100, tau=1.0, seed=42)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        release.release()
 
 
 @register("doc_dsir_weights", oracle=_DSIR_ORACLE,
@@ -353,13 +363,22 @@ def doc_dsir_sample(spark, sf_dir):
               "zero-token docs excluded by contract. JVM-only, TWO corpus scans: "
               "one word-count aggregate carrying raw+target counts (totals fold "
               "the vocabulary-sized word table) + the scoring join/aggregate. "
-              "NOTE: the vocabulary table stays persisted for the session "
-              "(|V|-row blocks; long-lived pipelines use return_release=True)")
+              "Cache hygiene: return_release=True + release after the entry's "
+              "one materialization (per-doc rows localize), so repeated "
+              "catalog runs never accumulate pinned |V|-row blocks")
 def doc_dsir_weights(spark, sf_dir):
     from ..llm.textstats import dsir_logratio_weights
 
     docs = read_testdata(spark, sf_dir, "documents")
-    return dsir_logratio_weights(docs, target=F.col("source") == "src0")
+    w, release = dsir_logratio_weights(
+        docs, target=F.col("source") == "src0", return_release=True
+    )
+    try:
+        # localize the per-doc weight rows (documents-table-sized, the
+        # doc_neardup_stream treatment), then drop the vocab cache
+        return spark.createDataFrame(w.collect(), schema=w.schema)
+    finally:
+        release.release()
 
 
 def _logreg_oracle_sql(n_iter: int = 3, lr: float = 0.5) -> str:

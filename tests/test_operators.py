@@ -3235,6 +3235,24 @@ def test_jl_random_projection_matches_sequential_fold_zero_shuffle(spark, sf_dir
     assert jl_random_projection(empty, out_dim=4).count() == 0
 
 
+def test_dsir_graded_entries_release_vocab_cache(spark, sf_dir):
+    """r12 verdict #5: the DSIR catalog entries must release their
+    persisted vocabulary frame after materializing — two consecutive
+    invocations may not grow the session's pinned-cache count (each
+    call used to leave one |V|-row cached frame behind)."""
+    from sahithi_metamorph_etl_spark.queries.catalog import get_query
+
+    for name in ("doc_dsir_weights", "doc_dsir_sample"):
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        for _ in range(2):
+            get_query(name).fn(spark, sf_dir).count()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before, (
+            f"{name}: {after - before} pinned cache entr(ies) leaked "
+            "across two invocations"
+        )
+
+
 def test_dsir_weights_separate_target_vocab(spark):
     """Docs sharing the target slice's vocabulary must outweigh docs
     that don't: build a corpus where target docs say 'alpha', others
