@@ -1064,11 +1064,13 @@ def pq_topk(
     by asymmetric distance computation — an (m x ksub) table of
     query-subvector dot products per query, summed by code lookups
     (this is the scan a PQ-compressed 100 TB index performs: bytes +
-    table lookups, no float vectors). The top ``k + rerank`` ADC
-    candidates per partition are re-scored EXACTLY (the true vectors
-    are still in the partition at encode time), and the global window
-    ranks by exact cosine — so PQ error affects only which candidates
-    survive, never the reported similarity of survivors.
+    table lookups, no float vectors). The global top ``k + rerank``
+    ADC candidates are then re-scored EXACTLY by the shared JVM
+    re-rank stage (:func:`_adc_exact_rerank`: survivors broadcast-join
+    the float table and score with the codegen fold — the same IEEE op
+    sequence as the DuckDB oracle), and the final window ranks by
+    exact cosine — so PQ error affects only which candidates survive,
+    never the reported similarity of survivors.
 
     Determinism: the codebooks are layout-independent (seeded k-means
     on the ``train_sample`` LOWEST ids — an ordered take, not an
@@ -1141,7 +1143,6 @@ def pq_topk(
     # with every codebook entry, built once on the driver
     tables = np.einsum("qjd,jkd->qjk", qm.reshape(len(qm), m, dsub), books)
 
-    rf = float(10**round_scale)
     keep = k + rerank
     corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
 
@@ -1182,49 +1183,42 @@ def pq_topk(
                     nid = int(nids[ci])
                     if nid == qid:
                         continue
-                    # exact cosine computed ONLY for heap-entering
-                    # candidates; kept alongside the ADC key
-                    exact = float(qm[qi] @ cm[ci])
-                    item = (float(adc[ci]), -nid, exact)
+                    item = (float(adc[ci]), -nid)
                     if len(heap) < keep:
                         heapq.heappush(heap, item)
-                    elif item[:2] > heap[0][:2]:
+                    elif item > heap[0]:
                         heapq.heapreplace(heap, item)
         out = [
-            (int(qid), -neg_nid, adc_r,
-             float(np.sign(exact) * np.floor(abs(exact) * rf + 0.5) / rf))
+            (int(qid), -neg_nid, adc_r)
             for qid, heap in heaps.items()
-            for adc_r, neg_nid, exact in heap
+            for adc_r, neg_nid in heap
         ]
         yield pd.DataFrame(
-            out, columns=["vec_id", "neighbor_id", "adc", "cos_sim"]
+            out, columns=["vec_id", "neighbor_id", "adc"]
         ).astype(
-            {"vec_id": "int64", "neighbor_id": "int64",
-             "adc": "float64", "cos_sim": "float64"}
+            {"vec_id": "int64", "neighbor_id": "int64", "adc": "float64"}
         )
 
     candidates = corpus.mapInPandas(
         score_partition,
-        schema="vec_id bigint, neighbor_id bigint, adc double, cos_sim double",
+        schema="vec_id bigint, neighbor_id bigint, adc double",
     )
     # global ADC top-(k+rerank) cut first — every partition heap holds a
     # superset of its share of this list, so the cut is
     # partition-independent — then re-rank the survivors by EXACT
-    # cosine: ADC only ever chooses candidates, never reported scores
+    # cosine: ADC only ever chooses candidates, never reported scores.
+    # The re-rank is the shared JVM fold stage (r13): identical IEEE op
+    # sequence to the DuckDB oracle, no numpy-accumulation boundary risk
     adc_cut = top_k_per_group(
         candidates,
         partition_by=["vec_id"],
         order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
         k=keep,
     )
-    return top_k_per_group(
-        adc_cut,
-        partition_by=["vec_id"],
-        order_by=[F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
-        rank_col="rank",
-        keep_rank=True,
-    ).select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos_sim")
+    return _adc_exact_rerank(
+        embeddings.sparkSession, adc_cut, qrows, embeddings,
+        id_col, vec_col, k, round_scale,
+    )
 
 
 def _np_unit_rounded(m):
@@ -1284,7 +1278,7 @@ def _sq8_dim_stats(df: DataFrame, id_col: str, vec_col: str):
     return mn, mx
 
 
-def _sq8_exact_rerank(
+def _adc_exact_rerank(
     spark,
     cand_cut: DataFrame,
     qrows,
@@ -1294,8 +1288,9 @@ def _sq8_exact_rerank(
     k: int,
     round_scale: int,
 ) -> DataFrame:
-    """The SHARED exact re-rank stage of :func:`sq8_topk` and
-    :func:`sq8_search`: broadcast the tiny ADC-survivor list
+    """The SHARED exact re-rank stage of the quantized scans
+    (:func:`pq_topk`, :func:`sq8_topk`, :func:`sq8_search`):
+    broadcast the tiny ADC-survivor list
     (|queries| x (k+rerank) ids) against the float table, broadcast
     the collected query vectors, and score with the JVM codegen
     ``_dot``/``_norm`` fold — the same left-to-right IEEE op sequence
@@ -1473,7 +1468,7 @@ def sq8_topk(
         order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
         k=keep,
     )
-    return _sq8_exact_rerank(
+    return _adc_exact_rerank(
         embeddings.sparkSession, adc_cut, qrows, embeddings,
         id_col, vec_col, k, round_scale,
     )
@@ -1781,6 +1776,6 @@ def sq8_search(
         order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
         k=keep,
     )
-    return _sq8_exact_rerank(
+    return _adc_exact_rerank(
         spark, cand_cut, qrows, embeddings, id_col, vec_col, k, round_scale
     )
