@@ -1592,6 +1592,17 @@ def sq8_build_index(
     return mn, mx
 
 
+def _auto_rerank_budget(n_scanned: int) -> int:
+    """``pq_topk``'s corpus-scaled exact-rerank budget, parameterized
+    by what the caller actually SCANS: ``max(64, ceil(n/16))`` capped
+    at 8192 (the same executor-memory bound). ``sq8_search`` passes
+    the PROBED codes count here, so composing with IVF keeps the
+    budget bounded by the probed pool, not the corpus."""
+    import math
+
+    return max(64, min(math.ceil(n_scanned / 16), 8192))
+
+
 def sq8_search(
     spark,
     index_path: str,
@@ -1629,6 +1640,10 @@ def sq8_search(
     ``n_scanned`` is the row count of the PROBED codes frame (the
     partition-pruned scan — one cheap count of a codes-only read), so
     the exact window grows with the candidate pool the way PQ's must.
+    Note the scan is pruned to the probe UNION across all queries: a
+    large diverse query batch can union every list, making
+    ``n_scanned`` the corpus — the budget follows what is READ, which
+    upper-bounds every query's own candidate pool.
     Measured honestly (r13 sweep, SCALING.md): on this corpus SQ8's
     8-bit ADC orders nearly exactly, so recall is INSENSITIVE to the
     budget (32 vs 128 identical at every probe setting, 1x and 8x) —
@@ -1709,9 +1724,7 @@ def sq8_search(
         # the probed codes frame (partition-pruned, codes-only — the
         # count never touches float vectors). See docstring for the
         # measured honesty note: a guard rail here, not a recall lever.
-        import math
-
-        rerank = max(64, min(math.ceil(corpus.count() / 16), 8192))
+        rerank = _auto_rerank_budget(corpus.count())
     keep = k + rerank
 
     def score_partition(batches):

@@ -2950,6 +2950,72 @@ def test_sq8_ivf_composition_prunes_files_and_bytes(spark, sf_dir, tmp_path):
         sq8_search(spark, flat_idx, emb.filter(qf), emb, n_probe=4)
 
 
+def test_sq8_search_auto_rerank_scales_with_probed_pool(spark, tmp_path):
+    """rerank=None (the PQ-style corpus-scaled budget, r13) resolves
+    max(64, ceil(n_scanned/16)) from what the search actually SCANS.
+    Pin BOTH branches at sf0.1 (2000 vectors): the flat index scans
+    the whole corpus -> budget ceil(2000/16)=125 (the scale branch);
+    a 4-of-8-lists probe scans ~1000 codes -> the 64 floor binds (the
+    floor branch, and the count provably composed with the partition
+    filter — a corpus-wide count would have resolved 125). Each auto
+    run must equal its explicitly-pinned twin row for row."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        sq8_build_index,
+        sq8_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n = emb.count()
+    assert n >= 1100  # the scale branch must actually bind below
+    qf = F.col("vec_id") < 30
+
+    flat_idx = str(tmp_path / "sq8_auto_flat")
+    sq8_build_index(emb, flat_idx)
+    budget = max(64, min(math.ceil(n / 16), 8192))
+    assert budget > 64  # scale branch
+    auto = sq8_search(spark, flat_idx, emb.filter(qf), emb, k=5, rerank=None)
+    pinned = sq8_search(spark, flat_idx, emb.filter(qf), emb, k=5, rerank=budget)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pinned.collect()))
+
+    ivf_idx = str(tmp_path / "sq8_auto_ivf")
+    sq8_build_index(emb, ivf_idx, n_lists=8)
+    # observe the resolved budget directly: wrap _auto_rerank_budget
+    # and record the n it was handed — the probed case must count the
+    # PARTITION-PRUNED scan (well under the corpus), not the corpus
+    import sahithi_metamorph_etl_spark.llm.similarity as sim
+
+    seen: list[int] = []
+    orig = sim._auto_rerank_budget
+
+    def spy(n_scanned: int) -> int:
+        seen.append(n_scanned)
+        return orig(n_scanned)
+
+    # ONE query: the scan prunes to exactly its 4 probe lists (many
+    # diverse queries would union every list and the "pruned" scan
+    # would equal the corpus — the budget follows what is READ)
+    q1 = F.col("vec_id") == 0
+    sim._auto_rerank_budget = spy
+    try:
+        auto_p = sq8_search(
+            spark, ivf_idx, emb.filter(q1), emb, k=5, rerank=None, n_probe=4
+        )
+        pinned_p = sq8_search(
+            spark, ivf_idx, emb.filter(q1), emb, k=5, rerank=orig(seen[0]),
+            n_probe=4,
+        )
+    finally:
+        sim._auto_rerank_budget = orig
+    assert 0 < seen[0] < n, seen  # counted the pruned scan, not the corpus
+    assert sorted(map(tuple, auto_p.collect())) == sorted(
+        map(tuple, pinned_p.collect())
+    )
+
+
 def test_kmeans_parallel_init_layout_independent_and_beats_lowid(spark, sf_dir):
     """k-means|| init invariants: (a) the picked seeds are identical
     under any partition layout (seeded-hash selection + exact-decimal
