@@ -1221,6 +1221,286 @@ def pq_topk(
     )
 
 
+def pq_build_index(
+    embeddings: DataFrame,
+    index_path: str,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books=None,
+    seed: int = 42,
+    train_sample: int = 2048,
+    n_lists: int | None = None,
+    centroids=None,
+) -> None:
+    """Materialize the PQ physical layout — the classic IVFPQ index
+    when composed with ``n_lists`` (Jégou et al. 2011, the canonical
+    billion-scale ANN layout): the corpus encoded to
+    ``{index_path}/codes`` as (vec_id, codes binary) — ``m`` BYTES per
+    vector, a ``dim*8/m``-fold shrink over float64 (64x at the
+    defaults for dim=64) — plus the ``{index_path}/books`` codebook
+    sidecar (m*ksub rows). This completes the physical symmetry with
+    :func:`sq8_build_index`: SQ8's codes cut scan BANDWIDTH 8x keeping
+    every dimension; PQ's codes shrink what is HELD far harder at the
+    price of a coarse ADC, which is why :func:`pq_search` defaults to
+    the corpus-scaled exact-rerank budget.
+
+    Encoding is ONE Arrow pass replaying :func:`pq_topk` bit for bit:
+    unit-normalize, per-subspace argmin on the ROUNDED L2 distance
+    (8dp, first-index = lowest code ties) — so a physical search
+    equals the logical flat scan row for row at the same parameters.
+
+    ``n_lists`` composes the two pruning axes exactly as in
+    ``sq8_build_index``: codes additionally carry the coarse-list
+    assignment (argmax rounded dot, lowest-list ties; centroids to
+    ``{index_path}/centroids``) and write PARTITIONED BY ``list_id``,
+    so a probed :func:`pq_search` opens ``n_probe/n_lists`` of the
+    FILES and reads ``m`` bytes per held vector — IVF prunes what is
+    read, PQ shrinks what is held.
+
+    ``books`` (an (m, ksub, dim//m) array-like) skips the seeded
+    k-means trainer, e.g. the lowest-id-subvector books a SQL oracle
+    can reconstruct (the ``emb_pq_topk`` treatment).
+    """
+    import numpy as np
+
+    if books is not None:
+        books = np.asarray(books, dtype=np.float64)
+        if books.shape[0] != m or books.shape[1] != ksub:
+            raise ValueError(
+                f"books shape {books.shape} != (m={m}, ksub={ksub}, dsub)"
+            )
+    else:
+        books = _train_pq_codebooks(
+            embeddings, id_col, vec_col, m, ksub, seed, train_sample
+        )
+    dsub = books.shape[2]
+
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(v) for v in books[j, c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, cid int, bv array<double>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/books")
+
+    cents = None
+    if n_lists is not None:
+        cents = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
+        )
+        spark.createDataFrame(
+            [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
+            "list_id int, centroid array<double>",
+        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+            )
+            sub = cm.reshape(len(cm), m, dsub)
+            codes = np.empty((len(cm), m), dtype=np.uint8)
+            for j in range(m):
+                d2 = ((sub[:, j, None, :] - books[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = _nround(np.sqrt(d2)).argmin(axis=1)
+            out = {
+                "vec_id": pdf[id_col].to_numpy(),
+                "codes": [row.tobytes() for row in codes],
+            }
+            if cents is not None:
+                out["list_id"] = (
+                    _nround(cm @ cents.T).argmax(axis=1).astype("int32")
+                )
+            yield pd.DataFrame(out)
+
+    writer = (
+        embeddings.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+        .mapInPandas(
+            encode,
+            schema="vec_id bigint, codes binary"
+            + (", list_id int" if cents is not None else ""),
+        )
+        .write.mode("overwrite")
+    )
+    if cents is not None:
+        writer = writer.partitionBy("list_id")
+    writer.parquet(f"{index_path}/codes")
+
+
+def pq_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 8,
+    max_queries: int = 10_000,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Search a materialized PQ index (:func:`pq_build_index`) — IVFPQ
+    when the index is list-partitioned: the candidate stage scans ONLY
+    (vec_id, codes) at ``m`` bytes per vector, scores by ADC table
+    lookups against the broadcast codebook sidecar, and heaps the
+    global top-(k+rerank) rounded sums per query; survivors re-rank
+    exactly through the shared JVM fold stage
+    (:func:`_adc_exact_rerank` — the float table is touched only via
+    broadcast joins on the candidate ids). One Python stage: the byte
+    scan, exactly like :func:`sq8_search`.
+
+    On a list-partitioned index the probe set prunes both axes:
+    ``list_id IN (probes)`` is a partition filter (non-probed
+    directories never open) and what IS read is ``m`` bytes per
+    vector. ``n_probe`` defaults to 4 there; probing every list
+    reproduces the flat answer exactly.
+
+    ``rerank=None`` (the DEFAULT here, unlike ``sq8_search``) applies
+    the corpus-scaled budget (:func:`_auto_rerank_budget` over the
+    probed codes count): PQ's coarse 8-code ADC genuinely needs the
+    budget to track the candidate pool (the r10 lesson — recall
+    0.742 -> 0.502 at 8x under a pinned 128), where SQ8's near-exact
+    ADC does not. Composing with IVF keeps the pool — and hence the
+    budget — bounded by the probed fraction.
+
+    Matches :func:`pq_topk` row for row at the same parameters (same
+    encode, same rounded-ADC ordering, same partition-independent cut,
+    same shared exact re-rank; pinned in tests).
+
+    CONTRACT: ``embeddings`` must be the SAME corpus the index was
+    built from (the rerank joins survivors back by id), exactly as
+    with ``sq8_search``/``ivf_search``.
+    """
+    import numpy as np
+
+    book_rows = spark.read.parquet(f"{index_path}/books").collect()
+    m = max(r["j"] for r in book_rows) + 1
+    ksub = max(r["cid"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["bv"])
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in book_rows:
+        books[r["j"], r["cid"]] = r["bv"]
+
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_search: query set exceeds max_queries={max_queries}; "
+            "tighten the queries DataFrame or raise the cap deliberately"
+        )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qt = np.array([r[1] for r in qrows], dtype=np.float64)
+    qm = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
+    tables = np.einsum("qjd,jkd->qjk", qm.reshape(len(qm), m, dsub), books)
+
+    corpus = spark.read.parquet(f"{index_path}/codes")
+    q_probes = None
+    if "list_id" in corpus.columns:
+        if n_probe is None:
+            n_probe = 4
+        cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
+        cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+        for r in cent_rows:
+            cents[r["list_id"]] = r["centroid"]
+        q_probes = np.argsort(
+            -_nround(qm @ cents.T), axis=1, kind="stable"
+        )[:, :n_probe]
+        probe_union = sorted({int(p) for row in q_probes for p in row})
+        corpus = corpus.filter(F.col("list_id").isin(probe_union))
+    elif n_probe is not None:
+        raise ValueError(
+            "pq_search: n_probe given but the index has no list_id "
+            "partitions — rebuild with pq_build_index(n_lists=...)"
+        )
+    if rerank is None:
+        rerank = _auto_rerank_budget(corpus.count())
+    keep = k + rerank
+
+    def score_partition(batches):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        heaps = {int(qid): [] for qid in q_ids}
+        probe_sets = (
+            None if q_probes is None
+            else [set(map(int, row)) for row in q_probes]
+        )
+        js = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["codes"]), dtype=np.uint8
+            ).reshape(len(pdf), m).astype(np.int64)
+            nids = pdf["vec_id"].to_numpy()
+            lids = pdf["list_id"].to_numpy() if probe_sets is not None else None
+            for qi, qid in enumerate(q_ids):
+                adc = tables[qi][js, codes].sum(axis=1)
+                adc = np.sign(adc) * np.floor(np.abs(adc) * 1e6 + 0.5) / 1e6
+                heap = heaps[int(qid)]
+                floor = heap[0][0] if len(heap) >= keep else -2.0
+                for ci in np.nonzero(adc >= floor)[0]:
+                    if lids is not None and int(lids[ci]) not in probe_sets[qi]:
+                        continue
+                    nid = int(nids[ci])
+                    if nid == qid:
+                        continue
+                    item = (float(adc[ci]), -nid)
+                    if len(heap) < keep:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+        out = [
+            (int(qid), -neg_nid, adc_r)
+            for qid, heap in heaps.items()
+            for adc_r, neg_nid in heap
+        ]
+        yield pd.DataFrame(
+            out, columns=["vec_id", "neighbor_id", "adc"]
+        ).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "adc": "float64"}
+        )
+
+    candidates = corpus.mapInPandas(
+        score_partition,
+        schema="vec_id bigint, neighbor_id bigint, adc double",
+    )
+    cand_cut = top_k_per_group(
+        candidates,
+        partition_by=["vec_id"],
+        order_by=[F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k=keep,
+    )
+    return _adc_exact_rerank(
+        spark, cand_cut, qrows, embeddings, id_col, vec_col, k, round_scale
+    )
+
+
 def _np_unit_rounded(m):
     """The 8dp-rounded unit vectors of a (rows, dim) float64 matrix,
     accumulating the norm STRICTLY left-to-right via ``np.cumsum`` —

@@ -2866,6 +2866,91 @@ def test_sq8_physical_index_matches_flat_scan(spark, sf_dir, tmp_path):
     assert none.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
 
 
+def test_pq_physical_index_matches_flat_scan_and_composes_with_ivf(
+    spark, sf_dir, tmp_path
+):
+    """The PQ physical layout (IVFPQ when list-partitioned — the sq8
+    treatment applied to product quantization): (a) pq_search over a
+    materialized m-bytes-per-vector codes index equals pq_topk row for
+    row at the same parameters (same encode, same rounded-ADC cut,
+    same shared JVM exact re-rank); (b) probing EVERY list reproduces
+    the flat answer; (c) a pruned probe pushes ``list_id IN (probes)``
+    into the scan as a partition filter and clears a recall floor;
+    (d) n_probe on a flat index raises; (e) empty query set returns a
+    typed empty frame; (f) the codes files hold m bytes per vector —
+    an order of magnitude under the float corpus."""
+    import contextlib
+    import io
+    import pathlib
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        ann_recall_summary,
+        cosine_topk_bruteforce,
+        pq_build_index,
+        pq_search,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qf = F.col("vec_id") < 50
+
+    # oracle-reconstructible books: subvectors of the 32 lowest-id unit
+    # vectors (the emb_pq_topk treatment)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(32).collect()
+    u = np.array([r[1] for r in rows], dtype=np.float64)
+    u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    books = np.stack([u[:, j * 8:(j + 1) * 8] for j in range(8)])
+
+    idx = str(tmp_path / "pq_idx")
+    pq_build_index(emb, idx, m=8, ksub=32, books=books)
+    flat = pq_topk(emb, k=5, ksub=32, rerank=64, query_filter=qf, books=books)
+    srch = pq_search(spark, idx, emb.filter(qf), emb, k=5, rerank=64)
+    assert sorted(map(tuple, srch.collect())) == sorted(map(tuple, flat.collect()))
+
+    ivf_idx = str(tmp_path / "pq_ivf_idx")
+    pq_build_index(emb, ivf_idx, m=8, ksub=32, books=books, n_lists=8)
+    full = pq_search(spark, ivf_idx, emb.filter(qf), emb, k=5, rerank=64, n_probe=8)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
+
+    ann = pq_search(spark, ivf_idx, emb.filter(qf), emb, k=5, rerank=64, n_probe=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ann.explain(mode="formatted")
+    scan = next(
+        s for s in buf.getvalue().split("\n\n")
+        if "Scan parquet" in s and "codes" in s
+    )
+    assert "PartitionFilters" in scan
+    assert "list_id" in scan.split("PartitionFilters")[1]
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+    row = ann_recall_summary(exact, ann, recall_floor=0.2).collect()[0]
+    assert row["floor_ok"], row
+
+    with _pytest.raises(ValueError, match="n_probe"):
+        pq_search(spark, idx, emb.filter(qf), emb, n_probe=4)
+
+    none = pq_search(spark, idx, emb.filter(F.col("vec_id") < 0), emb)
+    assert none.count() == 0
+    assert none.columns == ["vec_id", "rank", "neighbor_id", "cos_sim"]
+
+    n = emb.count()
+    code_bytes = sum(
+        p.stat().st_size for p in pathlib.Path(idx, "codes").rglob("*.parquet")
+    )
+    float_bytes = sum(
+        p.stat().st_size
+        for p in pathlib.Path(f"{sf_dir}/embeddings.parquet").rglob("*")
+        if p.is_file()
+    ) or pathlib.Path(f"{sf_dir}/embeddings.parquet").stat().st_size
+    # 8 payload bytes/vector vs 64 float64 dims: parquet overhead eats
+    # some of the 64x, but the codes must stay far under the floats
+    assert code_bytes < float_bytes / 4, (code_bytes, float_bytes, n)
+
+
 def test_sq8_numpy_unit_fold_equals_jvm_fold(spark, sf_dir):
     """The SQ8 determinism keystone: _np_unit_rounded's np.cumsum norm
     accumulates strictly left-to-right, so its rounded unit values are
