@@ -45,6 +45,8 @@ from sahithi_metamorph_etl_spark.core.session import get_spark  # noqa: E402
 from sahithi_metamorph_etl_spark.llm.similarity import (  # noqa: E402
     ann_recall_summary,
     cosine_topk_bruteforce,
+    pq_build_index,
+    pq_search,
     sq8_build_index,
     sq8_search,
 )
@@ -118,6 +120,37 @@ def sq8_ivf_surface(spark, emb, res: dict, tag: str) -> None:
             sq8_search(emb.sparkSession, idx, emb.filter(qf), emb,
                        k=5, rerank=None, n_probe=10),
             recall_floor=0.8,
+        ).collect()[0]["recall"]
+    )
+
+    # IVFPQ (r13 operator, graded entry budgeted for r14): m=8 bytes
+    # per held vector, coarse-list partition pruning, rerank=None =
+    # the corpus-scaled budget PQ genuinely needs
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(32).collect()
+    u = np.array([r[1] for r in rows], dtype=np.float64)
+    u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    books = np.stack([u[:, j * 8:(j + 1) * 8] for j in range(8)])
+    pidx = os.path.join(_WORK, f"pq_ivf_idx_{tag}")
+    res[f"pq_ivf_build_sec_{tag}"] = timed_best(
+        lambda: pq_build_index(emb, pidx, m=8, ksub=32, books=books,
+                               n_lists=16, centroids=cents)
+    )
+
+    def pq_probed():
+        pq_search(
+            emb.sparkSession, pidx, emb.filter(qf), emb,
+            k=5, rerank=None, n_probe=10,
+        ).write.format("noop").mode("overwrite").save()
+
+    res[f"pq_ivf_search_sec_{tag}"] = timed_best(pq_probed)
+    res[f"pq_ivf_recall_{tag}"] = float(
+        ann_recall_summary(
+            exact,
+            pq_search(emb.sparkSession, pidx, emb.filter(qf), emb,
+                      k=5, rerank=None, n_probe=10),
+            recall_floor=0.0,
         ).collect()[0]["recall"]
     )
 
