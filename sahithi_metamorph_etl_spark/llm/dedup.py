@@ -606,6 +606,7 @@ def neardup_against_seen(
     bands: int = 16,
     threshold: float = 0.8,
     return_release: bool = False,
+    new_sigs: DataFrame | None = None,
 ):
     """Incremental (cross-snapshot) NEAR-dup detection: which documents
     of the incoming batch near-duplicate something already in the
@@ -638,10 +639,18 @@ def neardup_against_seen(
     invokes this repeatedly (the streaming ingest loop calls it once
     per micro-batch) MUST use this form — the default's
     freed-with-the-session rationale only holds for one-shot batch
-    jobs."""
+    jobs.
+
+    ``new_sigs`` (an (id, band, sig) frame for exactly ``new_df``,
+    i.e. ``band_signature_store(new_df, ...)`` at the SAME
+    n/num_perm/bands) skips recomputing the batch signatures — for a
+    caller that also needs them downstream (the streaming ingest loop
+    extends the store with the novel subset of the same frame), the
+    shingle+minhash pass then runs ONCE per batch, not twice."""
     from pyspark import StorageLevel
 
-    new_sigs = band_signature_store(new_df, text_col, id_col, n, num_perm, bands)
+    if new_sigs is None:
+        new_sigs = band_signature_store(new_df, text_col, id_col, n, num_perm, bands)
     seen = seen_bands.select(
         F.col(id_col).alias("seen_id"), F.col("band"), F.col("sig")
     )

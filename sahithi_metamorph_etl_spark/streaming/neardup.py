@@ -94,6 +94,12 @@ def neardup_ingest_stream(
 
         spark = batch_df.sparkSession
         store = _read_prior(spark, store_path, batch_id)
+        # the batch's band signatures feed BOTH the collision join and
+        # (filtered to the novel subset) the store write — compute the
+        # shingle+minhash pass ONCE per batch and persist it
+        sigs = band_signature_store(
+            batch_df, text_col, id_col, n, num_perm, bands
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         novel = batch_df
         release = None
         if store is not None:
@@ -107,7 +113,7 @@ def neardup_ingest_stream(
                 batch_df, store, old,
                 text_col=text_col, id_col=id_col,
                 n=n, num_perm=num_perm, bands=bands, threshold=threshold,
-                return_release=True,
+                return_release=True, new_sigs=sigs,
             )
             novel = batch_df.join(
                 F.broadcast(dups.select(id_col).distinct()),
@@ -122,8 +128,11 @@ def neardup_ingest_stream(
             for df, path in (
                 (novel, corpus_path),
                 (
-                    band_signature_store(
-                        novel, text_col, id_col, n, num_perm, bands
+                    # the novel docs' signatures are a row-filter of the
+                    # batch frame already computed above (signatures are
+                    # per-doc deterministic) — no second shingle pass
+                    sigs.join(
+                        F.broadcast(novel.select(id_col)), id_col, "left_semi"
                     ),
                     store_path,
                 ),
@@ -137,6 +146,7 @@ def neardup_ingest_stream(
                 )
         finally:
             novel.unpersist()
+            sigs.unpersist()
             if release is not None:
                 release.release()
 
