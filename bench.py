@@ -123,6 +123,9 @@ HEADLINE = [
     # and the IVF x SQ8 composed physical search
     "doc_neardup_stream",
     "emb_sq8_ivf_topk",
+    # round-14: the IVFPQ composed physical search at its graded
+    # params (n_probe=10, rerank=256)
+    "emb_pq_ivf_topk",
 ]
 
 

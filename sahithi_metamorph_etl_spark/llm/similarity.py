@@ -1114,12 +1114,13 @@ def pq_topk(
     documented price of auto-scaling; pass an explicit ``rerank`` to
     stay action-free.
     """
-    import math
-
     import numpy as np
 
     if rerank is None:
-        rerank = max(128, min(math.ceil(embeddings.count() / 16), 8192))
+        # the shared helper with the PQ floor (128) — pq_search's
+        # rerank=None path resolves through the same call, so the
+        # logical/physical parity claim holds for the auto budget too
+        rerank = _auto_rerank_budget(embeddings.count(), floor=128)
 
     qrows = _bounded_query_rows(
         embeddings, id_col, vec_col, query_filter, max_queries, "pq_topk"
@@ -1217,7 +1218,7 @@ def pq_topk(
     )
     return _adc_exact_rerank(
         embeddings.sparkSession, adc_cut, qrows, embeddings,
-        id_col, vec_col, k, round_scale,
+        id_col, vec_col, k, round_scale, cand_bound=len(qrows) * keep,
     )
 
 
@@ -1372,16 +1373,18 @@ def pq_search(
     reproduces the flat answer exactly.
 
     ``rerank=None`` (the DEFAULT here, unlike ``sq8_search``) applies
-    the corpus-scaled budget (:func:`_auto_rerank_budget` over the
-    probed codes count): PQ's coarse 8-code ADC genuinely needs the
-    budget to track the candidate pool (the r10 lesson — recall
-    0.742 -> 0.502 at 8x under a pinned 128), where SQ8's near-exact
-    ADC does not. Composing with IVF keeps the pool — and hence the
-    budget — bounded by the probed fraction.
+    the corpus-scaled budget (:func:`_auto_rerank_budget` with the PQ
+    floor of 128, over the probed codes count): PQ's coarse 8-code ADC
+    genuinely needs the budget to track the candidate pool (the r10
+    lesson — recall 0.742 -> 0.502 at 8x under a pinned 128), where
+    SQ8's near-exact ADC does not. Composing with IVF keeps the pool —
+    and hence the budget — bounded by the probed fraction.
 
     Matches :func:`pq_topk` row for row at the same parameters (same
     encode, same rounded-ADC ordering, same partition-independent cut,
-    same shared exact re-rank; pinned in tests).
+    same shared exact re-rank; pinned in tests) — INCLUDING
+    ``rerank=None`` on a flat index, where both paths resolve the
+    budget through the same helper at the same floor.
 
     CONTRACT: ``embeddings`` must be the SAME corpus the index was
     built from (the rerank joins survivors back by id), exactly as
@@ -1436,7 +1439,9 @@ def pq_search(
             "partitions — rebuild with pq_build_index(n_lists=...)"
         )
     if rerank is None:
-        rerank = _auto_rerank_budget(corpus.count())
+        # PQ floor (128): same helper + same floor as pq_topk, so the
+        # two paths resolve identical budgets at the same scanned count
+        rerank = _auto_rerank_budget(corpus.count(), floor=128)
     keep = k + rerank
 
     def score_partition(batches):
@@ -1497,7 +1502,8 @@ def pq_search(
         k=keep,
     )
     return _adc_exact_rerank(
-        spark, cand_cut, qrows, embeddings, id_col, vec_col, k, round_scale
+        spark, cand_cut, qrows, embeddings, id_col, vec_col, k,
+        round_scale, cand_bound=len(qrows) * keep,
     )
 
 
@@ -1558,6 +1564,15 @@ def _sq8_dim_stats(df: DataFrame, id_col: str, vec_col: str):
     return mn, mx
 
 
+# Above this many candidate rows (|queries| x (k+rerank)), the
+# survivor list stops being broadcast-sized: skip the explicit hint
+# and let AQE pick the join strategy from the measured size instead.
+# ~24 bytes/row puts the hinted ceiling around tens of MB, far from
+# driver memory pressure; the documented caps (max_queries=10000 x
+# auto-rerank cap 8192) would otherwise hint an ~80M-row broadcast.
+_BROADCAST_CAND_ROWS = 1_000_000
+
+
 def _adc_exact_rerank(
     spark,
     cand_cut: DataFrame,
@@ -1567,19 +1582,27 @@ def _adc_exact_rerank(
     vec_col: str,
     k: int,
     round_scale: int,
+    cand_bound: int | None = None,
 ) -> DataFrame:
     """The SHARED exact re-rank stage of the quantized scans
-    (:func:`pq_topk`, :func:`sq8_topk`, :func:`sq8_search`):
-    broadcast the tiny ADC-survivor list
-    (|queries| x (k+rerank) ids) against the float table, broadcast
-    the collected query vectors, and score with the JVM codegen
-    ``_dot``/``_norm`` fold — the same left-to-right IEEE op sequence
-    DuckDB's ``list_dot_product`` uses, so the ``round_scale``-rounded
-    cosine is identical across engines by construction (an
-    accumulation-order ulp on the rounding boundary cannot occur; the
-    two callers share this code, so their row-for-row parity is
-    structural). Full-width vectors are read for candidates only,
-    never the corpus."""
+    (:func:`pq_topk`, :func:`pq_search`, :func:`sq8_topk`,
+    :func:`sq8_search`): join the ADC-survivor list
+    (at most |queries| x (k+rerank) ids) against the float table,
+    broadcast the collected query vectors, and score with the JVM
+    codegen ``_dot``/``_norm`` fold — the same left-to-right IEEE op
+    sequence DuckDB's ``list_dot_product`` uses, so the
+    ``round_scale``-rounded cosine is identical across engines by
+    construction (an accumulation-order ulp on the rounding boundary
+    cannot occur; the callers share this code, so their row-for-row
+    parity is structural). Full-width vectors are read for candidates
+    only, never the corpus.
+
+    ``cand_bound`` is the caller's upper bound on the survivor-list
+    rows (|queries| x (k+rerank)). The broadcast hint on the survivor
+    join applies only when that bound is known and under
+    ``_BROADCAST_CAND_ROWS`` — at the documented caps the list is
+    ~80M rows, well past sensible broadcast size, so larger (or
+    unknown) bounds leave the strategy to AQE's measured sizes."""
     qdf = spark.createDataFrame(
         [(int(r[0]), [float(v) for v in r[1]]) for r in qrows],
         "vec_id bigint, qv array<double>",
@@ -1592,8 +1615,13 @@ def _adc_exact_rerank(
         _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
         round_scale,
     )
+    cand = (
+        F.broadcast(cand_cut)
+        if cand_bound is not None and cand_bound <= _BROADCAST_CAND_ROWS
+        else cand_cut
+    )
     scored = (
-        cv.join(F.broadcast(cand_cut), "neighbor_id")
+        cv.join(cand, "neighbor_id")
         .join(F.broadcast(qdf), "vec_id")
         .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
     )
@@ -1750,7 +1778,7 @@ def sq8_topk(
     )
     return _adc_exact_rerank(
         embeddings.sparkSession, adc_cut, qrows, embeddings,
-        id_col, vec_col, k, round_scale,
+        id_col, vec_col, k, round_scale, cand_bound=len(qrows) * keep,
     )
 
 def sq8_build_index(
@@ -1872,15 +1900,23 @@ def sq8_build_index(
     return mn, mx
 
 
-def _auto_rerank_budget(n_scanned: int) -> int:
-    """``pq_topk``'s corpus-scaled exact-rerank budget, parameterized
-    by what the caller actually SCANS: ``max(64, ceil(n/16))`` capped
-    at 8192 (the same executor-memory bound). ``sq8_search`` passes
-    the PROBED codes count here, so composing with IVF keeps the
-    budget bounded by the probed pool, not the corpus."""
+def _auto_rerank_budget(n_scanned: int, floor: int = 64) -> int:
+    """The SHARED corpus-scaled exact-rerank budget of every quantized
+    scan, parameterized by what the caller actually SCANS:
+    ``max(floor, ceil(n/16))`` capped at 8192 (the executor-memory
+    bound). The floor is quantizer-specific: the PQ paths —
+    ``pq_topk`` AND ``pq_search`` — pass 128 because the coarse m-code
+    ADC genuinely needs the wider exact window (the r10 recall
+    regression), so the two resolve IDENTICAL budgets at the same
+    scanned count and their row-for-row parity holds at
+    ``rerank=None`` too; the SQ8 paths keep the 64 default (their
+    near-exact 8-bit ADC is budget-insensitive — the r13 sweep).
+    ``pq_search``/``sq8_search`` pass the PROBED codes count, so
+    composing with IVF keeps the budget bounded by the probed pool,
+    not the corpus."""
     import math
 
-    return max(64, min(math.ceil(n_scanned / 16), 8192))
+    return max(floor, min(math.ceil(n_scanned / 16), 8192))
 
 
 def sq8_search(
@@ -1937,7 +1973,7 @@ def sq8_search(
     Matches :func:`sq8_topk` row for row at the same parameters — the
     codes are bit-identical by construction (property-pinned in
     tests) and the exact re-rank IS the same code
-    (:func:`_sq8_exact_rerank`), the way the physical IVF path equals
+    (:func:`_adc_exact_rerank`), the way the physical IVF path equals
     its logical twin.
 
     CONTRACT: ``embeddings`` must be the SAME corpus the index was
@@ -2070,5 +2106,6 @@ def sq8_search(
         k=keep,
     )
     return _adc_exact_rerank(
-        spark, cand_cut, qrows, embeddings, id_col, vec_col, k, round_scale
+        spark, cand_cut, qrows, embeddings, id_col, vec_col, k,
+        round_scale, cand_bound=len(qrows) * keep,
     )

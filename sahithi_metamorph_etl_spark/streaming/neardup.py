@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 from ..llm.dedup import band_signature_store, neardup_against_seen
 
 
+def _has_data_files(spark, path: str) -> bool:
+    """True iff the recursive Hadoop listing under ``path`` contains
+    any DATA file — anything not underscore/dot-prefixed (_SUCCESS,
+    _committed, hidden markers). Uses the Hadoop FileSystem of the
+    path's own scheme, so the probe works wherever the store lives,
+    not just on local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
+
+
 def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
     """Batches strictly BEFORE ``batch_id`` from a __BATCH_ID-partitioned
     path, or None when nothing earlier exists. The strict bound is the
@@ -27,26 +46,35 @@ def _read_prior(spark, path: str, batch_id: int) -> DataFrame | None:
     partitions (a partition-pruned filter) makes the replayed decision
     IDENTICAL to the original — the batch can never collide with its
     own earlier half-written output. Only missing-data reads (path
-    absent, or present with zero parquet footers) mean "first
-    batch" — any other read failure (corrupt store, permissions) must
-    propagate, not silently ingest the whole batch as novel."""
+    absent, or present with only commit markers like _SUCCESS) mean
+    "first batch" — any other read failure (corrupt store, permissions)
+    must propagate, not silently ingest the whole batch as novel."""
     from pyspark.errors import AnalysisException
 
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
         s = str(e)
-        # UNABLE_TO_INFER_SCHEMA: the directory exists but holds no
-        # parquet footers — an EMPTY first micro-batch under dynamic
-        # overwrite writes the base dir without partition files;
-        # treating that as an error would wedge the stream permanently
-        # on every replay. It is "no prior data", same as PATH_NOT_FOUND.
-        if (
-            "PATH_NOT_FOUND" in s
-            or "Path does not exist" in s
-            or "UNABLE_TO_INFER_SCHEMA" in s
-            or "Unable to infer schema" in s
-        ):
+        if "PATH_NOT_FOUND" in s or "Path does not exist" in s:
+            return None
+        # UNABLE_TO_INFER_SCHEMA: no readable parquet footer was found.
+        # Legitimate when the directory holds no data files at all — an
+        # EMPTY first micro-batch under dynamic overwrite writes the
+        # base dir with just _SUCCESS, and treating that as an error
+        # would wedge the stream permanently on every replay. But if
+        # the listing DOES show data files (a store whose parquet
+        # payloads were truncated or stripped to unreadable husks),
+        # "no prior data" would silently ingest the whole batch as
+        # novel — that is a corrupted store and must propagate.
+        if "UNABLE_TO_INFER_SCHEMA" in s or "Unable to infer schema" in s:
+            if _has_data_files(spark, path):
+                raise RuntimeError(
+                    f"near-dup store at {path!r} contains data files but "
+                    "no readable parquet footer — refusing to treat a "
+                    "corrupted store as 'no prior data' (every batch "
+                    "document would silently ingest as novel); repair or "
+                    "remove the store before restarting the stream"
+                ) from e
             return None
         raise
     return df.filter(F.col("__BATCH_ID") < batch_id)

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""8x scale check for the r14-born graded entry (SCALING.md protocol):
+
+- emb_pq_ivf_topk (IVFPQ composed physical search at the GRADED
+  params: seed books m=8/ksub=32, 16 seed-centroid lists, n_probe=10,
+  rerank=256): build + probed-search wall and RECALL at 1x and 8x.
+  The r13 sweep pinned the recipe (recall 0.870/0.864 at
+  sf0.001/sf0.01, floor 0.6) and showed PQ recall DOES rise with the
+  exact-rerank budget (0.768/0.842/0.870 at 64/128/256, n_probe=10) —
+  the opposite of SQ8 — so the graded fixed budget must be shown to
+  hold its floor as the corpus grows. The corpus-scaled auto budget
+  (rerank=None, floor 128 since the r13 ADVICE fix) is recorded
+  beside it as the production guard rail.
+
+Embeddings replicate by dimension-rolled copies (scaling_ann
+protocol). Warm + best-of-3 with cache cleared per run. Usage:
+python scripts/scaling_r14.py [sf_dir] (default sf0.1). Prints one
+JSON line for SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from sahithi_metamorph_etl_spark.core.session import get_spark  # noqa: E402
+from sahithi_metamorph_etl_spark.llm.similarity import (  # noqa: E402
+    _auto_rerank_budget,
+    ann_recall_summary,
+    cosine_topk_bruteforce,
+    pq_build_index,
+    pq_search,
+)
+from scaling_ann import replicate_8x  # noqa: E402
+
+_SPARK = None
+_WORK = None
+
+
+def timed_best(fn, n=3):
+    best = None
+    for _ in range(n):
+        _SPARK.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        el = round(time.time() - t0, 3)
+        best = el if best is None else min(best, el)
+    _SPARK.catalog.clearCache()
+    return best
+
+
+def _seed_unit_vectors(emb, n: int):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(n).collect()
+    xs = np.array([r[1] for r in rows], dtype=np.float64)
+    return xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+
+
+def pq_ivf_surface(spark, emb, res: dict, tag: str) -> None:
+    """The graded emb_pq_ivf_topk lifecycle at its pinned params."""
+    qf = F.col("vec_id") < 100
+    exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
+    u = _seed_unit_vectors(emb, 32)
+    books = np.stack([u[:, j * 8:(j + 1) * 8] for j in range(8)])
+    cents = _seed_unit_vectors(emb, 16)
+    idx = os.path.join(_WORK, f"pq_ivf_idx_{tag}")
+    res[f"pq_ivf_build_sec_{tag}"] = timed_best(
+        lambda: pq_build_index(emb, idx, m=8, ksub=32, books=books,
+                               n_lists=16, centroids=cents)
+    )
+
+    def probed():
+        pq_search(
+            emb.sparkSession, idx, emb.filter(qf), emb,
+            k=5, rerank=256, n_probe=10,
+        ).write.format("noop").mode("overwrite").save()
+
+    res[f"pq_ivf_search_sec_{tag}"] = timed_best(probed)
+    res[f"pq_ivf_recall_{tag}"] = float(
+        ann_recall_summary(
+            exact,
+            pq_search(emb.sparkSession, idx, emb.filter(qf), emb,
+                      k=5, rerank=256, n_probe=10),
+            recall_floor=0.6,
+        ).collect()[0]["recall"]
+    )
+    # the corpus-scaled auto budget (floor 128 = the r13 ADVICE fix:
+    # pq_search now shares pq_topk's helper AND floor): resolved from
+    # the probed codes count, recorded with its recall — the guard
+    # rail that tracks the pool when nobody re-pins the budget
+    n_probed = spark.read.parquet(f"{idx}/codes").count()
+    res[f"pq_ivf_auto_budget_{tag}"] = _auto_rerank_budget(n_probed, floor=128)
+    res[f"pq_ivf_auto_recall_{tag}"] = float(
+        ann_recall_summary(
+            exact,
+            pq_search(emb.sparkSession, idx, emb.filter(qf), emb,
+                      k=5, rerank=None, n_probe=10),
+            recall_floor=0.6,
+        ).collect()[0]["recall"]
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scaling_r14")
+    global _SPARK, _WORK
+    _SPARK = spark
+    work = tempfile.mkdtemp(prefix="scaling_r14_")
+    _WORK = work
+    res: dict = {"sf_dir": sf_dir}
+    try:
+        emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path8 = replicate_8x(spark, sf_dir, work)
+        emb8 = spark.read.parquet(path8)
+        res["n_vecs_1x"] = emb1.count()
+        res["n_vecs_8x"] = emb8.count()
+        pq_ivf_surface(spark, emb1, res, "1x")
+        pq_ivf_surface(spark, emb8, res, "8x")
+        for m in ("build", "search"):
+            a, b = res[f"pq_ivf_{m}_sec_1x"], res[f"pq_ivf_{m}_sec_8x"]
+            res[f"pq_ivf_{m}_ratio"] = round(b / a, 3) if a else None
+        print(json.dumps(res))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2951,6 +2951,86 @@ def test_pq_physical_index_matches_flat_scan_and_composes_with_ivf(
     assert code_bytes < float_bytes / 4, (code_bytes, float_bytes, n)
 
 
+def test_pq_auto_budget_shares_helper_and_floor_with_flat_scan(
+    spark, sf_dir, tmp_path
+):
+    """r13 ADVICE #1: pq_search's rerank=None budget previously
+    resolved through a floor-64 helper while pq_topk inlined floor 128
+    — on any corpus where ceil(n/16) < 128 the physical search got a
+    smaller exact window than the flat scan and the row-for-row parity
+    claim silently broke. Both paths now call _auto_rerank_budget with
+    the PQ floor (128), so (a) the helper's floor parameter behaves,
+    and (b) rerank=None matches flat-vs-physical row for row on a
+    small corpus (exactly the regime the old floors diverged in)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _auto_rerank_budget,
+        pq_build_index,
+        pq_search,
+        pq_topk,
+    )
+
+    # helper semantics: floor binds below, linear in the middle, cap above
+    assert _auto_rerank_budget(100) == 64
+    assert _auto_rerank_budget(100, floor=128) == 128
+    assert _auto_rerank_budget(10_000, floor=128) == 625
+    assert _auto_rerank_budget(10**9, floor=128) == 8192
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert emb.count() < 16 * 128  # the floor must actually bind
+    qf = F.col("vec_id") < 20
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(32).collect()
+    u = np.array([r[1] for r in rows], dtype=np.float64)
+    u = u / np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    books = np.stack([u[:, j * 8:(j + 1) * 8] for j in range(8)])
+
+    idx = str(tmp_path / "pq_auto_idx")
+    pq_build_index(emb, idx, m=8, ksub=32, books=books)
+    flat = pq_topk(emb, k=5, ksub=32, rerank=None, query_filter=qf, books=books)
+    srch = pq_search(spark, idx, emb.filter(qf), emb, k=5, rerank=None)
+    assert sorted(map(tuple, srch.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_adc_exact_rerank_broadcast_guard(spark, sf_dir):
+    """r13 ADVICE #4: the survivor list is only broadcast-HINTED when
+    the caller's row bound is known and under _BROADCAST_CAND_ROWS —
+    at the documented caps (10k queries x 8192 auto budget) it is ~80M
+    rows, far past sensible broadcast size. Larger or unknown bounds
+    leave the strategy to AQE (only the always-tiny query-vector frame
+    keeps its hint), and the answer is identical either way."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sahithi_metamorph_etl_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    qrows = [(r[0], r[1]) for r in rows]
+    cand = spark.createDataFrame(
+        [(int(r[0]), int(r[0]) + 1, 0.5) for r in rows],
+        "vec_id bigint, neighbor_id bigint, adc double",
+    )
+
+    def n_hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    small = sim._adc_exact_rerank(
+        spark, cand, qrows, emb, "vec_id", "embedding", 5, 8, cand_bound=9
+    )
+    big = sim._adc_exact_rerank(
+        spark, cand, qrows, emb, "vec_id", "embedding", 5, 8,
+        cand_bound=sim._BROADCAST_CAND_ROWS + 1,
+    )
+    unknown = sim._adc_exact_rerank(
+        spark, cand, qrows, emb, "vec_id", "embedding", 5, 8
+    )
+    assert n_hints(small) == 2  # survivors + query vectors
+    assert n_hints(big) == 1  # query vectors only
+    assert n_hints(unknown) == 1
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
 def test_sq8_numpy_unit_fold_equals_jvm_fold(spark, sf_dir):
     """The SQ8 determinism keystone: _np_unit_rounded's np.cumsum norm
     accumulates strictly left-to-right, so its rounded unit values are

@@ -844,6 +844,56 @@ def test_neardup_ingest_stream_survives_empty_first_batch(spark, tmp_path):
     assert kept == [1, 3]  # 2 is a near-dup of 1 and drops
 
 
+def test_read_prior_distinguishes_empty_store_from_corrupted(spark, tmp_path):
+    """r13 ADVICE #3: UNABLE_TO_INFER_SCHEMA is 'no prior data' ONLY
+    when the directory holds no data files at all (the empty-first-
+    batch shape: base dir + _SUCCESS). A store whose data files exist
+    but carry no readable parquet footer (truncated/stripped payloads)
+    is CORRUPTED — treating it as empty would silently re-ingest every
+    batch document as novel, so the read must raise instead."""
+    import pytest as _pytest
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import _read_prior
+
+    # absent path: first batch
+    assert _read_prior(spark, str(tmp_path / "absent"), 1) is None
+
+    # commit markers only (the empty-first-batch shape): first batch
+    empty = tmp_path / "nd_store_empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert _read_prior(spark, str(empty), 1) is None
+
+    # data files with no readable footer (zero-length husks): corrupted.
+    # With default confs the footer read already fails loudly; the
+    # silent-swallow regime is ignoreCorruptFiles=true, where Spark
+    # skips every corrupt file during schema inference and reports
+    # UNABLE_TO_INFER_SCHEMA — indistinguishable from an empty store
+    # without the listing probe this test pins.
+    bad = tmp_path / "nd_store_bad"
+    bad.mkdir()
+    (bad / "_SUCCESS").touch()
+    (bad / "part-00000-deadbeef.snappy.parquet").touch()
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        with _pytest.raises(RuntimeError, match="corrupted store"):
+            _read_prior(spark, str(bad), 1)
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    # and with the default conf the corruption still propagates (the
+    # generic non-missing-data failure path), never 'first batch'
+    with _pytest.raises(Exception, match="[Pp]arquet"):
+        _read_prior(spark, str(bad), 1)
+
+    # a healthy store still reads + prunes to strictly-earlier batches
+    good = str(tmp_path / "nd_store_good")
+    spark.createDataFrame([(1, 0), (2, 1)], "doc_id bigint, __BATCH_ID int") \
+        .write.partitionBy("__BATCH_ID").parquet(good)
+    prior = _read_prior(spark, good, 1)
+    assert [r["doc_id"] for r in prior.collect()] == [1]
+
+
 def test_neardup_ingest_stream_releases_caches_per_batch(spark, tmp_path):
     """Steady-state cache hygiene: every micro-batch persists the novel
     frame and the collision-candidate frame, and BOTH must drop when
