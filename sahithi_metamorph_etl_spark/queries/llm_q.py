@@ -2716,7 +2716,12 @@ ann AS (SELECT vec_id, neighbor_id FROM (
               "0.768/0.842/0.870 at rerank 64/128/256 with n_probe=10 — "
               "unlike SQ8 whose 8-bit ADC is budget-insensitive; the "
               "measured quantizer asymmetry behind pq_search(rerank=None) "
-              "vs sq8_search's pinned constant")
+              "vs sq8_search's pinned constant. The PIN is the "
+              "oracle-stability choice, not the scale path: at 8x bench "
+              "scale the fixed 261-slot window covers only ~2.6% of the "
+              "probed pool and recall decays to 0.596, while rerank=None "
+              "(corpus-scaled, floor 128) rises to 0.824 — production "
+              "composes the auto budget (SCALING.md r14)")
 def emb_pq_ivf_topk(spark, sf_dir):
     import shutil
     import tempfile
