@@ -598,6 +598,78 @@ def test_sq8_physical_equals_flat_on_random_corpora(spark):
     check()
 
 
+def test_pq_physical_equals_flat_on_random_corpora(spark):
+    """pq_search over a materialized codes index must return EXACTLY
+    what the flat pq_topk scan returns on ANY corpus — and probing
+    EVERY list of an IVF-composed index must too (the sq8 property
+    test's treatment applied to the r14-graded IVFPQ layout). Discrete
+    small-range coordinates force the hard cases: duplicate vectors
+    (ADC and cosine ties -> id tie-breaks on both paths), zero vectors
+    (norm clamp), and encode ties between codebook entries (rounded-
+    distance argmin -> lowest-cid on both the numpy and replay side)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        pq_build_index,
+        pq_search,
+        pq_topk,
+    )
+
+    # fixed tiny codebooks (m=2, ksub=3, dsub=2) and coarse centroids:
+    # explicit so the flat and physical paths share them exactly
+    books = np.array([
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]],
+        [[0.5, -0.5], [0.0, 0.0], [1.0, 1.0]],
+    ])
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, -1.0, 0.0, 1.0]])
+
+    vec = st.lists(st.integers(min_value=-2, max_value=2), min_size=4, max_size=4)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(vec, min_size=2, max_size=14))
+    def check(vecs):
+        emb = spark.createDataFrame(
+            [(i, [float(v) for v in vv]) for i, vv in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        )
+        flat = pq_topk(
+            emb, k=3, m=2, ksub=3, rerank=2,
+            query_filter=F.col("vec_id") >= 0, books=books,
+        )
+        want = sorted(tuple(r) for r in flat.collect())
+        idx = tempfile.mkdtemp(prefix="pq_prop_")
+        try:
+            pq_build_index(emb, idx, m=2, ksub=3, books=books)
+            got = sorted(
+                tuple(r)
+                for r in pq_search(spark, idx, emb, emb, k=3, rerank=2).collect()
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        assert got == want, (vecs, got, want)
+        idx2 = tempfile.mkdtemp(prefix="pq_prop_ivf_")
+        try:
+            pq_build_index(
+                emb, idx2, m=2, ksub=3, books=books, n_lists=2, centroids=cents
+            )
+            got2 = sorted(
+                tuple(r)
+                for r in pq_search(
+                    spark, idx2, emb, emb, k=3, rerank=2, n_probe=2
+                ).collect()
+            )
+        finally:
+            shutil.rmtree(idx2, ignore_errors=True)
+        assert got2 == want, (vecs, got2, want)
+
+    check()
+
+
 def test_neardup_against_seen_matches_python_model_on_random_docs(spark):
     """Property vs a driver-side model: the returned pairs are EXACTLY
     the (new, seen) pairs that (a) collide in >=1 MinHash band — ground
