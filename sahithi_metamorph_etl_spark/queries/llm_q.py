@@ -2740,7 +2740,10 @@ def emb_pq_ivf_topk(spark, sf_dir):
     try:
         pq_build_index(
             emb, idx, m=8, ksub=32, books=books,
-            n_lists=16, centroids=_seed_unit_vectors(emb, 16),
+            # the 16 coarse centroids ARE the first 16 of the 32 seed
+            # unit vectors already collected above — no second
+            # ordered-take job
+            n_lists=16, centroids=u[:16],
         )
         ann = pq_search(
             spark, idx, emb.filter(F.col("vec_id") < 100), emb,

@@ -21,20 +21,27 @@ from ..llm.dedup import band_signature_store, neardup_against_seen
 
 def _has_data_files(spark, path: str) -> bool:
     """True iff the recursive Hadoop listing under ``path`` contains
-    any DATA file — anything not underscore/dot-prefixed (_SUCCESS,
-    _committed, hidden markers). Uses the Hadoop FileSystem of the
-    path's own scheme, so the probe works wherever the store lives,
-    not just on local disk."""
+    any COMMITTED data file — one with no underscore/dot-prefixed
+    component anywhere below the base (_SUCCESS and _committed markers,
+    but also whole staged trees like ``_temporary/…/part-*.parquet``
+    left by a crashed write, which the parquet reader likewise never
+    sees; counting those as data would turn the recoverable
+    crashed-first-write state into a permanent "corrupted store"
+    wedge). Uses the Hadoop FileSystem of the path's own scheme, so
+    the probe works wherever the store lives, not just local disk."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return False
+    base = fs.makeQualified(hpath).toString().rstrip("/")
     it = fs.listFiles(hpath, True)
     while it.hasNext():
-        name = it.next().getPath().getName()
-        if not (name.startswith("_") or name.startswith(".")):
-            return True
+        full = it.next().getPath().toString()
+        rel = full[len(base):].lstrip("/") if full.startswith(base) else full
+        if any(s.startswith(("_", ".")) for s in rel.split("/") if s):
+            continue
+        return True
     return False
 
 

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from sahithi_metamorph_etl_spark.core.session import get_spark  # noqa: E402
 from sahithi_metamorph_etl_spark.llm.similarity import (  # noqa: E402
-    _auto_rerank_budget,
     ann_recall_summary,
     cosine_topk_bruteforce,
     pq_build_index,
@@ -71,7 +70,7 @@ def pq_ivf_surface(spark, emb, res: dict, tag: str) -> None:
     exact = cosine_topk_bruteforce(emb, k=5, query_filter=qf)
     u = _seed_unit_vectors(emb, 32)
     books = np.stack([u[:, j * 8:(j + 1) * 8] for j in range(8)])
-    cents = _seed_unit_vectors(emb, 16)
+    cents = u[:16]  # first 16 of the 32 seeds, as in the graded entry
     idx = os.path.join(_WORK, f"pq_ivf_idx_{tag}")
     res[f"pq_ivf_build_sec_{tag}"] = timed_best(
         lambda: pq_build_index(emb, idx, m=8, ksub=32, books=books,
@@ -94,19 +93,36 @@ def pq_ivf_surface(spark, emb, res: dict, tag: str) -> None:
         ).collect()[0]["recall"]
     )
     # the corpus-scaled auto budget (floor 128 = the r13 ADVICE fix:
-    # pq_search now shares pq_topk's helper AND floor): resolved from
-    # the probed codes count, recorded with its recall — the guard
-    # rail that tracks the pool when nobody re-pins the budget
-    n_probed = spark.read.parquet(f"{idx}/codes").count()
-    res[f"pq_ivf_auto_budget_{tag}"] = _auto_rerank_budget(n_probed, floor=128)
-    res[f"pq_ivf_auto_recall_{tag}"] = float(
-        ann_recall_summary(
-            exact,
-            pq_search(emb.sparkSession, idx, emb.filter(qf), emb,
-                      k=5, rerank=None, n_probe=10),
-            recall_floor=0.6,
-        ).collect()[0]["recall"]
-    )
+    # pq_search now shares pq_topk's helper AND floor), recorded with
+    # its recall — the guard rail that tracks the pool when nobody
+    # re-pins the budget. The budget is captured by SPYING the helper
+    # during the measured search itself (the r13 test's technique), so
+    # the artifact records the EXACT value pq_search resolved from its
+    # probe-union-filtered codes count — not a recomputation that
+    # could drift from the probed scan's semantics.
+    import sahithi_metamorph_etl_spark.llm.similarity as sim
+
+    resolved: list = []
+    orig = sim._auto_rerank_budget
+
+    def spy(n_scanned, floor=64):
+        b = orig(n_scanned, floor)
+        resolved.append(b)
+        return b
+
+    sim._auto_rerank_budget = spy
+    try:
+        res[f"pq_ivf_auto_recall_{tag}"] = float(
+            ann_recall_summary(
+                exact,
+                pq_search(emb.sparkSession, idx, emb.filter(qf), emb,
+                          k=5, rerank=None, n_probe=10),
+                recall_floor=0.6,
+            ).collect()[0]["recall"]
+        )
+    finally:
+        sim._auto_rerank_budget = orig
+    res[f"pq_ivf_auto_budget_{tag}"] = resolved[0]
 
 
 def main() -> None:

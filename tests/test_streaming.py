@@ -864,6 +864,16 @@ def test_read_prior_distinguishes_empty_store_from_corrupted(spark, tmp_path):
     (empty / "_SUCCESS").touch()
     assert _read_prior(spark, str(empty), 1) is None
 
+    # a CRASHED first write: staged part files under _temporary are
+    # invisible to the parquet reader and must also read as "no prior
+    # data" — counting them as data would wedge the restarted stream
+    # on a state that is genuinely recoverable
+    crashed = tmp_path / "nd_store_crashed"
+    staged = crashed / "_temporary" / "0" / "attempt_0"
+    staged.mkdir(parents=True)
+    (staged / "part-00000-aaaa.snappy.parquet").write_bytes(b"PAR1junk")
+    assert _read_prior(spark, str(crashed), 1) is None
+
     # data files with no readable footer (zero-length husks): corrupted.
     # With default confs the footer read already fails loudly; the
     # silent-swallow regime is ignoreCorruptFiles=true, where Spark
