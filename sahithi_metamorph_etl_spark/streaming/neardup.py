@@ -21,14 +21,20 @@ from ..llm.dedup import band_signature_store, neardup_against_seen
 
 def _has_data_files(spark, path: str) -> bool:
     """True iff the recursive Hadoop listing under ``path`` contains
-    any COMMITTED data file — one with no underscore/dot-prefixed
-    component anywhere below the base (_SUCCESS and _committed markers,
-    but also whole staged trees like ``_temporary/…/part-*.parquet``
-    left by a crashed write, which the parquet reader likewise never
-    sees; counting those as data would turn the recoverable
-    crashed-first-write state into a permanent "corrupted store"
-    wedge). Uses the Hadoop FileSystem of the path's own scheme, so
-    the probe works wherever the store lives, not just local disk."""
+    any data file the parquet reader would SEE — one with no hidden
+    component anywhere below the base. Hidden-ness mirrors Spark's
+    ``InMemoryFileIndex.shouldFilterOutPathName``: an
+    underscore-prefixed component is hidden only when it contains no
+    ``=``, so partition directories like ``__BATCH_ID=3`` — this
+    module's own store layout (``partitionBy("__BATCH_ID")``) — stay
+    VISIBLE, exactly as the reader treats them; dot-prefixed
+    components are always hidden. _SUCCESS/_committed markers and
+    whole staged trees like ``_temporary/…/part-*.parquet`` left by a
+    crashed write remain invisible (counting those as data would turn
+    the recoverable crashed-first-write state into a permanent
+    "corrupted store" wedge). Uses the Hadoop FileSystem of the
+    path's own scheme, so the probe works wherever the store lives,
+    not just local disk."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -39,7 +45,11 @@ def _has_data_files(spark, path: str) -> bool:
     while it.hasNext():
         full = it.next().getPath().toString()
         rel = full[len(base):].lstrip("/") if full.startswith(base) else full
-        if any(s.startswith(("_", ".")) for s in rel.split("/") if s):
+        if any(
+            (s.startswith("_") and "=" not in s) or s.startswith(".")
+            for s in rel.split("/")
+            if s
+        ):
             continue
         return True
     return False

@@ -122,6 +122,15 @@ def pq_ivf_surface(spark, emb, res: dict, tag: str) -> None:
         )
     finally:
         sim._auto_rerank_budget = orig
+    # r14 ADVICE (low): if the spied helper was never invoked (a future
+    # pq_search default change, or an early failure inside the try),
+    # fail HERE with a clear message instead of an IndexError that
+    # obscures the real error in the artifact run.
+    assert len(resolved) == 1, (
+        f"_auto_rerank_budget spy captured {len(resolved)} calls "
+        "(expected exactly 1 from the rerank=None pq_search) — the "
+        "auto-budget path did not run as this artifact assumes"
+    )
     res[f"pq_ivf_auto_budget_{tag}"] = resolved[0]
 
 

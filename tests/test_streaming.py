@@ -896,6 +896,33 @@ def test_read_prior_distinguishes_empty_store_from_corrupted(spark, tmp_path):
     with _pytest.raises(Exception, match="[Pp]arquet"):
         _read_prior(spark, str(bad), 1)
 
+    # r14 ADVICE (high): the PARTITIONED corrupted store — the layout
+    # the stream itself writes (partitionBy('__BATCH_ID') → files under
+    # __BATCH_ID=N/). Spark's hidden-path rule exempts '_'-prefixed
+    # names containing '=' (partition dirs), so the reader SEES these
+    # husks; a probe that skipped every '_'-prefixed component would
+    # return False here and the guard would never fire for real stores.
+    bad_part = tmp_path / "nd_store_bad_part"
+    (bad_part / "__BATCH_ID=0").mkdir(parents=True)
+    (bad_part / "_SUCCESS").touch()
+    (bad_part / "__BATCH_ID=0" / "part-00000-cafe.snappy.parquet").touch()
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        with _pytest.raises(RuntimeError, match="corrupted store"):
+            _read_prior(spark, str(bad_part), 1)
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+    # …while a crashed write INSIDE a partition dir (staged _temporary
+    # tree only, no committed file) is still recoverable "no prior
+    # data": the '=' exemption applies per component, and _temporary
+    # has no '='.
+    crashed_part = tmp_path / "nd_store_crashed_part"
+    staged_part = crashed_part / "__BATCH_ID=0" / "_temporary" / "0"
+    staged_part.mkdir(parents=True)
+    (staged_part / "part-00000-bbbb.snappy.parquet").write_bytes(b"PAR1junk")
+    assert _read_prior(spark, str(crashed_part), 1) is None
+
     # a healthy store still reads + prunes to strictly-earlier batches
     good = str(tmp_path / "nd_store_good")
     spark.createDataFrame([(1, 0), (2, 1)], "doc_id bigint, __BATCH_ID int") \
