@@ -19,22 +19,38 @@ from pyspark.sql import functions as F
 from ..llm.dedup import band_signature_store, neardup_against_seen
 
 
+def _is_hidden_component(s: str) -> bool:
+    """Exact mirror of Spark's hidden-path rule
+    (``org.apache.spark.util.HadoopFSUtils.shouldFilterOutPathName``,
+    pinned name-by-name against the JVM original in
+    ``tests/test_streaming.py``): hidden = an underscore prefix with
+    no ``=`` (so partition directories like ``__BATCH_ID=3`` stay
+    VISIBLE), a dot prefix, or the in-flight-copy suffix
+    ``._COPYING_`` — EXCEPT the parquet summary files
+    ``_metadata``/``_common_metadata``, which the reader lists as
+    leaf files."""
+    exclude = (
+        (s.startswith("_") and "=" not in s)
+        or s.startswith(".")
+        or s.endswith("._COPYING_")
+    )
+    include = s.startswith("_common_metadata") or s.startswith("_metadata")
+    return exclude and not include
+
+
 def _has_data_files(spark, path: str) -> bool:
     """True iff the recursive Hadoop listing under ``path`` contains
-    any data file the parquet reader would SEE — one with no hidden
-    component anywhere below the base. Hidden-ness mirrors Spark's
-    ``InMemoryFileIndex.shouldFilterOutPathName``: an
-    underscore-prefixed component is hidden only when it contains no
-    ``=``, so partition directories like ``__BATCH_ID=3`` — this
-    module's own store layout (``partitionBy("__BATCH_ID")``) — stay
-    VISIBLE, exactly as the reader treats them; dot-prefixed
-    components are always hidden. _SUCCESS/_committed markers and
-    whole staged trees like ``_temporary/…/part-*.parquet`` left by a
-    crashed write remain invisible (counting those as data would turn
-    the recoverable crashed-first-write state into a permanent
-    "corrupted store" wedge). Uses the Hadoop FileSystem of the
-    path's own scheme, so the probe works wherever the store lives,
-    not just local disk."""
+    any file the parquet reader would SEE — one with no hidden
+    component anywhere below the base (:func:`_is_hidden_component`,
+    Spark's own rule). _SUCCESS/_committed markers and whole staged
+    trees like ``_temporary/…/part-*.parquet`` left by a crashed
+    write stay invisible (counting those as data would turn the
+    recoverable crashed-first-write state into a permanent "corrupted
+    store" wedge), while files under partition directories
+    (``__BATCH_ID=N/`` — this module's own store layout) are visible,
+    exactly as the reader treats them. Uses the Hadoop FileSystem of
+    the path's own scheme, so the probe works wherever the store
+    lives, not just local disk."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -45,11 +61,7 @@ def _has_data_files(spark, path: str) -> bool:
     while it.hasNext():
         full = it.next().getPath().toString()
         rel = full[len(base):].lstrip("/") if full.startswith(base) else full
-        if any(
-            (s.startswith("_") and "=" not in s) or s.startswith(".")
-            for s in rel.split("/")
-            if s
-        ):
+        if any(_is_hidden_component(s) for s in rel.split("/") if s):
             continue
         return True
     return False

@@ -931,6 +931,47 @@ def test_read_prior_distinguishes_empty_store_from_corrupted(spark, tmp_path):
     assert [r["doc_id"] for r in prior.collect()] == [1]
 
 
+def test_hidden_component_rule_matches_spark_jvm(spark):
+    """The probe's hidden-path predicate must be an EXACT mirror of
+    Spark's ``HadoopFSUtils.shouldFilterOutPathName`` — any divergence
+    re-opens the r14 ADVICE bug class where the probe and the reader
+    disagree about which files exist (probe misses what the reader
+    sees → corrupted store silently reads as empty; probe sees what
+    the reader hides → a recoverable crashed write wedges as
+    "corrupted"). Pinned name-by-name against the JVM original over
+    randomized names plus every structural edge case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        _is_hidden_component,
+    )
+
+    jvm_rule = spark._jvm.org.apache.spark.util.HadoopFSUtils.shouldFilterOutPathName
+
+    edge_cases = [
+        "_SUCCESS", "_committed_123", "_started_123", "_temporary",
+        "__BATCH_ID=3", "_m=x", "a=b", ".hidden", "._x", ".=",
+        "_metadata", "_common_metadata", "_metadata.parquet",
+        "_common_metadata_extra", "part-00000.snappy.parquet",
+        "part-0._COPYING_", "_part._COPYING_", "__BATCH_ID=3._COPYING_",
+        "_", ".", "=", "_=",
+    ]
+    for name in edge_cases:
+        assert _is_hidden_component(name) == jvm_rule(name), name
+
+    name_st = st.text(
+        alphabet=list("_.=abZ0-"), min_size=1, max_size=12
+    ).filter(lambda s: "/" not in s)
+
+    @settings(max_examples=200, deadline=None)
+    @given(name_st)
+    def check(name):
+        assert _is_hidden_component(name) == jvm_rule(name), name
+
+    check()
+
+
 def test_neardup_ingest_stream_releases_caches_per_batch(spark, tmp_path):
     """Steady-state cache hygiene: every micro-batch persists the novel
     frame and the collision-candidate frame, and BOTH must drop when
