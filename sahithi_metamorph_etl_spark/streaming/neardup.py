@@ -38,11 +38,29 @@ def _is_hidden_component(s: str) -> bool:
     return exclude and not include
 
 
+def _hidden_rule(jvm):
+    """Spark's OWN hidden-path predicate when reachable — divergence
+    from the reader then impossible by construction — else the
+    test-pinned Python mirror. ``HadoopFSUtils`` is ``private[spark]``,
+    which still compiles to public bytecode, so the call works on the
+    shipped pyspark; if a future Spark moves the method (it migrated
+    from ``InMemoryFileIndex`` once before), fall back to
+    :func:`_is_hidden_component`, whose parity the property test in
+    ``tests/test_streaming.py`` re-pins against whatever JVM rule the
+    running Spark exposes."""
+    try:
+        rule = jvm.org.apache.spark.util.HadoopFSUtils.shouldFilterOutPathName
+        rule("_reachability_probe")
+        return rule
+    except Exception:
+        return _is_hidden_component
+
+
 def _has_data_files(spark, path: str) -> bool:
     """True iff the recursive Hadoop listing under ``path`` contains
     any file the parquet reader would SEE — one with no hidden
-    component anywhere below the base (:func:`_is_hidden_component`,
-    Spark's own rule). _SUCCESS/_committed markers and whole staged
+    component anywhere below the base (:func:`_hidden_rule`: Spark's
+    own JVM predicate, mirror fallback). _SUCCESS/_committed markers and whole staged
     trees like ``_temporary/…/part-*.parquet`` left by a crashed
     write stay invisible (counting those as data would turn the
     recoverable crashed-first-write state into a permanent "corrupted
@@ -57,11 +75,12 @@ def _has_data_files(spark, path: str) -> bool:
     if not fs.exists(hpath):
         return False
     base = fs.makeQualified(hpath).toString().rstrip("/")
+    hidden = _hidden_rule(jvm)
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         full = it.next().getPath().toString()
         rel = full[len(base):].lstrip("/") if full.startswith(base) else full
-        if any(_is_hidden_component(s) for s in rel.split("/") if s):
+        if any(hidden(s) for s in rel.split("/") if s):
             continue
         return True
     return False

@@ -123,9 +123,11 @@ def pq_ivf_surface(spark, emb, res: dict, tag: str) -> None:
     finally:
         sim._auto_rerank_budget = orig
     # r14 ADVICE (low): if the spied helper was never invoked (a future
-    # pq_search default change, or an early failure inside the try),
-    # fail HERE with a clear message instead of an IndexError that
-    # obscures the real error in the artifact run.
+    # pq_search default change that stops resolving rerank=None through
+    # it), fail HERE with a clear message instead of an IndexError that
+    # obscures the real cause in the artifact run. (An exception inside
+    # the try above propagates before this line — only the
+    # ran-but-never-called case reaches the assert.)
     assert len(resolved) == 1, (
         f"_auto_rerank_budget spy captured {len(resolved)} calls "
         "(expected exactly 1 from the rerank=None pq_search) — the "

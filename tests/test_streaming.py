@@ -960,9 +960,7 @@ def test_hidden_component_rule_matches_spark_jvm(spark):
     for name in edge_cases:
         assert _is_hidden_component(name) == jvm_rule(name), name
 
-    name_st = st.text(
-        alphabet=list("_.=abZ0-"), min_size=1, max_size=12
-    ).filter(lambda s: "/" not in s)
+    name_st = st.text(alphabet=list("_.=abZ0-"), min_size=1, max_size=12)
 
     @settings(max_examples=200, deadline=None)
     @given(name_st)
@@ -970,6 +968,27 @@ def test_hidden_component_rule_matches_spark_jvm(spark):
         assert _is_hidden_component(name) == jvm_rule(name), name
 
     check()
+
+
+def test_hidden_rule_prefers_jvm_and_falls_back_to_mirror(spark):
+    """The probe consults Spark's OWN predicate when reachable (so the
+    probe and the reader cannot diverge on that Spark) and only drops
+    to the test-pinned Python mirror when a future Spark moves the
+    internal method (it migrated from InMemoryFileIndex once before)."""
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        _hidden_rule,
+        _is_hidden_component,
+    )
+
+    primary = _hidden_rule(spark._jvm)
+    assert primary is not _is_hidden_component  # JVM rule reachable here
+    assert primary("_SUCCESS") and not primary("__BATCH_ID=3")
+
+    class _NoSuchJvm:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    assert _hidden_rule(_NoSuchJvm()) is _is_hidden_component
 
 
 def test_neardup_ingest_stream_releases_caches_per_batch(spark, tmp_path):
