@@ -13,10 +13,14 @@ stack.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..llm.dedup import band_signature_store, neardup_against_seen
+
+_log = logging.getLogger(__name__)
 
 
 def _is_hidden_component(s: str) -> bool:
@@ -52,7 +56,15 @@ def _hidden_rule(jvm):
         rule = jvm.org.apache.spark.util.HadoopFSUtils.shouldFilterOutPathName
         rule("_reachability_probe")
         return rule
-    except Exception:
+    except Exception as e:
+        # Any Py4J failure lands here, not only a moved/removed method
+        # (e.g. a transient gateway error). The parity test keeps the
+        # mirror correct either way, but note which predicate ran so a
+        # future divergence is diagnosable from production logs.
+        _log.debug(
+            "JVM HadoopFSUtils.shouldFilterOutPathName unreachable; "
+            "falling back to the test-pinned Python mirror: %r", e,
+        )
         return _is_hidden_component
 
 
@@ -75,7 +87,21 @@ def _has_data_files(spark, path: str) -> bool:
     if not fs.exists(hpath):
         return False
     base = fs.makeQualified(hpath).toString().rstrip("/")
-    hidden = _hidden_rule(jvm)
+    rule = _hidden_rule(jvm)
+    # Path components repeat heavily across a partitioned listing
+    # (every file under __BATCH_ID=3/ shares that component, and
+    # part-file basenames recur across partitions), and when the rule
+    # is the JVM predicate each verdict is a Py4J round-trip — memoize
+    # per-component so a large store costs one round-trip per DISTINCT
+    # component, not per (file x component).
+    verdicts: dict[str, bool] = {}
+
+    def hidden(s: str) -> bool:
+        v = verdicts.get(s)
+        if v is None:
+            v = verdicts[s] = bool(rule(s))
+        return v
+
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         full = it.next().getPath().toString()

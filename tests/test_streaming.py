@@ -991,6 +991,71 @@ def test_hidden_rule_prefers_jvm_and_falls_back_to_mirror(spark):
     assert _hidden_rule(_NoSuchJvm()) is _is_hidden_component
 
 
+def test_hidden_rule_fallback_logs_which_predicate_ran(caplog):
+    """r15 ADVICE (low): the bare ``except Exception`` in _hidden_rule
+    catches ANY Py4J failure (transient gateway errors included), not
+    only a moved/removed method, so without a log line it is impossible
+    to tell from production logs which predicate actually ran. The
+    fallback must leave a debug-level note naming the mirror."""
+    import logging
+
+    from sahithi_metamorph_etl_spark.streaming.neardup import (
+        _hidden_rule,
+        _is_hidden_component,
+    )
+
+    class _NoSuchJvm:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    with caplog.at_level(
+        logging.DEBUG, logger="sahithi_metamorph_etl_spark.streaming.neardup"
+    ):
+        assert _hidden_rule(_NoSuchJvm()) is _is_hidden_component
+    notes = [
+        r for r in caplog.records
+        if r.levelno == logging.DEBUG and "Python mirror" in r.getMessage()
+    ]
+    assert notes, "fallback to the mirror must log a debug-level note"
+    assert "shouldFilterOutPathName" in notes[0].getMessage()
+
+
+def test_has_data_files_memoizes_component_verdicts(spark, tmp_path, monkeypatch):
+    """r15 ADVICE (low): with the JVM predicate selected, every verdict
+    is a Py4J round-trip, and path components repeat heavily across a
+    partitioned listing (every staged file shares ``_temporary``; part
+    basenames recur across partition dirs). The probe must evaluate the
+    rule once per DISTINCT component, not once per (file x component),
+    or a large store hitting the UNABLE_TO_INFER_SCHEMA path pays
+    thousands of needless round-trips."""
+    from sahithi_metamorph_etl_spark.streaming import neardup as nd
+
+    # a crashed-write store: 8 staged files under one _temporary tree —
+    # all hidden, so the probe walks the ENTIRE listing (no early
+    # return) and, unmemoized, would evaluate '_temporary' 8 times
+    store = tmp_path / "nd_store_memo"
+    staged = store / "_temporary" / "0"
+    staged.mkdir(parents=True)
+    for i in range(8):
+        (staged / f"part-0000{i}-aaaa.snappy.parquet").write_bytes(b"PAR1junk")
+
+    calls: list[str] = []
+
+    def counting_rule(jvm):
+        def rule(s):
+            calls.append(s)
+            return nd._is_hidden_component(s)
+        return rule
+
+    monkeypatch.setattr(nd, "_hidden_rule", counting_rule)
+    assert nd._has_data_files(spark, str(store)) is False
+    assert calls, "probe must have consulted the rule"
+    assert len(calls) == len(set(calls)), (
+        "hidden-path rule must be evaluated at most once per distinct "
+        f"component; saw repeats in {calls}"
+    )
+
+
 def test_neardup_ingest_stream_releases_caches_per_batch(spark, tmp_path):
     """Steady-state cache hygiene: every micro-batch persists the novel
     frame and the collision-candidate frame, and BOTH must drop when
