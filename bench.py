@@ -166,14 +166,43 @@ def main() -> None:
         spark.catalog.clearCache()
         return el
 
+    # second canary (added r17, per the r16 verdict's watch item):
+    # driver totals rose two rounds straight while same-HEAD local runs
+    # stayed flat — the 0.5 s pricing_summary control normalizes
+    # scheduling latency but NOT multi-core contention on the heavy
+    # wide-parallelism rows. This ~3 s fixed k-means microbench (Arrow
+    # E-steps across all cores + k x dim map-side-reduced shuffles)
+    # exposes that contention. Deliberately NOT a graded catalog row
+    # (the graded emb_kmeans_clusters is k=8, n_iter=2) so no measured
+    # row is ever normalized by itself.
+    from sahithi_metamorph_etl_spark.llm.clustering import kmeans_lloyd
+
+    emb_c2 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def run_canary2() -> float:
+        t0 = time.perf_counter()
+        kmeans_lloyd(emb_c2, k=16, n_iter=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        return el
+
+    run_canary2()  # warmup (HEADLINE rows get theirs in the pass above)
+
     timings: dict[str, float] = {}
     # canary_blocks[pass][i] = canary timed right BEFORE block i
-    # (plus one trailing sample per pass after the last block)
+    # (plus one trailing sample per pass after the last block);
+    # canary2 samples every 3rd block boundary + trailing (~4/pass)
     canary_blocks: list[list[float]] = []
+    canary2_samples: list[list[float]] = []
     for _ in range(2):
         row: list[float] = []
-        for blk in blocks:
+        row2: list[float] = []
+        for i, blk in enumerate(blocks):
             row.append(run_canary())
+            if i % 3 == 0:
+                row2.append(run_canary2())
             for name in blk:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -181,9 +210,12 @@ def main() -> None:
                 timings[name] = min(timings.get(name, el), el)
                 spark.catalog.clearCache()
         row.append(run_canary())
+        row2.append(run_canary2())
         canary_blocks.append(row)
+        canary2_samples.append(row2)
 
     flat = [c for row in canary_blocks for c in row]
+    flat2 = [c for row in canary2_samples for c in row]
     cmin = min(flat)
     # per-block load index: the block's best canary over the run's best
     # — 1.0 = quietest observed machine state; a uniformly elevated row
@@ -215,7 +247,12 @@ def main() -> None:
                         "sample per pass; block_load_index = block best / run best, a "
                         "uniformly elevated row means sandbox load). queries map is "
                         "sorted ascending by sec since r11 (was HEADLINE order); top20 "
-                        "lists the most expensive descending",
+                        "lists the most expensive descending. Since r17 a second "
+                        "~3s wide-parallelism canary (canary2, a fixed k-means "
+                        "microbench that is NOT a graded row) samples every 3rd "
+                        "block boundary: use ITS median ratio to normalize heavy "
+                        "multi-core rows, the 0.5s canary for scheduling latency; "
+                        "neither canary is included in value",
                 "queries": dict(sorted(timings.items(), key=lambda kv: kv[1])),
                 "canary": {
                     "query": CANARY,
@@ -224,6 +261,16 @@ def main() -> None:
                     "block_load_index": block_load,
                     "start_mid_end_sec": [flat[0], flat[len(flat) // 2], flat[-1]],
                     "median_sec": round(sorted(flat)[len(flat) // 2], 3),
+                },
+                "canary2": {
+                    "query": "kmeans_lloyd(embeddings, k=16, n_iter=4) — fixed "
+                             "wide-parallelism microbench, NOT a graded catalog "
+                             "row (added r17: normalizes multi-core contention "
+                             "on heavy rows that the 0.5s canary misses)",
+                    "sampled_at_block_boundaries": "every 3rd + trailing, per pass",
+                    "per_sample_sec": canary2_samples,
+                    "median_sec": round(sorted(flat2)[len(flat2) // 2], 3),
+                    "best_sec": min(flat2),
                 },
                 "sf": sf,
                 "top20": dict(
