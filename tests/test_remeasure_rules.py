@@ -120,7 +120,9 @@ def test_envelope_r17_gif_frames_scenario(envelope):
         plan_identical={"r16": True, "r14": True},
     )
     assert verdict == "noise"
-    assert ratios["r16"] > 1.10 < 1.16  # the single-round rule's flag ...
+    # ADVICE_r17 #3: the earlier chained form `> 1.10 < 1.16` parsed as
+    # (ratio > 1.10) and (1.10 < 1.16), never checking the upper bound
+    assert 1.10 < ratios["r16"] < 1.16  # the single-round rule's flag ...
     assert ratios["r14"] <= 1.10  # ... dissolved by a green round at parity
     assert "r14" in rationale
 
