@@ -1,15 +1,18 @@
-"""Property-based tests (hypothesis) for the r19 remeasure rule
-functions in scripts/remeasure_r19.py and
-scripts/remeasure_envelope_r19.py.
+"""Property-based tests (hypothesis) for the r20 remeasure rule
+functions in scripts/remeasure_r20.py and
+scripts/remeasure_envelope_r20.py (rolled forward from the r19
+modules they were first written against — the rules are carried
+verbatim, so the invariants must keep holding).
 
-The example pins in tests/test_remeasure_rules_r19.py freeze the
-specific ADVICE_r18 scenarios; these properties freeze the rules'
-INVARIANTS over the whole input space — verdict domains, flag-set
-soundness, regime-selection totality, threshold monotonicity — so a
-future mechanical rollforward (r20+) that accidentally perturbs an
-edge case (ties at the threshold, the exact 1/3 fraction, the min-n
-floor boundary, an empty archive set) fails loudly rather than only
-on the examples the advice happened to name.
+The example pins in tests/test_remeasure_rules_r20.py freeze the
+specific ADVICE_r18/ADVICE_r19 scenarios; these properties freeze the
+rules' INVARIANTS over the whole input space — verdict domains,
+flag-set soundness, regime-selection totality, threshold
+monotonicity, drift-pool scale-homogeneity — so a future mechanical
+rollforward (r21+) that accidentally perturbs an edge case (ties at
+the threshold, the exact 1/3 fraction, the min-n floor boundary, an
+empty archive set) fails loudly rather than only on the examples the
+advice happened to name.
 
 Pure functions only — no Spark session, no filesystem beyond the
 module load.
@@ -36,8 +39,8 @@ def _load(fn: str):
     return mod
 
 
-RULES = _load("remeasure_r19.py")
-ENVELOPE = _load("remeasure_envelope_r19.py")
+RULES = _load("remeasure_r20.py")
+ENVELOPE = _load("remeasure_envelope_r20.py")
 
 # Finite, positive, sane-magnitude ratios/seconds — the domain the
 # rules are defined over (bench rows are positive finite seconds).
@@ -92,6 +95,23 @@ def test_drift_verdict_threshold_monotone(ratios, bump):
     assert set(high_flags) <= set(low_flags)
 
 
+# --- drift_pool (ADVICE_r19 #3 scale homogeneity) ---
+
+@given(ratio_map)
+@settings(max_examples=300)
+def test_drift_pool_excludes_exactly_the_canary(ratios):
+    pool = ENVELOPE.drift_pool(ratios)
+    # the pool is the input minus the canary row, values untouched —
+    # never drops a comparable row, never invents one
+    assert pool == {n: r for n, r in ratios.items() if n != ENVELOPE.CANARY}
+    assert ENVELOPE.CANARY not in pool
+    with_canary = dict(ratios)
+    with_canary[ENVELOPE.CANARY] = 1.5
+    pool2 = ENVELOPE.drift_pool(with_canary)
+    assert ENVELOPE.CANARY not in pool2
+    assert pool2 == pool
+
+
 # --- envelope_stats (ADVICE_r17 #1 leniency visibility) ---
 
 @given(ratio_map)
@@ -141,7 +161,10 @@ def test_envelope_verdict_consistent_with_min_rule(
         else:
             assert verdict == "INVESTIGATE"
     assert stats["rounds_compared"] == len(ratios)
-    assert isinstance(rationale, str) and "q" in rationale or rationale
+    # ADVICE_r19 #1: the old form parsed as `(A and B) or rationale`,
+    # which any non-empty rationale satisfied — enforce both halves.
+    assert isinstance(rationale, str) and rationale
+    assert "q" in rationale
 
 
 @given(seconds, st.dictionaries(names, seconds, min_size=1, max_size=8))
