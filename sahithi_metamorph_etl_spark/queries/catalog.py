@@ -371,6 +371,27 @@ def _load() -> None:
 # ivf-pq; codecs via decode-stats/wav; events via asof/interval/
 # json/cumulative + stream-dedup/running-counts; classifier via
 # quality-classifier; bpe via corpus-bpe-merges).
+# r21 rotation: the saturated cycle's seventh turn (period-3 steady
+# state). Rule 3 binds on the r18-green cohort (out-streak 2 after
+# r20 — out in r19 and r20), so the roster is again fully determined:
+# 9 anchors + those exact 41 must-returns = 50 fixed slots, ZERO
+# free. `scripts/rotation_plan.py --propose` was re-run at seating
+# time and names precisely this set; VERDICT_r20's prose list agrees
+# (the audit remains the authority of record per standing policy).
+# The r19-green cohort becomes streak 2 after r21 and is r22's
+# must-return set; the cycle repeats.
+# OUT = the r20-green non-anchors (fresh history, streak 1) — every
+# family keeps a representative in the 50 (relational via
+# top10/by-month/cube/grouping-sets/filter-case/union-slices/setops/
+# quantile-hist/column-profile/rollup; windows via running-total/
+# order-gaps; skew via salted + key-skew; sketches via
+# mergeable-distinct; warehouse via scd2-merge; validators via
+# duplicate-order-lines; text via token-stats/language-guess/
+# fingerprint/pii-scrub/train-split/text-profile/pack-sequences;
+# dedup via exact-dedup/hot-shingles/near-dup-prune/minhash-lsh-pairs/
+# neardup-incremental; similarity via cosine-topk/random-projection/
+# lsh-ann/sq8/kmeans-pp; codecs via resize/frame-sample/jpeg; events
+# via hourly-tumbling/asof-forward/incremental-slice/funnel).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -381,26 +402,26 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r19; the r17-green
+    # rule-3 must-returns (out-streak 2 after r20; the r18-green
     # saturated cohort — exactly 41, zero free slots)
-    "adaptive_salted_skew_join", "corpus_bpe_merges",
-    "corpus_clean_pipeline", "corpus_dedup_report",
-    "corpus_vocabulary", "doc_containment_pairs", "doc_dsir_sample",
-    "doc_dsir_weights", "doc_incremental_dedup", "doc_jaccard_pairs",
-    "doc_mixture_sample", "doc_quality_classifier",
-    "doc_quality_score", "doc_simhash_pairs", "doc_tfidf_keywords",
-    "emb_hard_negatives", "emb_ivf_kmeans_topk", "emb_ivf_topk",
-    "emb_kmeans_clusters", "emb_lsh_near_dup", "emb_pq_ivf_topk",
-    "emb_pq_topk", "emb_rp_rerank_topk", "emb_semdedup_prune",
-    "events_asof_join", "events_cumulative_new_users",
-    "events_interval_join", "events_json_extract",
-    "events_stream_dedup", "events_stream_running_counts",
-    "multimodal_decode_stats", "multimodal_wav_roundtrip",
-    "orders_priority_daily_gapfill", "parts_fuzzy_match",
-    "parts_sales_left_join", "recon_bucketed_zero_shuffle",
-    "sketch_distinct_counts", "top_part_per_supplier",
-    "tpch_q18_large_volume_customer", "tpch_q5_local_supplier_volume",
-    "warehouse_upsert_roundtrip",
+    "corpus_near_dup_prune", "corpus_text_profile",
+    "customer_order_gaps", "customer_running_total",
+    "customer_scd2_merge", "customer_segments_setops",
+    "doc_exact_dedup", "doc_fingerprint", "doc_hot_shingles",
+    "doc_language_guess", "doc_minhash_lsh_pairs",
+    "doc_neardup_incremental", "doc_pack_sequences", "doc_pii_scrub",
+    "doc_token_stats", "doc_train_split", "duplicate_order_lines",
+    "emb_cosine_topk", "emb_kmeans_pp_init", "emb_lsh_ann_topk",
+    "emb_random_projection", "emb_sq8_topk",
+    "events_asof_join_forward", "events_funnel",
+    "events_hourly_tumbling", "events_incremental_slice",
+    "lineitem_key_skew", "lineitem_union_slices",
+    "multimodal_frame_sample", "multimodal_jpeg_roundtrip",
+    "multimodal_resize", "orders_by_month", "orders_column_profile",
+    "orders_cube", "orders_filter_case", "orders_grouping_sets",
+    "orders_price_quantile_hist", "salted_skew_join",
+    "sketch_mergeable_distinct", "supplier_region_rollup",
+    "top10_orders",
 )
 
 
