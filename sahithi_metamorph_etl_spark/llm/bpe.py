@@ -87,6 +87,62 @@ def _greedy_merge_expr(toks_col, a: str, b: str):
     return F.aggregate(toks_col, init, step, finish)
 
 
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with backslash/quote escaping
+    (tokens come from corpus text — arbitrary content)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _greedy_multi_merge_expr(toks_col: str, pairs):
+    """Column expression: ONE greedy left-to-right pass applying a
+    whole batch of PAIRWISE TOKEN-DISJOINT merges ``(a_i, b_i)`` with
+    fresh merged names — bit-identical to chaining one
+    :func:`_greedy_merge_expr` per pair (r21 driver-cost fix: a
+    10-merge batch used to build 10 nested ``F.aggregate`` folds whose
+    construction and Catalyst analysis dominated the BPE entries' wall
+    time; one fold with a CASE over the batch is ~10x fewer expression
+    nodes, and building it as ONE parsed ``F.expr`` string replaces
+    hundreds of py4j Column calls with a single JVM parse).
+
+    ``toks_col`` is the COLUMN NAME of the token array.
+
+    Equivalence argument (the `_select_merge_batch` invariant does the
+    work): accepted pairs share no side tokens, and every merged name
+    is fresh within the batch — so any adjacency matches at most ONE
+    pair, no pair's merge can create or destroy another pair's
+    adjacency (a merge replaces two tokens with one fresh token,
+    never deletes a gap), and greedy non-overlap within one pair is
+    the same single-carry mechanics either way. Covered by
+    tests/test_text_properties.py::
+    test_multi_merge_expr_equals_sequential_folds plus the
+    sequential-reference property tests.
+    """
+    tq = "`" + toks_col.replace("`", "``") + "`"
+    mcase = (
+        "CASE "
+        + " ".join(
+            f"WHEN acc.carry = {_sql_str(a)} AND x = {_sql_str(b)} "
+            f"THEN {_sql_str(a + b)}"
+            for a, b, *_ in pairs
+        )
+        + " END"
+    )
+    return F.expr(
+        f"aggregate({tq}, "
+        "named_struct('out', cast(array() as array<string>), "
+        "'carry', cast(null as string)), "
+        "(acc, x) -> CASE "
+        "WHEN acc.carry IS NULL THEN named_struct('out', acc.out, 'carry', x) "
+        f"WHEN ({mcase}) IS NOT NULL THEN named_struct("
+        f"'out', concat(acc.out, array({mcase})), "
+        "'carry', cast(null as string)) "
+        "ELSE named_struct('out', concat(acc.out, array(acc.carry)), "
+        "'carry', x) END, "
+        "acc -> CASE WHEN acc.carry IS NULL THEN acc.out "
+        "ELSE concat(acc.out, array(acc.carry)) END)"
+    )
+
+
 def _select_merge_batch(snap, floor, max_k, preexisting=frozenset()):
     """Maximal PREFIX of the snapshot's sorted pair candidates that is
     provably identical to sequential (recount-between) selection.
@@ -242,13 +298,14 @@ def learn_bpe(
         # pairs beyond the collected top-T are bounded by the T-th count
         floor = snap[-1][2] if len(snap) == T else None
         batch = _select_merge_batch(snap, floor, n_merges - len(merges), known_names)
-        sel = F.col("toks")
         for a, b, freq in batch:
             merges.append((len(merges) + 1, a, b, a + b, freq))
             known_names.add(a + b)
-            # left-to-right greedy merge of (a, b) inside every token
-            # array; disjointness makes the in-batch chain order-free
-            sel = _greedy_merge_expr(sel, a, b)
+        # ONE greedy pass applies the whole disjoint batch (identical
+        # to chaining per-pair folds — see _greedy_multi_merge_expr;
+        # the batch's token-disjointness is _select_merge_batch's
+        # invariant), keeping the per-iteration expression tree flat
+        sel = _greedy_multi_merge_expr("toks", batch)
         state = state.select("count", "word", sel.alias("toks"))
         folds_since_ckpt += len(batch)
         if folds_since_ckpt >= checkpoint_every:
@@ -366,9 +423,27 @@ def apply_bpe(
 
     if method == "fold":
         wordmap = vocab.select("word", _chars_plus_end("word").alias("toks"))
-        for i, (a, b) in enumerate(pairs, 1):
+        # chunk the rank-ordered merges into maximal runs whose pairs
+        # are pairwise token-disjoint with fresh merged names — within
+        # such a run one combined greedy pass is bit-identical to the
+        # per-merge sequential folds (_greedy_multi_merge_expr), so a
+        # run costs ONE fold expression instead of len(run); a merge
+        # that reuses any earlier side or merged name starts a new run,
+        # preserving sequential-replay semantics exactly
+        runs: list[list[tuple[str, str]]] = []
+        cur: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for a, b in pairs:
+            if cur and ({a, b, a + b} & seen):
+                runs.append(cur)
+                cur, seen = [], set()
+            cur.append((a, b))
+            seen.update((a, b, a + b))
+        if cur:
+            runs.append(cur)
+        for i, run in enumerate(runs, 1):
             wordmap = wordmap.select(
-                "word", _greedy_merge_expr("toks", a, b).alias("toks")
+                "word", _greedy_multi_merge_expr("toks", run).alias("toks")
             )
             if i % 8 == 0:
                 # vocabulary frame is small; keep the plan flat instead

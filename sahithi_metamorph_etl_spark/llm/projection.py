@@ -80,30 +80,28 @@ def jl_random_projection(
         in_dim = int(row[0][0])
     signs = rademacher_signs(in_dim, out_dim, seed_tag)
     scale = math.sqrt(float(out_dim))
-    vec = F.col(vec_col)
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(s) for s in signs[j]]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(scale)
-        for j in range(out_dim)
-    ]
-    # round INSIDE a transform lambda over the assembled array: dround
-    # on each component would inline the whole fold into both its
-    # sign() and abs() branches, and higher-order functions are
-    # CodegenFallback where per-expression CSE does not apply — this
-    # form evaluates each in_dim-element fold exactly once. The lambda
-    # is dround's exact IEEE op sequence, so values are unchanged.
+    # ONE parsed SQL expression instead of a Python-built literal
+    # forest (r21): the old form issued ~in_dim x out_dim F.lit py4j
+    # calls (2048 at 64->32 — measured ~2 s of pure driver time per
+    # invocation); a single expr() string parses JVM-side in
+    # milliseconds. Shape is value-identical: the inner transform
+    # materializes each out-dim fold ONCE (aggregate over
+    # zip_with(vec, signs_row), left-to-right adds, divide by
+    # sqrt(out_dim)), the outer transform applies dround's exact IEEE
+    # op sequence per element — same two-step evaluation the Column
+    # form used, so no fold is inlined into the sign/abs branches.
+    # repr() on a float is shortest-round-trip, so every literal
+    # parses back to the identical double.
+    signs_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(s) + "D" for s in row) + ")" for row in signs
+    ) + ")"
+    vq = "`" + vec_col.replace("`", "``") + "`"
     rf = float(10**decimals)
-    rounded = F.transform(
-        F.array(*comps),
-        lambda x: F.signum(x) * F.floor(F.abs(x) * F.lit(rf) + F.lit(0.5)) / F.lit(rf),
+    rounded = F.expr(
+        f"transform(transform({signs_sql}, "
+        f"s -> aggregate(zip_with(cast({vq} as array<double>), s, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / {scale!r}D), "
+        f"v -> signum(v) * floor(abs(v) * {rf!r}D + 0.5D) / {rf!r}D)"
     )
     return df.select(F.col(id_col), rounded.alias(out_col))
 

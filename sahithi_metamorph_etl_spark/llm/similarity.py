@@ -69,6 +69,48 @@ def _nround(t, scale: int = 8):
     return np.sign(t) * np.floor(np.abs(t) * f + 0.5) / f
 
 
+def _sidecar_write(path: str, columns: dict, schema) -> None:
+    """Write a TINY index sidecar (centroids / minmax / codebooks —
+    metadata-sized, driver-resident by construction) as one parquet
+    file directly with pyarrow, replacing the former
+    ``createDataFrame(...).repartition(1).write.parquet`` round-trip
+    (r21: one Spark job + commit protocol per sidecar was pure
+    overhead at any scale — these tables are k x dim doubles the
+    driver already holds). Same overwrite semantics as the Spark
+    writer (the directory is replaced); the file is plain parquet,
+    readable by ``spark.read.parquet`` or any engine."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    table = pa.table(columns, schema=schema)
+    pq.write_table(table, f"{path}/part-00000.parquet")
+
+
+def _sidecar_rows(path: str) -> list[dict]:
+    """Read a sidecar directory back as a list of dict rows via
+    pyarrow — the driver-side twin of ``spark.read.parquet(...).
+    collect()`` for metadata-sized tables (no Spark job). Reads every
+    ``*.parquet`` part file, so sidecars written by either the pyarrow
+    or the Spark writer load identically."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(_glob.glob(f"{path}/*.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no parquet sidecar files under {path!r}")
+    rows: list[dict] = []
+    for p in parts:
+        rows.extend(pq.read_table(p).to_pylist())
+    return rows
+
+
 def _bounded_query_rows(
     embeddings, id_col, vec_col, query_filter, max_queries, op_name,
     extra_cols=(),
@@ -538,6 +580,34 @@ def lsh_near_dup_pairs(
     return pairs.dropDuplicates(["vec_a", "vec_b"])
 
 
+def _write_centroid_sidecar(path: str, cents) -> None:
+    """(list_id, centroid) sidecar via :func:`_sidecar_write`."""
+    import pyarrow as pa
+
+    _sidecar_write(
+        path,
+        {
+            "list_id": list(range(len(cents))),
+            "centroid": [[float(v) for v in row] for row in cents],
+        },
+        pa.schema(
+            [("list_id", pa.int32()), ("centroid", pa.list_(pa.float64()))]
+        ),
+    )
+
+
+def _read_centroid_sidecar(path: str):
+    """centroid matrix (np float64, indexed by list_id) from the
+    sidecar — driver-side, no Spark job."""
+    import numpy as np
+
+    rows = _sidecar_rows(path)
+    cents = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        cents[r["list_id"]] = r["centroid"]
+    return cents
+
+
 def _train_centroids(embeddings, vec_col, n_lists, seed, train_sample):
     """Seeded k-means coarse quantizer: a few Lloyd iterations on cosine
     (unit vectors -> dot argmax) over a bounded driver sample. Returns a
@@ -698,17 +768,7 @@ def ivf_build_index(
         cents = np.asarray(centroids, dtype=np.float64)
     else:
         cents = _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
-    spark = embeddings.sparkSession
-    # repartition(1), NOT coalesce(1): a driver-local DataFrame
-    # parallelizes into defaultParallelism Python-backed slices, and a
-    # coalesced single task evaluates every slice SEQUENTIALLY through
-    # the Python runner (~3.5 s of worker roundtrips for 16 rows,
-    # measured local[32]); the 16-row shuffle evaluates them in
-    # parallel first and costs nothing at any scale.
-    spark.createDataFrame(
-        [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
-        "list_id int, centroid array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _write_centroid_sidecar(f"{index_path}/centroids", cents)
 
     cents_ship = cents.copy()
 
@@ -768,10 +828,7 @@ def ivf_search(
     similarity operators do."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
-    for r in cent_rows:
-        cents[r["list_id"]] = r["centroid"]
+    cents = _read_centroid_sidecar(f"{index_path}/centroids")
 
     qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
@@ -936,7 +993,14 @@ def hyperplane_lsh_topk(
             )
         dim = len(first[0])
     planes = _planes(n_planes, dim)
-    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    # one parsed literal instead of n_planes x dim F.lit py4j calls
+    # (r21 driver-cost fix; repr() round-trips every double exactly)
+    plane_arr = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(repr(v) + "D" for v in row) + ")"
+            for row in planes
+        ) + ")"
+    )
     # sign bit on the ROUNDED dot (8dp dround, oracle twin o_round):
     # an ulp of accumulation skew at the 0 boundary must not flip a
     # bucket between engines
@@ -1278,15 +1342,23 @@ def pq_build_index(
         )
     dsub = books.shape[2]
 
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [
-            (int(j), int(c), [float(v) for v in books[j, c]])
-            for j in range(m)
-            for c in range(ksub)
-        ],
-        "j int, cid int, bv array<double>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/books")
+    import pyarrow as pa
+
+    _sidecar_write(
+        f"{index_path}/books",
+        {
+            "j": [j for j in range(m) for _ in range(ksub)],
+            "cid": [c for _ in range(m) for c in range(ksub)],
+            "bv": [
+                [float(v) for v in books[j, c]]
+                for j in range(m)
+                for c in range(ksub)
+            ],
+        },
+        pa.schema(
+            [("j", pa.int32()), ("cid", pa.int32()), ("bv", pa.list_(pa.float64()))]
+        ),
+    )
 
     cents = None
     if n_lists is not None:
@@ -1295,10 +1367,7 @@ def pq_build_index(
             if centroids is not None
             else _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
         )
-        spark.createDataFrame(
-            [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
-            "list_id int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+        _write_centroid_sidecar(f"{index_path}/centroids", cents)
 
     def encode(batches):
         import numpy as np
@@ -1392,7 +1461,7 @@ def pq_search(
     """
     import numpy as np
 
-    book_rows = spark.read.parquet(f"{index_path}/books").collect()
+    book_rows = _sidecar_rows(f"{index_path}/books")
     m = max(r["j"] for r in book_rows) + 1
     ksub = max(r["cid"] for r in book_rows) + 1
     dsub = len(book_rows[0]["bv"])
@@ -1424,10 +1493,7 @@ def pq_search(
     if "list_id" in corpus.columns:
         if n_probe is None:
             n_probe = 4
-        cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-        cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
-        for r in cent_rows:
-            cents[r["list_id"]] = r["centroid"]
+        cents = _read_centroid_sidecar(f"{index_path}/centroids")
         q_probes = np.argsort(
             -_nround(qm @ cents.T), axis=1, kind="stable"
         )[:, :n_probe]
@@ -1829,11 +1895,17 @@ def sq8_build_index(
     nz = span > 0
     dim = len(mn)
 
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(int(i), float(mn[i]), float(mx[i])) for i in range(dim)],
-        "pos int, mn double, mx double",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/minmax")
+    import pyarrow as pa
+
+    _sidecar_write(
+        f"{index_path}/minmax",
+        {
+            "pos": list(range(dim)),
+            "mn": [float(v) for v in mn],
+            "mx": [float(v) for v in mx],
+        },
+        pa.schema([("pos", pa.int32()), ("mn", pa.float64()), ("mx", pa.float64())]),
+    )
 
     cents = None
     if n_lists is not None:
@@ -1842,10 +1914,7 @@ def sq8_build_index(
             if centroids is not None
             else _train_centroids(embeddings, vec_col, n_lists, seed, train_sample)
         )
-        spark.createDataFrame(
-            [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
-            "list_id int, centroid array<double>",
-        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+        _write_centroid_sidecar(f"{index_path}/centroids", cents)
 
     def encode(batches):
         import numpy as np
@@ -1984,7 +2053,7 @@ def sq8_search(
     """
     import numpy as np
 
-    mm = spark.read.parquet(f"{index_path}/minmax").collect()
+    mm = _sidecar_rows(f"{index_path}/minmax")
     dim = max(r["pos"] for r in mm) + 1
     mn = np.zeros(dim, dtype=np.float64)
     mx = np.zeros(dim, dtype=np.float64)
@@ -2020,10 +2089,7 @@ def sq8_search(
         # non-probed list directories never open
         if n_probe is None:
             n_probe = 4
-        cent_rows = spark.read.parquet(f"{index_path}/centroids").collect()
-        cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
-        for r in cent_rows:
-            cents[r["list_id"]] = r["centroid"]
+        cents = _read_centroid_sidecar(f"{index_path}/centroids")
         qm = qt / np.maximum(np.linalg.norm(qt, axis=1, keepdims=True), 1e-12)
         q_probes = np.argsort(
             -_nround(qm @ cents.T), axis=1, kind="stable"

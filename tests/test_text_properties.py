@@ -674,3 +674,40 @@ def test_dsir_weights_match_python_model(spark, texts):
         s = sum(lam[tok] for tok in toks)
         want = rnd((s / len(toks)) / 1e4, 1e4) / 1e4
         assert got[i] == (len(toks), want), (i, t)
+
+
+def test_multi_merge_expr_equals_sequential_folds(spark):
+    """r21: `_greedy_multi_merge_expr` (one combined greedy pass over a
+    token-disjoint merge batch) must be bit-identical to chaining one
+    `_greedy_merge_expr` per pair — the fold-count collapse learn_bpe
+    and apply_bpe's fold path now rely on. Exercises the carry edge
+    cases: trailing carry, overlapping same-pair runs (greedy
+    non-overlap), interleaved pairs, and empty/short arrays."""
+    from pyspark.sql import functions as F
+
+    from sahithi_metamorph_etl_spark.llm.bpe import (
+        _greedy_merge_expr,
+        _greedy_multi_merge_expr,
+    )
+
+    batch = [("a", "b"), ("c", "d"), ("e", "f")]  # pairwise disjoint, fresh names
+    arrays = [
+        ["a", "b", "c", "d", "e", "f"],
+        ["a", "a", "b", "b", "c", "d", "d"],
+        ["a", "b", "a", "b", "a"],           # greedy non-overlap + trailing carry
+        ["c", "a", "b", "d", "e"],            # cross-pair interleave, no (c,d) adjacency
+        ["x", "y"],
+        ["a"],
+        [],
+        ["f", "e", "f", "e", "f"],            # reversed order never merges
+        ["a", "b", "c", "d", "a", "b"],
+    ]
+    df = spark.createDataFrame([(i, arr) for i, arr in enumerate(arrays)],
+                               "i int, toks array<string>")
+    seq = F.col("toks")
+    for a, b in batch:
+        seq = _greedy_merge_expr(seq, a, b)
+    multi = _greedy_multi_merge_expr("toks", batch)
+    rows = df.select("i", seq.alias("s"), multi.alias("m")).orderBy("i").collect()
+    for r in rows:
+        assert r["s"] == r["m"], (r["i"], r["s"], r["m"])
