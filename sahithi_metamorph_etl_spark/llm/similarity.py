@@ -919,17 +919,28 @@ def ann_recall_summary(
     floor_ok). Everything is deterministic (seeded planes/centroids), so
     the row is reproducible run-to-run; ``floor_ok`` makes a recall
     regression visible as a value change, not just a silent drift."""
-    hits = ann_topk.select("vec_id", "neighbor_id").join(
-        exact_topk.select("vec_id", "neighbor_id"), ["vec_id", "neighbor_id"]
-    )
-    e = exact_topk.agg(
-        F.count_distinct("vec_id").alias("n_queries"), F.count(F.lit(1)).alias("n_exact")
-    )
-    a = ann_topk.agg(F.count(F.lit(1)).alias("n_ann"))
-    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE full-outer join + ONE aggregate (r21): the former
+    # three-1-row-aggregate crossJoin form executed the exact
+    # brute-force pipeline AND the ANN pipeline twice each (their own
+    # count + the hits join), as 4-5 separate jobs per composed-index
+    # query. (vec_id, neighbor_id) is unique within each top-k list, so
+    # per joined row the presence markers recover exactly the old
+    # counts: n_exact/n_ann = marker counts, n_hits = both-present,
+    # n_queries = distinct vec_id among exact rows.
+    ex = exact_topk.select("vec_id", "neighbor_id", F.lit(1).alias("__e"))
+    an = ann_topk.select("vec_id", "neighbor_id", F.lit(1).alias("__a"))
+    both = ex.join(an, ["vec_id", "neighbor_id"], "full_outer")
     return (
-        e.crossJoin(a)
-        .crossJoin(h)
+        both.agg(
+            F.count_distinct(
+                F.when(F.col("__e").isNotNull(), F.col("vec_id"))
+            ).alias("n_queries"),
+            F.count("__e").alias("n_exact"),
+            F.count("__a").alias("n_ann"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1)).alias(
+                "n_hits"
+            ),
+        )
         .select(
             "n_queries",
             "n_exact",
