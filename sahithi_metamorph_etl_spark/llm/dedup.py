@@ -667,15 +667,24 @@ def neardup_against_seen(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # exact-verify candidates only: shingle just the colliding docs;
-    # the candidate id lists are tiny — broadcast the semi-join probes
-    sh_new = _hashed_shingle_index(
+    # the candidate id lists are tiny — broadcast the semi-join probes.
+    # Verification rides per-doc DISTINCT-hash ARRAYS + array_intersect
+    # (r21, the jaccard_pairs verify form): the former exploded
+    # (id, shingle) index needed a shingle-keyed join + groupBy for the
+    # overlap plus two size aggregates and three assembly joins — four
+    # exchanges this form does without (arrays are per-candidate-doc,
+    # bounded by doc length; sizes ride as size(__hs)). Values are
+    # identical: _shingle_hash_arrays carries array_distinct of the
+    # same xxhash64 shingles _hashed_shingle_index emits distinct rows
+    # of, so counts and the Jaccard ratio agree bit-for-bit.
+    arr_new = _shingle_hash_arrays(
         new_df.join(
             F.broadcast(candidates.select(id_col).distinct()),
             id_col, "left_semi",
         ),
         text_col, id_col, n,
     )
-    sh_old = _hashed_shingle_index(
+    arr_old = _shingle_hash_arrays(
         old_df.join(
             F.broadcast(
                 candidates.select(F.col("seen_id").alias(id_col)).distinct()
@@ -684,20 +693,18 @@ def neardup_against_seen(
         ),
         text_col, id_col, n,
     )
-    sz_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("__na"))
-    sz_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nb"))
-    common = (
-        sh_new.join(
-            sh_old.select(F.col(id_col).alias("seen_id"), "shingle"), "shingle"
-        )
-        .groupBy(id_col, "seen_id")
-        .agg(F.count(F.lit(1)).alias("__nc"))
-    )
-    jac = F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc"))
+    common = F.size(F.array_intersect("__ha", "__hb"))
+    jac = common / (F.size("__ha") + F.size("__hb") - common)
     pairs = (
-        candidates.join(common, [id_col, "seen_id"])
-        .join(sz_new, id_col)
-        .join(sz_old.select(F.col(id_col).alias("seen_id"), "__nb"), "seen_id")
+        candidates.join(
+            arr_new.select(F.col(id_col), F.col("__hs").alias("__ha")), id_col
+        )
+        .join(
+            arr_old.select(
+                F.col(id_col).alias("seen_id"), F.col("__hs").alias("__hb")
+            ),
+            "seen_id",
+        )
         .filter(jac >= F.lit(threshold))
         .select(id_col, "seen_id", jac.alias("jaccard"))
     )
