@@ -752,25 +752,40 @@ def minhash_lsh_pairs(
     # in some candidate pair (the sub-quadratic point — verifying
     # against the full corpus would re-do the O(N^2) work).
     #
-    # _hashed_shingle_index, NOT an explode of _shingle_hash_arrays'
-    # HOF-built array: that explode inlines the whole nested transform
-    # chain into the Generate node and re-evaluates it per emitted row
-    # (measured 6.5s vs 0.7s over the sf0.1 corpus). The index helper
-    # hashes via a SCALAR projection AFTER the explode — long join
-    # keys at string-index cost (interleaved A/B ~5% off the LSH
-    # wall), uniform with jaccard/containment. The array form exists
-    # for the SIGNATURE stage, whose consumer is an Arrow batch (no
-    # explode).
+    # Verification rides per-doc DISTINCT-hash arrays + array_intersect
+    # (r21, the jaccard_pairs/neardup_against_seen verify form): the
+    # former exploded (id, shingle) index needed a shingle-keyed
+    # overlap join + groupBy plus size aggregates and assembly joins —
+    # exchanges the array form does without (the earlier 6.5s explode
+    # trap does not apply here: the arrays are never exploded, they
+    # ride whole into array_intersect). Values identical —
+    # _shingle_hash_arrays carries array_distinct of the same xxhash64
+    # shingles the exploded index emitted distinct rows of. The array
+    # frame feeds both join sides; persist so candidate docs shingle
+    # once (same lifetime contract as _jaccard_from_shingles' internal
+    # persist it replaces: freed with the session / clearCache).
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = _hashed_shingle_index(
+    arr = _shingle_hash_arrays(
         df.join(cand_docs, id_col, "left_semi"), text_col, id_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    common = F.size(F.array_intersect("__ha", "__hb"))
+    jac = common / (F.size("__ha") + F.size("__hb") - common)
+    return (
+        candidates.join(
+            arr.select(F.col(id_col).alias("doc_a"), F.col("__hs").alias("__ha")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("doc_b"), F.col("__hs").alias("__hb")),
+            "doc_b",
+        )
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-    exact = _jaccard_from_shingles(sh_cand, id_col, threshold=threshold)
-    return candidates.join(exact, ["doc_a", "doc_b"])
 
 
 def _md5_64_le(tok: Column) -> Column:
