@@ -1195,22 +1195,27 @@ def corpus_dedup_report(spark, sf_dir):
     from ..operators.graph import dedup_clusters
 
     docs = read_testdata(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    ex = exact_dedup_groups(docs).agg(
-        F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0)).cast("bigint").alias("n_exact_dup_docs")
+    # ONE corpus pass feeds both corpus-level counts (r21, guide §1.2
+    # step 1): every document lands in exactly one fingerprint group
+    # (md5(NULL) groups NULLs together like the oracle's GROUP BY), so
+    # sum(n_docs) over groups IS count(*) — the former separate
+    # docs.agg(count) scan re-read the whole corpus for a number the
+    # dedup aggregate already had
+    tot_ex = exact_dedup_groups(docs).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("n_docs") - 1), F.lit(0)).cast("bigint").alias("n_exact_dup_docs"),
     )
     clusters = dedup_clusters(jaccard_pairs(docs, threshold=0.8))
-    near = clusters.agg(
-        F.coalesce(F.sum((~F.col("keeper")).cast("bigint")), F.lit(0))
-        .cast("bigint")
-        .alias("n_near_dup_docs")
-    )
     hist = (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
         .groupBy("sz")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+    # the near-dup count is derivable from the size histogram — each
+    # cluster keeps exactly its keeper, so non-keepers = Σ (sz-1) per
+    # cluster (r21: drops the separate sum(~keeper) aggregate branch
+    # and its crossJoin; integer arithmetic, bit-identical)
     hist_s = hist.agg(
         F.array_join(
             F.transform(
@@ -1218,12 +1223,13 @@ def corpus_dedup_report(spark, sf_dir):
                 lambda s: F.concat_ws(":", s["sz"], s["n_clusters"]),
             ),
             ",",
-        ).alias("cluster_size_hist")
+        ).alias("cluster_size_hist"),
+        F.coalesce(
+            F.sum((F.col("sz") - 1) * F.col("n_clusters")), F.lit(0)
+        ).cast("bigint").alias("n_near_dup_docs"),
     )
     return (
-        tot.crossJoin(ex)
-        .crossJoin(near)
-        .crossJoin(hist_s)
+        tot_ex.crossJoin(hist_s)
         .select(
             "n_docs",
             "n_exact_dup_docs",
