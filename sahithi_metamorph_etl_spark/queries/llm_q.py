@@ -2090,7 +2090,14 @@ def multimodal_png_roundtrip(spark, sf_dir):
 
     from ..llm.codecs import module_source
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    # r21 (guide §2.4/§4): compute-bound Python codec chain over a single
+    # parquet split ran as ONE task; spread doc_ids across the session's
+    # cores before the Python boundary (shuffle moves only doc_id).
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     codecs_src = module_source()  # shipped by value; see codecs.module_source
 
     def work(batches):
@@ -2148,7 +2155,14 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
     from ..llm.codecs import module_source
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    # r21 (guide §2.4/§4): compute-bound Python codec chain over a single
+    # parquet split ran as ONE task; spread doc_ids across the session's
+    # cores before the Python boundary (shuffle moves only doc_id).
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     codecs_src = module_source()  # shipped by value; see codecs.module_source
 
     def work(batches):
@@ -3048,7 +3062,15 @@ def multimodal_gif_frames(spark, sf_dir):
     from ..llm.codecs import module_source
     from ..llm.multimodal import decode_gif_frame_stats
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    # r21 (guide §2.4/§4): the synth->decode Python chain is compute-bound
+    # real-codec work, but the doc_id scan is a single parquet split, so the
+    # whole chain ran as ONE task. Spread it across the session's cores
+    # before the Python boundary; the shuffle moves only the doc_id column.
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     codecs_src = module_source()  # shipped by value; see codecs.module_source
 
     def synth(batches):

@@ -440,6 +440,41 @@ def test_gif_dictionary_reset_path():
     assert np.array_equal(out, np.stack([px] * 3, axis=2))
 
 
+def test_gif_lzw_decode_internals():
+    """Pin the r21 bytes-table decoder's semantics directly: KwKwK
+    expansion, rejection of a code beyond the next free slot, and the
+    structural min-code-size bound (a GIF color table never exceeds 256
+    entries, so root codes are < 256)."""
+    import pytest
+
+    def pack(codes, width_seq):
+        # LSB-first pack codes with per-code widths
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in zip(codes, width_seq):
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # min_code_size=2: clear=4, end=5, first free code=6.
+    # codes: clear, 1, 6 (KwKwK: entry 6 = prev+prev[0] = b"\x01\x01"), end
+    data = pack([4, 1, 6, 5], [3, 3, 3, 3])
+    assert bytes(codecs._gif_lzw_decode(data, 2)) == b"\x01\x01\x01"
+    # referencing a code beyond the next free slot is corrupt
+    data = pack([4, 1, 7, 5], [3, 3, 3, 3])
+    with pytest.raises(codecs.UnsupportedImageError, match="corrupt"):
+        codecs._gif_lzw_decode(data, 2)
+    # a claimed min code size > 8 cannot arise from a <=256-color table
+    with pytest.raises(codecs.UnsupportedImageError, match="min code size"):
+        codecs._gif_lzw_decode(b"\x00", 9)
+
+
 def test_gif_interlaced_decode():
     """Hand-build an interlaced GIF (4-pass row order per spec) and
     check the decoder restores natural row order."""
