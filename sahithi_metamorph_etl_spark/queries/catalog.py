@@ -392,6 +392,28 @@ def _load() -> None:
 # neardup-incremental; similarity via cosine-topk/random-projection/
 # lsh-ann/sq8/kmeans-pp; codecs via resize/frame-sample/jpeg; events
 # via hourly-tumbling/asof-forward/incremental-slice/funnel).
+# r22 rotation: the saturated cycle's eighth turn (period-3 steady
+# state). Rule 3 binds on the r19-green cohort (out-streak 2 after
+# r21 — out in r20 and r21), so the roster is again fully determined:
+# 9 anchors + those exact 41 must-returns = 50 fixed slots, ZERO
+# free. `scripts/rotation_plan.py --propose` was re-run at seating
+# time and names precisely this set; VERDICT_r21's prose list agrees
+# (the audit remains the authority of record per standing policy).
+# The r20-green cohort becomes streak 2 after r22 and is r23's
+# must-return set; the cycle repeats.
+# OUT = the r21-green non-anchors (fresh history, streak 1) — every
+# family keeps a representative in the 50 (relational via
+# pricing-summary/with-without-orders/pivot/histogram/Q3/
+# heavy-hitters/part-class/supplier-part-agg; sketches via
+# price-percentiles; warehouse via zorder + scd2 asof/chain +
+# range-join; validators via orders-expectations; windows via
+# percent-rank tiers; text via repetition/rarity/bigram/
+# decontaminate/chunks/token-budget/stratified; dedup via
+# passage-dups/dedup-clusters/simhash/near-dup-prune-lsh + the
+# streaming near-dup ingest loop; similarity via centroid-knn/
+# cosine-near-dup/label-centroids/lsh-mp/sq8-ivf; codecs via
+# png/audio/gif; events via sliding/session/stream-funnel; bpe via
+# bpe-tokens/bpe-tokenize).
 _PRIORITY: tuple[str, ...] = (
     # marts / full pipeline (permanent anchors)
     "mart_supplier_performance", "mart_product_performance",
@@ -402,26 +424,26 @@ _PRIORITY: tuple[str, ...] = (
     "recon_row_summary", "recon_mismatched_cells",
     "recon_column_mismatches", "recon_sample_mismatches",
     "recon_extra_rows",
-    # rule-3 must-returns (out-streak 2 after r20; the r18-green
+    # rule-3 must-returns (out-streak 2 after r21; the r19-green
     # saturated cohort — exactly 41, zero free slots)
-    "corpus_near_dup_prune", "corpus_text_profile",
-    "customer_order_gaps", "customer_running_total",
-    "customer_scd2_merge", "customer_segments_setops",
-    "doc_exact_dedup", "doc_fingerprint", "doc_hot_shingles",
-    "doc_language_guess", "doc_minhash_lsh_pairs",
-    "doc_neardup_incremental", "doc_pack_sequences", "doc_pii_scrub",
-    "doc_token_stats", "doc_train_split", "duplicate_order_lines",
-    "emb_cosine_topk", "emb_kmeans_pp_init", "emb_lsh_ann_topk",
-    "emb_random_projection", "emb_sq8_topk",
-    "events_asof_join_forward", "events_funnel",
-    "events_hourly_tumbling", "events_incremental_slice",
-    "lineitem_key_skew", "lineitem_union_slices",
-    "multimodal_frame_sample", "multimodal_jpeg_roundtrip",
-    "multimodal_resize", "orders_by_month", "orders_column_profile",
-    "orders_cube", "orders_filter_case", "orders_grouping_sets",
-    "orders_price_quantile_hist", "salted_skew_join",
-    "sketch_mergeable_distinct", "supplier_region_rollup",
-    "top10_orders",
+    "corpus_near_dup_prune_lsh", "customer_scd2_asof",
+    "customer_scd2_chain", "customer_tiers_percent_rank",
+    "customers_with_orders", "customers_without_orders",
+    "doc_bigram_logprob", "doc_bpe_tokenize", "doc_bpe_tokens",
+    "doc_chunks", "doc_decontaminate", "doc_dedup_clusters",
+    "doc_neardup_stream", "doc_passage_dups", "doc_rarity_score",
+    "doc_repetition_stats", "doc_simhash", "doc_stratified_sample",
+    "doc_token_budget", "emb_centroid_knn", "emb_cosine_near_dup",
+    "emb_label_centroids", "emb_lsh_mp_topk", "emb_sq8_ivf_topk",
+    "events_sessionization", "events_sliding_window",
+    "events_stream_funnel", "lineitem_heavy_hitters",
+    "multimodal_audio_stats", "multimodal_gif_frames",
+    "multimodal_png_roundtrip", "orders_expectations",
+    "orders_price_histogram", "orders_status_pivot",
+    "orders_zorder_pruning", "part_price_band_range_join",
+    "part_price_class", "pricing_summary",
+    "sketch_price_percentiles", "supplier_part_agg",
+    "tpch_q3_shipping_priority",
 )
 
 
