@@ -141,13 +141,22 @@ def logreg_quality_score(
     # n_iter gradient passes — without it every GD step re-scans and
     # re-regexes the full text column (measured 4.0x wall for 8x docs;
     # with the cache the fit pays ONE text scan + n_iter passes over
-    # the tiny cached frame, and the final scoring pass re-derives
-    # from source after the cache is dropped — 2 text scans total)
+    # the tiny cached frame). The persist deliberately OUTLIVES the fit
+    # (r22): the returned scoring plan reads the same cached frame, so
+    # scoring costs one pass over |docs| x 6 numbers instead of a
+    # second full text scan + regex pass (guide §5 — the frame is
+    # reused and recomputation is the expensive text pipeline). Same
+    # lifetime contract as minhash_lsh_pairs' internal persists: freed
+    # with the session / caller's clearCache, materialized inside the
+    # caller's own timed invocation (never across runs).
     feats.persist()
     try:
         weights = logreg_fit(feats, n_iter, lr)
-    finally:
+    except BaseException:
+        # only the failure path drops the cache here; the success path
+        # hands the pinned frame to the returned scoring plan
         feats.unpersist()
+        raise
     p = dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights))), 6)
     return feats.select(
         F.col(id_col),

@@ -672,18 +672,24 @@ def neardup_against_seen(
     # identical: _shingle_hash_arrays carries array_distinct of the
     # same xxhash64 shingles _hashed_shingle_index emits distinct rows
     # of, so counts and the Jaccard ratio agree bit-for-bit.
+    # the probes ride the persisted candidate frame WITHOUT a distinct:
+    # a semi-join matches on ANY build row, so duplicate probe ids are
+    # semantically inert, and dropping the per-column distinct removes
+    # one exchange+aggregate per probe (guide §2.4 — the streaming loop
+    # pays these every micro-batch). The broadcast then carries
+    # candidate-pair rows instead of distinct ids — still bounded by
+    # the banding collision count, the quantity that bounds this whole
+    # verify stage.
     arr_new = _shingle_hash_arrays(
         new_df.join(
-            F.broadcast(candidates.select(id_col).distinct()),
+            F.broadcast(candidates.select(id_col)),
             id_col, "left_semi",
         ),
         text_col, id_col, n,
     )
     arr_old = _shingle_hash_arrays(
         old_df.join(
-            F.broadcast(
-                candidates.select(F.col("seen_id").alias(id_col)).distinct()
-            ),
+            F.broadcast(candidates.select(F.col("seen_id").alias(id_col))),
             id_col, "left_semi",
         ),
         text_col, id_col, n,
@@ -759,6 +765,13 @@ def minhash_lsh_pairs(
     # frame feeds both join sides; persist so candidate docs shingle
     # once (same lifetime contract as _jaccard_from_shingles' internal
     # persist it replaces: freed with the session / clearCache).
+    # the probe-union distinct STAYS (r22 audit note): this semi-join
+    # runs as a sort-merge join (no broadcast hint), so the distinct's
+    # map-side partial aggregate pre-shrinks the union before its
+    # exchange — removing it was measured plan-for-plan to just shuffle
+    # ~2x the rows for one aggregate saved (the broadcast-probe case in
+    # neardup_against_seen is different: there the distinct was a whole
+    # extra exchange inside the broadcast build, and it is gone).
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
         .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
@@ -938,7 +951,15 @@ def dedup_against_seen(
     sinks/warehouse.write_bucketed).
     """
     fp = content_fingerprint(df, text_col, id_col)
-    seen = seen_fingerprints.select(F.col(fingerprint_col).alias("fingerprint")).distinct()
+    # no distinct on the anti-probe (r22): an anti-join drops a left row
+    # on ANY build match, so duplicate fingerprints are semantically
+    # inert — and the distinct cost a full exchange+aggregate inside the
+    # broadcast build (plan-verified: Exchange+2xHashAggregate removed).
+    # In the full-history SMJ regime the trade also holds: a seen store
+    # maintained by this very function keeps one row per novel
+    # fingerprint, so there is nothing for the partial aggregate to
+    # shrink (guide §2.4)
+    seen = seen_fingerprints.select(F.col(fingerprint_col).alias("fingerprint"))
     return fp.join(seen, "fingerprint", "left_anti").select(id_col, "fingerprint")
 
 

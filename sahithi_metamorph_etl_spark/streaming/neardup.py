@@ -217,8 +217,13 @@ def neardup_ingest_stream(
                 n=n, num_perm=num_perm, bands=bands, threshold=threshold,
                 return_release=True, new_sigs=sigs,
             )
+            # no distinct on the anti-probe (r22): a left_anti drops a
+            # batch row on ANY build match, so duplicate dup-ids are
+            # semantically inert and the distinct's exchange+aggregate
+            # was one more per-batch job (guide §2.4); the broadcast
+            # carries verified-pair rows, bounded by the collision count
             novel = batch_df.join(
-                F.broadcast(dups.select(id_col).distinct()),
+                F.broadcast(dups.select(id_col)),
                 id_col, "left_anti",
             )
         # novel feeds BOTH sink writes; persist so the dedup pipeline
