@@ -65,6 +65,14 @@ def get_spark(
         # because injection begins exactly at cluster-scale scans,
         # which is the regime this engine targets.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # the parsed-SQL expression family (llm.bpe._sql_str, the
+        # literal plane/sign matrices in llm.projection / llm.similarity,
+        # llm.dedup._grams_expr) emits strings for the DEFAULT parser;
+        # a session with legacy escapedStringLiterals=true would
+        # silently mis-parse backslash-containing corpus tokens
+        # (ADVICE_r21). Pin the default so the assumption is explicit
+        # wherever the engine builds its own session.
+        .config("spark.sql.parser.escapedStringLiterals", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -89,7 +89,11 @@ def _greedy_merge_expr(toks_col, a: str, b: str):
 
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal with backslash/quote escaping
-    (tokens come from corpus text — arbitrary content)."""
+    (tokens come from corpus text — arbitrary content). Assumes the
+    DEFAULT parser behavior (spark.sql.parser.escapedStringLiterals =
+    false, pinned in core.session.get_spark per ADVICE_r21): a session
+    with the legacy escaped-literals mode enabled would mis-parse
+    backslash escapes that the former F.lit Column path handled."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 

@@ -636,6 +636,13 @@ def neardup_against_seen(
     freed-with-the-session rationale only holds for one-shot batch
     jobs.
 
+    THRESHOLD > 0 is assumed (ADVICE_r21 note): the array_intersect
+    verify form keeps zero-overlap candidate pairs until the
+    ``jac >= threshold`` filter, so at ``threshold <= 0.0`` it would
+    emit jaccard-0 collision pairs the former overlap-join form
+    dropped. Every shipped caller uses 0.8; a <= 0 threshold is not a
+    meaningful near-dup cut.
+
     ``new_sigs`` (an (id, band, sig) frame for exactly ``new_df``,
     i.e. ``band_signature_store(new_df, ...)`` at the SAME
     n/num_perm/bands) skips recomputing the batch signatures — for a
@@ -731,7 +738,11 @@ def minhash_lsh_pairs(
     With 64 perms / 16 bands x 4 rows, the candidate probability for
     jaccard s is 1-(1-s^4)^16 (~0.99 at s=0.8, ~0.07 at s=0.3). If
     ``verify``, candidates are re-scored with exact Jaccard and filtered
-    — output schema matches :func:`jaccard_pairs`.
+    — output schema matches :func:`jaccard_pairs`. THRESHOLD > 0 is
+    assumed (ADVICE_r21 note, same as :func:`neardup_against_seen`):
+    at ``threshold <= 0.0`` the array_intersect verify form would keep
+    zero-overlap banded collisions the former overlap-join form
+    dropped; every shipped caller uses 0.8.
     """
     from pyspark import StorageLevel
 

@@ -69,6 +69,31 @@ def _nround(t, scale: int = 8):
     return np.sign(t) * np.floor(np.abs(t) * f + 0.5) / f
 
 
+def _local_sidecar_path(path: str) -> str:
+    """Enforce the index-path sidecar contract (ADVICE_r21): the
+    pyarrow sidecar fast path does driver-local POSIX I/O, while the
+    data files (codes/lists) in the SAME ``index_path`` go through
+    Spark's Hadoop FS layer. On a non-local ``index_path`` (hdfs://,
+    s3a://, ...) the index would silently split across storage
+    systems — fail fast with the contract instead. ``file:`` URIs are
+    accepted and stripped to their POSIX path so both layers resolve
+    to the same files."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(.*)$", path)
+    if m is None:
+        return path
+    if m.group(1) == "file":
+        return "/" + m.group(2).lstrip("/")
+    raise ValueError(
+        f"index sidecars use driver-local pyarrow I/O, but index_path "
+        f"{path!r} has scheme {m.group(1)!r}: build the index on a "
+        "driver-local path (or mount), then publish it to the remote "
+        "filesystem as a unit — a remote index_path would silently "
+        "write sidecars locally while the codes go to the remote FS"
+    )
+
+
 def _sidecar_write(path: str, columns: dict, schema) -> None:
     """Write a TINY index sidecar (centroids / minmax / codebooks —
     metadata-sized, driver-resident by construction) as one parquet
@@ -78,12 +103,14 @@ def _sidecar_write(path: str, columns: dict, schema) -> None:
     overhead at any scale — these tables are k x dim doubles the
     driver already holds). Same overwrite semantics as the Spark
     writer (the directory is replaced); the file is plain parquet,
-    readable by ``spark.read.parquet`` or any engine."""
+    readable by ``spark.read.parquet`` or any engine. Driver-local
+    paths only (:func:`_local_sidecar_path`)."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    path = _local_sidecar_path(path)
     shutil.rmtree(path, ignore_errors=True)
     import os
 
@@ -97,12 +124,13 @@ def _sidecar_rows(path: str) -> list[dict]:
     pyarrow — the driver-side twin of ``spark.read.parquet(...).
     collect()`` for metadata-sized tables (no Spark job). Reads every
     ``*.parquet`` part file, so sidecars written by either the pyarrow
-    or the Spark writer load identically."""
+    or the Spark writer load identically. Driver-local paths only
+    (:func:`_local_sidecar_path`)."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
-    parts = sorted(_glob.glob(f"{path}/*.parquet"))
+    parts = sorted(_glob.glob(f"{_local_sidecar_path(path)}/*.parquet"))
     if not parts:
         raise FileNotFoundError(f"no parquet sidecar files under {path!r}")
     rows: list[dict] = []

@@ -3811,3 +3811,39 @@ def test_logreg_property_matches_replay_on_random_corpora(spark):
     )
     with _pytest.raises(ValueError, match="no scoreable"):
         logreg_quality_score(all_null, F.col("source") == "tgt")
+
+
+def test_sidecar_local_path_contract(tmp_path):
+    """ADVICE_r21: the pyarrow sidecar fast path is driver-local POSIX
+    I/O while codes/lists in the same index_path go through Spark's
+    Hadoop FS — a remote-scheme index_path must fail fast instead of
+    silently splitting the index across storage systems; file: URIs
+    resolve to the same POSIX path either layer would use."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from sahithi_metamorph_etl_spark.llm.similarity import (
+        _local_sidecar_path,
+        _sidecar_rows,
+        _sidecar_write,
+    )
+
+    assert _local_sidecar_path("/tmp/x/centroids") == "/tmp/x/centroids"
+    assert _local_sidecar_path("file:///tmp/x/c") == "/tmp/x/c"
+    for bad in ("hdfs://nn/idx/centroids", "s3a://bucket/idx/minmax"):
+        with _pytest.raises(ValueError, match="driver-local"):
+            _local_sidecar_path(bad)
+
+    side = str(tmp_path / "side")
+    _sidecar_write(
+        f"file://{side}",
+        {"pos": [0, 1], "v": [1.5, 2.5]},
+        pa.schema([("pos", pa.int32()), ("v", pa.float64())]),
+    )
+    # readable through both the raw path and the file: URI
+    assert _sidecar_rows(side) == _sidecar_rows(f"file://{side}") == [
+        {"pos": 0, "v": 1.5},
+        {"pos": 1, "v": 2.5},
+    ]
+    with _pytest.raises(ValueError, match="driver-local"):
+        _sidecar_write("s3a://b/x", {"pos": [0]}, pa.schema([("pos", pa.int32())]))
